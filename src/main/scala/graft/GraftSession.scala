@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for the engine's Spark configuration.
+  *
+  * Scale posture: AQE on (runtime coalescing + skew-join splitting),
+  * shuffle partitions sized for the harness (local[32]) rather than the
+  * 200 default; on a real cluster these come from spark-submit conf and
+  * this builder only fills in what is unset.
+  */
+object GraftSession {
+  def builder(
+      master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"),
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader refuses; read as epoch-nanos long, Tables.load converts
+      // to timestamp_ntz (microsecond floor, same as DuckDB's reader).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Aggregation / analytical operators.
+  *
+  * Scale notes: every query here is a single logical regroup (one
+  * shuffle), with partial aggregation handled by Catalyst's
+  * HashAggregate pairs; dimension joins are explicitly broadcast.
+  */
+object Analytics {
+
+  /** Grouped multi-aggregate over the fact table (TPC-H Q1 shape).
+    * Flagship: pure map-side-combinable aggregation, no join, no window;
+    * at 100 TB this is one scan + one 6-group shuffle.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Star join: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region with the
+    * dimension chain broadcast (customer/nation/region are tiny relative
+    * to the fact side at any scale factor), revenue per nation.
+    */
+  def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    val dim = broadcast(
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(c("c_custkey"), n("n_name"), r("r_name")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(dim, o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-N rows per group via rank window (deterministic tie-break on
+    * the key) — the distributed replacement for per-group sorts.
+    */
+  def topNPerGroup(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Running per-user sum ordered by time: one window, partitioned on
+    * the entity key so state never leaves an executor.
+    */
+  def runningUserValue(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.filter(col("user_id") < 10)
+      .withColumn("running_value", round(sum(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("running_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Pivot event_type to columns with an explicit value list — the
+    * explicit list keeps it to a single shuffle (no extra pass to
+    * discover pivot values) and a fixed output schema.
+    */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    e.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("user_id") +: types.map(t => col(s"`$t`").as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Hierarchical totals region → nation via ROLLUP. */
+  def rollupAcctBal(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    val dim = broadcast(n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(n("n_nationkey"), n("n_name"), r("r_name")))
+    c.join(dim, c("c_nationkey") === dim("n_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Exact distinct suppliers per part (count-distinct regroup). */
+  def distinctSuppliersPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Approximate distinct users per event type (HLL). At 100 TB the
+    * exact variant needs a full dedup shuffle per group; the sketch is
+    * one pass, mergeable, constant memory. Rows-only check (approx
+    * results are engine-specific by design).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gap-based sessionization in batch: a session break is a >30min gap
+    * since the previous event of the same user; session id = running
+    * count of breaks. lag + cumsum over one (user, time) window — the
+    * batch twin of streaming.EventStream.sessionize.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    e.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Tumbling 1-hour windows: count + sum(value) per bucket — the batch
+    * twin of the streaming windowed aggregation.
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch table access for the graft engine.
+  *
+  * The reference ingests source tables by reading the source catalog and
+  * re-declaring each table in the target with a type-mapping policy
+  * (/root/reference/helper_db_operation.py:161-237,
+  * ingest_ecollision_oracle_data.py:16-46). Here the catalog is the
+  * parquet footer; the policy is declarative casts applied in a single
+  * `select`, so column pruning and filter pushdown still reach the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts arrives as epoch-nanos long (see GraftSession nanosAsLong
+    // note); floor-divide to micros and present as timestamp_ntz so all
+    // engines (and written parquet) agree on the naive value.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+    else df
+  }
+}
+
+/** Declarative type-normalization policy: the Spark-first analog of the
+  * reference's `map_oracle_to_postgres` / `map_analytics_db_to_postgres`
+  * dictionaries (helper_db_operation.py:161-237). Maps source types to
+  * engine-canonical types and normalizes column names.
+  */
+final case class TypePolicy(
+    typeMap: DataType => Option[DataType],
+    nameFn: String => String = _.toLowerCase) {
+
+  def apply(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val target = typeMap(f.dataType)
+      val c = target.map(t => col(f.name).cast(t)).getOrElse(col(f.name))
+      c.as(nameFn(f.name))
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
+
+object TypePolicy {
+  /** Canonical policy: integral types widen to long, floats to double —
+    * the same "lose no data, keep arithmetic uniform" stance as the
+    * reference's NUMBER→NUMERIC / float→DOUBLE PRECISION rows.
+    */
+  val canonical: TypePolicy = TypePolicy({
+    case ByteType | ShortType | IntegerType => Some(LongType)
+    case FloatType => Some(DoubleType)
+    case _ => None
+  })
+}
+
+/** Schema alignment: project a frame onto a target schema — matching
+  * columns cast into place, missing columns null-filled, extras dropped.
+  * Spark-first analog of the reference's dynamic column intersection
+  * before insert (etl_ecollision_fusion_table_collisions.py:117-121),
+  * done as one `select` so it stays inside the scan's pruned projection.
+  */
+object SchemaAlign {
+  def project(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    val cols: Seq[Column] = target.fields.toIndexedSeq.map { f =>
+      present.get(f.name.toLowerCase) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Union two lineages by name, null-filling the non-shared columns —
+    * how fusion tables absorb both sources (create_empty_tables_for_
+    * ecollision_fusion.py:31-44).
+    */
+  def unionLineages(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+}
