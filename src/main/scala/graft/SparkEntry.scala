@@ -1,13 +1,385 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Analytics, Dedup, Fusion, Similarity, Validity}
+import graft.sources.Ingest
+
+/** Driver contract: every operator in SURVEY.md §2, one `queries` entry
+  * each, with DuckDB oracle SQL where the semantics are exactly
+  * SQL-expressible (approx/LSH/decode operators are rows-only by
+  * design — their oracles are ScalaTest properties instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 ingestion & sources
+    "src_schema_mapped_read" -> ((s, d) => Ingest.schemaMappedRead(s, d)),
+    "src_sample_ingest" -> ((s, d) => Ingest.sampleIngest(s, d)),
+    "src_dynamic_projection" -> ((s, d) => Ingest.dynamicProjection(s, d)),
+    "src_lineage_column" -> ((s, d) => Ingest.lineageColumn(s, d)),
+    "src_json_props_extract" -> ((s, d) => Ingest.jsonPropsExtract(s, d)),
+    // §2.2 relational / ETL core
+    "q_min_per_key" -> ((s, d) => Validity.firstEventQuery(s, d)),
+    "q_year_coalesce" -> ((s, d) => Fusion.caseYear(s, d)),
+    "q_cutoff_lookup_join" -> ((s, d) => Validity.cutoffAssignments(s, d)),
+    "q_latest_at_cutoff" -> ((s, d) => Validity.statusAtCutoffQuery(s, d)),
+    "q_valid_entities" -> ((s, d) => Validity.validUsersFromDir(s, d)),
+    "q_semi_join_filter" -> ((s, d) => Fusion.semiJoinFilter(s, d)),
+    "q_anti_join" -> ((s, d) => Fusion.antiJoin(s, d)),
+    "q_case_flag" -> ((s, d) => Fusion.caseFlag(s, d)),
+    "q_rename_derive" -> ((s, d) => Fusion.renameDerive(s, d)),
+    "q_union_sources" -> ((s, d) => Fusion.unionSources(s, d)),
+    "q_dedup_pk" -> ((s, d) => Fusion.dedupLatestPerKey(s, d)),
+    "q_sample_per_group" -> ((s, d) => Fusion.samplePerGroup(s, d)),
+    // §2.3 analytics
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q_star_join_agg" -> ((s, d) => Analytics.starJoinRevenue(s, d)),
+    "q_topn_per_group" -> ((s, d) => Analytics.topNPerGroup(s, d)),
+    "q_running_window" -> ((s, d) => Analytics.runningUserValue(s, d)),
+    "q_pivot" -> ((s, d) => Analytics.pivotEventTypes(s, d)),
+    "q_rollup" -> ((s, d) => Analytics.rollupAcctBal(s, d)),
+    "q_distinct_count" -> ((s, d) => Analytics.distinctSuppliersPerPart(s, d)),
+    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(s, d)),
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
+    // §2.4 dedup family
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    // §2.5 similarity search
+    "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
+    // §2.6 text analysis
+    "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
+    "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
+    "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
+    // §2.7 multimodal plumbing
+    "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
+    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d))
+  )
+
+  private val cutoffValues =
+    Validity.cutoffs.map { case (w, t) => s"($w, TIMESTAMP '$t')" }.mkString(", ")
+
+  /** The validity chain CTEs, shared by the three §2.2 oracle queries.
+    * ts comparisons happen at the parquet's ns precision; outputs are
+    * CAST to µs TIMESTAMP to match Spark's reader normalization.
+    */
+  private val validityCtes: String =
+    s"""WITH fe AS (
+       |  SELECT user_id, min(ts) AS first_ts_ns FROM events GROUP BY user_id),
+       |fw AS (
+       |  SELECT user_id, CAST(first_ts_ns AS TIMESTAMP) AS first_ts,
+       |         CAST(ceil(day(first_ts_ns) / CAST(7.0 AS DOUBLE)) AS INTEGER) AS wk
+       |  FROM fe),
+       |cut(wk, cutoff_ts) AS (VALUES $cutoffValues),
+       |assigned AS (
+       |  SELECT fw.user_id, fw.wk, fw.first_ts, cut.cutoff_ts
+       |  FROM fw JOIN cut ON fw.wk = cut.wk),
+       |ranked AS (
+       |  SELECT e.user_id, a.wk, a.cutoff_ts, e.event_type, e.ts, e.event_id,
+       |         row_number() OVER (PARTITION BY e.user_id
+       |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+       |  FROM events e JOIN assigned a ON e.user_id = a.user_id
+       |  WHERE e.ts <= a.cutoff_ts),
+       |latest AS (
+       |  SELECT user_id, wk, cutoff_ts, event_type AS last_type,
+       |         CAST(ts AS TIMESTAMP) AS last_ts, event_id AS last_event_id
+       |  FROM ranked WHERE rn = 1)
+       |""".stripMargin
+
+  private def textWords(src: String = "text") =
+    s"regexp_extract_all(lower($src), '[a-z0-9]+')"
+
+  private val duckShingles: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(len(w) - 2),
+       |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |         ELSE CAST([] AS VARCHAR[]) END) AS shingle
+       |  FROM (SELECT doc_id, ${textWords()} AS w FROM documents))
+       |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "src_schema_mapped_read" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "src_sample_ingest" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 888",
+    "src_dynamic_projection" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |       CAST(NULL AS VARCHAR) AS load_note
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "src_lineage_column" ->
+      "SELECT *, 'eCollision Oracle' AS source FROM region ORDER BY r_regionkey",
+    "src_json_props_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_min_per_key" ->
+      (validityCtes +
+        "SELECT user_id, first_ts, wk FROM fw ORDER BY user_id"),
+    "q_year_coalesce" ->
+      """SELECT o_orderkey,
+        |       CAST(year(coalesce(CASE WHEN o_orderstatus = 'O' THEN NULL
+        |                               ELSE o_orderdate END,
+        |                          o_orderdate)) AS BIGINT) AS case_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_cutoff_lookup_join" ->
+      (validityCtes +
+        "SELECT user_id, wk, first_ts, cutoff_ts FROM assigned ORDER BY user_id"),
+    "q_latest_at_cutoff" ->
+      (validityCtes +
+        "SELECT user_id, wk, cutoff_ts, last_type, last_ts, last_event_id " +
+        "FROM latest ORDER BY user_id"),
+    "q_valid_entities" ->
+      (validityCtes +
+        """SELECT l.user_id, c.c_name
+          |FROM latest l LEFT JOIN customer c ON l.user_id = c.c_custkey
+          |WHERE l.last_type IN ('purchase', 'signup') AND c.c_name IS NOT NULL
+          |ORDER BY c.c_name DESC, l.user_id""".stripMargin),
+    "q_semi_join_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_case_flag" ->
+      """SELECT event_id, user_id, event_type,
+        |       CAST(CASE WHEN event_type IN ('purchase', 'signup')
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS valid_flag
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_rename_derive" ->
+      """SELECT o_orderkey, o_totalprice AS total_price,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_datestring,
+        |       'eCollision Oracle' AS source
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_union_sources" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |       'eCollision Oracle' AS source, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |       'eCollision Analytics' AS source, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dedup_pk" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_star_join_agg" ->
+      """SELECT r.r_name, n.n_name,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_running_window" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust,
+        |       round(sum(c.c_acctbal), 2) AS sum_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY r.r_name ASC NULLS FIRST, n.n_name ASC NULLS FIRST""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM x)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM y ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      (s"""WITH $duckShingles,
+         |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) /
+         |             CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN card ca ON ca.doc_id = id_a
+         |JOIN card cb ON cb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) /
+         |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin),
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "sim_pair_stats" ->
+      """WITH pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label)
+        |SELECT e.label, count(*) AS n_vecs,
+        |       round(avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        c.centroid)), 6) AS mean_cos_to_centroid
+        |FROM embeddings e JOIN cent c ON e.label = c.label
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |       CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+        |         AS n_alnum_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS nw,
+        |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |              AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct,
+        |         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS nsw,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS nalnum
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_text,
+        |       CAST(nw AS BIGINT) AS n_words,
+        |       round(punct, 6) AS punct_ratio,
+        |       round(nsw / greatest(nw, CAST(1.0 AS DOUBLE)), 6) AS stopword_ratio,
+        |       round(nalnum / greatest(nw, CAST(1.0 AS DOUBLE)), 6) AS mean_word_len,
+        |       round(least(CAST(1.0 AS DOUBLE),
+        |             least(nw / CAST(20.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) *
+        |             (CAST(1.0 AS DOUBLE) - punct) *
+        |             (CAST(0.5 AS DOUBLE) + nsw / greatest(nw, CAST(1.0 AS DOUBLE)))), 6)
+        |         AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(w, x -> x IN ('el','la','los','que','y'))) AS BIGINT) AS s_es
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_es,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |            WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')) - 2, 0)
+        |            AS BIGINT) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_payload_stats" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

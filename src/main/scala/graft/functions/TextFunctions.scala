@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis functions for a training-data pipeline, built entirely
+  * from codegen'd builtins (no UDFs) so they run inside whole-stage
+  * codegen over the corpus scan — at 100 TB these are the per-document
+  * map stage of the dedup/quality filters, and must not box.
+  *
+  * All ratio outputs are rounded at the edge (6dp) for stable
+  * cross-engine comparison; intermediate math stays full-precision.
+  */
+object TextFunctions {
+
+  /** Alphanumeric word tokens. */
+  def words(text: Column): Column = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  /** Whitespace-token count (split on single space, empties included —
+    * the cheap "token count" a tokenizer-budget estimator uses). */
+  def nWsTokens(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** Wordish-regex token count (BPE-ish lower bound). */
+  def nWords(text: Column): Column = size(words(text)).cast("long")
+
+  /** Total alphanumeric chars (for mean word length). */
+  def nAlnumChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long")
+
+  /** Punctuation ratio: fraction of chars that are not alnum/space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(text).cast("double")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword hits among word tokens. */
+  def nStopwords(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(words(lower(text)), w => array_contains(sw, w))).cast("long")
+  }
+
+  /** Per-document token counts (`text_tokens`). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        nWsTokens(col("text")).as("n_ws_tokens"),
+        nWords(col("text")).as("n_words"),
+        nAlnumChars(col("text")).as("n_alnum_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring (`text_quality`): length/punctuation/stopword
+    * heuristics, the standard cheap pre-filter before expensive dedup.
+    * score = min(1, n_words/20) * (1 - punct_ratio) * (0.5 + stop_ratio)
+    * capped at 1; all components exposed for downstream thresholds.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val nw = nWords(col("text"))
+    val punct = punctRatio(col("text"))
+    val stopR = nStopwords(col("text")).cast("double") /
+      greatest(nw.cast("double"), lit(1.0))
+    val meanLen = nAlnumChars(col("text")).cast("double") /
+      greatest(nw.cast("double"), lit(1.0))
+    d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        nw.as("n_words"),
+        round(punct, 6).as("punct_ratio"),
+        round(stopR, 6).as("stopword_ratio"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(least(lit(1.0),
+          least(nw.cast("double") / 20.0, lit(1.0)) * (lit(1.0) - punct) *
+            (lit(0.5) + stopR)), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID (`text_langid`): closed-form stopword-hit scoring —
+    * the n-gram-frequency heuristic reduced to marker-word hits so the
+    * exact same arithmetic is expressible in the oracle SQL. Argmax with
+    * a fixed precedence tie-break (en > de > es).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val sw = array(langMarkers(lang).map(lit): _*)
+    size(filter(words(lower(text)), w => array_contains(sw, w))).cast("long")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val (en, de, es) = (langScore(col("text"), "en"),
+      langScore(col("text"), "de"), langScore(col("text"), "es"))
+    d.select(col("doc_id"), en.as("s_en"), de.as("s_de"), es.as("s_es"),
+        when(en >= de && en >= es, "en")
+          .when(de >= es, "de").otherwise("es").as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting (`text_fingerprint`): md5 of the
+    * whitespace-normalized lowercased text (the exact-dedup key) plus
+    * the word-trigram shingle count the near-dup stage will explode.
+    */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp"),
+        greatest(nWords(col("text")) - 2, lit(0L)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: media payloads as opaque binary columns
+  * with a typed metadata struct, decoded per-partition in batches.
+  *
+  * The real decode libs (image/audio codecs) are not in this container,
+  * so `FakeDecoder` derives deterministic pseudo-metadata from the raw
+  * bytes — the Spark-side shape (binary column + struct schema +
+  * mapPartitions batching + partition sizing) is the real, tested part,
+  * and a production deployment swaps the `Decoder` only.
+  *
+  * Scale posture: payloads never pass through a shuffle — decode is a
+  * map stage pinned to the scan; only the small extracted-metadata
+  * frame moves on. Partition sizing for 100 TB of media comes from
+  * `spark.sql.files.maxPartitionBytes`, not row counts.
+  */
+final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+final case class DecodedMeta(
+    width: Int, height: Int, n_frames: Int, sample_rate: Int)
+
+trait Decoder extends Serializable {
+  def decode(kind: String, payload: Array[Byte]): DecodedMeta
+}
+
+/** Deterministic stand-in for the codec: metadata is a pure function of
+  * the payload bytes, so tests and reruns agree bit-for-bit.
+  */
+object FakeDecoder extends Decoder {
+  def decode(kind: String, payload: Array[Byte]): DecodedMeta = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xFF else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xFF else 0
+    kind match {
+      case "image" => DecodedMeta(16 + b0 % 64, 16 + b1 % 64, 1, 0)
+      case "audio" => DecodedMeta(0, 0, 0, 8000 + (b0 % 5) * 8000)
+      case _       => DecodedMeta(16 + b0 % 64, 16 + b1 % 64, 1 + b1 % 240, 0)
+    }
+  }
+}
+
+object Multimodal {
+
+  /** Build the media table from documents: payload = utf8 bytes of the
+    * text (deterministic, so md5/length are oracle-checkable in SQL),
+    * kind cycles by doc_id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"))
+
+  /** Payload statistics straight off the binary column — byte length and
+    * checksum, no decode needed (`mm_payload_stats`, oracle-checked).
+    */
+  def payloadStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("checksum"))
+      .orderBy(col("doc_id"))
+
+  /** Decode stage: per-partition batched decode of the payload column
+    * into the typed metadata struct. `mapPartitions` keeps one decoder
+    * instance per partition (codecs are expensive to init) and streams
+    * the iterator — no partition-wide materialization.
+    */
+  def decodeStats(spark: SparkSession, dir: String,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decoder.decode(r.kind, r.payload)
+        (r.doc_id, r.kind, r.payload.length.toLong, m)
+      }
+    }.toDF("doc_id", "kind", "n_bytes", "meta")
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"), col("meta.sample_rate").as("sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -61,7 +61,7 @@ object Analytics {
     val o = Tables.load(spark, dir, "orders")
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.withColumn("rk", row_number().over(w))
+    o.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rk"))

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.{SchemaAlign, Tables}
+
+/** The fusion-ETL operator family: the reference's table-level ETL verbs
+  * (/root/reference/etl_ecollision_fusion_table_collisions.py,
+  * create_view_vw_valid_collision_from_analytics_not_in_oracle.sql)
+  * re-expressed as distributed, single-shuffle Spark plans.
+  *
+  * Scale notes: the reference filters by materializing the valid-id list
+  * into driver memory and issuing `isin` (etl_…collisions.py:78-81) —
+  * here every membership test is a LEFT SEMI / LEFT ANTI join so the id
+  * set never leaves the executors; every "latest version wins" dedup is
+  * one window over the key, not a delete-then-insert round trip.
+  */
+object Fusion {
+
+  /** case_year = year(coalesce(occurrence, reported)) — the derived-date
+    * rule of etl_…collisions.py:23-30. The occurrence timestamp is
+    * nullable (open orders have not "occurred"); reported is the fallback.
+    */
+  def caseYear(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.withColumn("occurrence_ts",
+        when(col("o_orderstatus") === "O", lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")))
+      .select(col("o_orderkey"),
+        year(coalesce(col("occurrence_ts"), col("o_orderdate"))).cast("long").as("case_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CASE-flag derivation (create_view…oracle.sql:123-127): tag rows
+    * whose status is in the whitelist — pure map-side, no shuffle.
+    */
+  def caseFlag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_type").isin("purchase", "signup"), 1L).otherwise(0L)
+          .as("valid_flag"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rename + date-string + lineage literal (etl_…collisions.py:90-97:
+    * fatal_comment→fatal_comments, strftime('%Y-%m-%d'), SOURCE col).
+    */
+  def renameDerive(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(
+        col("o_orderkey"),
+        col("o_totalprice").as("total_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_datestring"),
+        lit("eCollision Oracle").as("source"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Keep rows whose key is in a filter set: LEFT SEMI join, the
+    * distributed replacement for the reference's collect()+isin
+    * (etl_…collisions.py:78-81). The filter side is aggregated to keys
+    * only before the join, so it broadcasts when small.
+    */
+  def semiJoinFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Rows in A with no match in B: LEFT ANTI join (the "analytics not in
+    * oracle" view, create_view…analytics_not_in_oracle.sql — its
+    * negative-id NOT IN becomes null-safe anti-join semantics).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Fuse two lineages into one frame: schema-aligned union-by-name with
+    * per-lineage `source` tags (create_empty_tables_for_ecollision_
+    * fusion.py:31-44's SOURCE column + the two ingestion flows). The
+    * lineages here carry different column subsets; unionByName null-fills.
+    */
+  def unionSources(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        lit("eCollision Oracle").as("source"))
+    val b = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        lit("eCollision Analytics").as("source"))
+    SchemaAlign.unionLineages(a, b)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** PK-keyed dedup keeping the latest version per key — the reference's
+    * delete-then-insert upsert loop (reference.py PK map +
+    * etl_…collisions.py:124-135) as one descending window. Deterministic
+    * tie-break on event_id.
+    */
+  def dedupLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic bounded sample per group — the reference's
+    * `sample_size=888` bounded ingest (ingest_ecollision_oracle_data
+    * .py:96) generalized to stratified: rank by key inside each group,
+    * keep the first n. Rank-bounded (not `.limit` on an unordered scan)
+    * so the same rows come back on every run and every cluster layout.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion-surface queries (§2.1): the reference's catalog-driven
+  * ingest verbs (/root/reference/ingest_ecollision_oracle_data.py,
+  * helper_db_operation.py:161-237) as declarative single-select plans.
+  * Each is a thin composition over TypePolicy / SchemaAlign so the whole
+  * projection stays inside the parquet scan's pruned read.
+  */
+object Ingest {
+
+  /** Typed read under the canonical TypePolicy: integral→long,
+    * float→double, lowercase names — the engine-side analog of the
+    * reference's NUMBER→NUMERIC / float→DOUBLE type-mapping dicts.
+    */
+  def schemaMappedRead(spark: SparkSession, dir: String): DataFrame =
+    TypePolicy.canonical(Tables.load(spark, dir, "customer"))
+      .orderBy(col("c_custkey"))
+
+  /** Bounded deterministic sample ingest (sample_size=888,
+    * ingest_ecollision_oracle_data.py:96): ORDER BY key LIMIT n compiles
+    * to TakeOrderedAndProject — a per-partition top-n plus one tiny
+    * merge, no global sort, stable under any partition layout.
+    */
+  def sampleIngest(spark: SparkSession, dir: String, n: Int = 888): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_orderkey"))
+      .limit(n)
+
+  /** Dynamic projection onto a target schema (etl_ecollision_fusion_
+    * table_collisions.py:117-121): intersect + cast + missing→null as
+    * one select.
+    */
+  val projectionTarget: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", LongType),
+    StructField("l_quantity", DoubleType),
+    StructField("load_note", StringType)))
+
+  def dynamicProjection(spark: SparkSession, dir: String): DataFrame =
+    SchemaAlign.project(Tables.load(spark, dir, "lineitem"), projectionTarget)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Lineage column (create_empty_tables_for_ecollision_fusion.py:32):
+    * every fused table carries its source tag.
+    */
+  def withSource(df: DataFrame, tag: String): DataFrame =
+    df.withColumn("source", lit(tag))
+
+  def lineageColumn(spark: SparkSession, dir: String): DataFrame =
+    withSource(Tables.load(spark, dir, "region"), "eCollision Oracle")
+      .orderBy(col("r_regionkey"))
+
+  /** Semi-structured property extraction: pull typed fields out of a
+    * JSON string column with an explicit schema (no schema inference
+    * pass — at 100 TB a second inference scan is a full extra read).
+    */
+  def jsonPropsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("prop_k"))
+      .orderBy(col("event_id"))
+}

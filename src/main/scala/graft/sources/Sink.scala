@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet sinks: the reference's delete-then-insert / create-or-append
+  * table writes (/root/reference/etl_ecollision_fusion_table_collisions
+  * .py:124-135, helper_db_operation.py drop/create paths) as atomic-ish
+  * distributed parquet writes.
+  *
+  * Scale posture: writes are partitioned-parallel (one file per task);
+  * upsert is one window over the key — never a per-row DELETE round
+  * trip; the staging-swap keeps readers from seeing a half-written
+  * overwrite of a table that feeds the same job.
+  */
+object Sink {
+
+  /** Overwrite the target (the delete-then-insert semantics), optionally
+    * hive-style partitioned for downstream partition pruning.
+    */
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Upsert: union existing rows with incoming, keep the latest version
+    * per key (version desc, deterministic tie-break on the key), write
+    * via staging + swap so the read of `path` and the overwrite of
+    * `path` never race inside one job.
+    */
+  def dedupUpsert(spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (fs.exists(target))
+        SchemaAlign.unionLineages(spark.read.parquet(path), incoming)
+      else incoming
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: keys.map(col(_).desc): _*)
+    val dedup = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val staging = new Path(path + "__staging")
+    dedup.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * Each transform takes a frame (streaming or batch — the logical plan
+  * is the same; only the sink differs), so the batch twins in
+  * `operators.Analytics` and these streaming versions share semantics
+  * and the ScalaTest specs drive them through MemoryStream.
+  *
+  * Scale posture: all stateful ops are keyed (state partitions by
+  * user/window key across executors), watermarks bound state size, and
+  * output modes are append/update — no unbounded complete-mode sinks.
+  */
+object EventStream {
+
+  /** Tumbling-window counts with a watermark: late events beyond the
+    * watermark are dropped and window state is reclaimed.
+    */
+  def tumblingCounts(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window counts (1h window every 15min). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Built-in session windows: gap-based, watermark-bounded — the
+    * declarative twin of `Analytics.sessionize`.
+    */
+  def sessionWindowCounts(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * session when a gap closes it or the event-time timeout fires.
+    * Demonstrates arbitrary keyed state where session_window's
+    * fixed semantics don't fit (e.g. value-dependent gaps).
+    */
+  def sessionizeStateful(events: Dataset[Ev],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def finish(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.sum)
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(finish(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += finish(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

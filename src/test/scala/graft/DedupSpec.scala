@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Crafted corpus: docs 1/2 identical, doc 3 a near-dup of 1 (one word
+  // changed), doc 4 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (4L, "completely different content about spark shuffles and parquet footers here")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct word trigrams") {
+    val sh = Dedup.shingles(docs).filter(col("doc_id") === 1L)
+      .select("shingle").as[String].collect()
+    assert(sh.contains("the quick brown"))
+    assert(sh.length == sh.distinct.length)
+  }
+
+  test("shingles is empty for docs shorter than n words") {
+    val tiny = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.shingles(tiny).count() == 0)
+  }
+
+  test("exact dedup groups identical docs on sf data") {
+    val e = Dedup.exact(spark, sf)
+    assert(e.agg(sum("n_dups")).as[Long].head() ==
+      graft.sources.Tables.load(spark, sf, "documents").count())
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash LSH surfaces the identical and near-dup pairs") {
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(sigs.count() == 4)
+    // identical docs → identical signatures in every component
+    val s12 = sigs.filter(col("doc_id").isin(1L, 2L)).drop("doc_id").collect()
+    assert(s12(0).toSeq == s12(1).toSeq)
+  }
+
+  test("simhash of identical docs matches; near-dups are hamming-close") {
+    val sigs = Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)))
+  }
+
+  test("embeddingPairs only pairs within a label block") {
+    val p = Dedup.embeddingPairs(spark, sf, threshold = 0.0)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val bad = pairsOf(p).filter { case (a, b) => emb(a) != emb(b) }
+    assert(bad.isEmpty)
+  }
+}

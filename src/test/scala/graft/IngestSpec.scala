@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Ingest, SchemaAlign, TypePolicy}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonical TypePolicy widens ints and floats") {
+    val df = Seq((1, 2.0f, "x")).toDF("I", "F", "S")
+    val out = TypePolicy.canonical(df)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("i", LongType), ("f", DoubleType), ("s", StringType)))
+  }
+
+  test("SchemaAlign.project casts, null-fills, drops, and reorders") {
+    val df = Seq((1, "x", 9.9)).toDF("a", "b", "extra")
+    val target = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType),
+      StructField("missing", DoubleType)))
+    val out = SchemaAlign.project(df, target)
+    assert(out.columns.toSeq == Seq("b", "a", "missing"))
+    assert(out.schema("a").dataType == LongType)
+    val r = out.head()
+    assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.isNullAt(2))
+  }
+
+  test("sampleIngest is deterministic and bounded") {
+    val a = Ingest.sampleIngest(spark, sf, n = 100)
+      .select("o_orderkey").as[Long].collect().toSeq
+    val b = Ingest.sampleIngest(spark, sf, n = 100)
+      .select("o_orderkey").as[Long].collect().toSeq
+    assert(a == b && a.length == 100 && a == a.sorted)
+  }
+
+  test("jsonPropsExtract pulls typed values without inference") {
+    val out = Ingest.jsonPropsExtract(spark, sf)
+    assert(out.schema("prop_k").dataType == LongType)
+    assert(out.filter(col("prop_k").isNull).count() == 0)
+  }
+
+  test("dynamicProjection matches the declared target schema") {
+    val out = Ingest.dynamicProjection(spark, sf)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Ingest.projectionTarget.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+}

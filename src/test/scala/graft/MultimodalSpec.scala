@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.{FakeDecoder, Multimodal}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload bytes round-trip the document text deterministically") {
+    val a = Multimodal.payloadStats(spark, sf).select("doc_id", "checksum")
+      .as[(Long, String)].collect().toMap
+    val b = Multimodal.payloadStats(spark, sf).select("doc_id", "checksum")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    // checksum equals md5 of the text column
+    val direct = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .as[(Long, String)].collect().toMap
+    assert(a == direct)
+  }
+
+  test("kind assignment covers all three modalities") {
+    val kinds = Multimodal.mediaTable(spark, sf)
+      .select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("decodeStats emits the typed metadata schema and is deterministic") {
+    val d = Multimodal.decodeStats(spark, sf)
+    assert(d.columns.toSeq ==
+      Seq("doc_id", "kind", "n_bytes", "width", "height", "n_frames", "sample_rate"))
+    val images = d.filter(col("kind") === "image")
+    assert(images.filter(col("width") < 16 || col("width") >= 80).count() == 0)
+    assert(images.filter(col("n_frames") =!= 1).count() == 0)
+    val audio = d.filter(col("kind") === "audio")
+    assert(audio.filter(col("sample_rate") < 8000).count() == 0)
+    val twice = Multimodal.decodeStats(spark, sf).collect().toSeq
+    assert(twice == d.collect().toSeq)
+  }
+
+  test("FakeDecoder is a pure function of bytes") {
+    val m1 = FakeDecoder.decode("image", Array[Byte](10, 20, 30))
+    val m2 = FakeDecoder.decode("image", Array[Byte](10, 20, 30))
+    assert(m1 == m2)
+    assert(FakeDecoder.decode("audio", Array[Byte](3)).sample_rate == 8000 + 3 * 8000 % 40000)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteforceTopK returns k ranked neighbors per query") {
+    val t = Similarity.bruteforceTopK(spark, sf, k = 5)
+    val counts = t.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == Similarity.NumQueries)
+    assert(counts.values.forall(_ == 5L))
+    // ranks are 1..5 and cosine non-increasing within a query
+    val rows = t.filter(col("q_id") === 0L).orderBy("rk")
+      .select("rk", "cos").as[(Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
+  test("centroids are per-label element-wise means") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val c = Similarity.centroids(emb)
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val lens = c.select(size(col("centroid"))).as[Int].collect()
+    assert(lens.forall(_ == dim))
+    // spot-check one (label, pos) mean
+    val l0 = c.filter(col("label") === 0)
+      .select(element_at(col("centroid"), 1)).as[Double].head()
+    val manual = emb.filter(col("label") === 0)
+      .select(avg(element_at(col("embedding"), 1))).as[Double].head()
+    assert(math.abs(l0 - manual) < 1e-9)
+  }
+
+  test("ivfTopK returns ranked results from probed cells only") {
+    // The synthetic labels are weak quantizer cells (intra-label cosine
+    // ≈ 0), so recall vs brute force is bounded by nprobe/ncells — the
+    // contract tested here is the probe-then-rank plumbing, not the
+    // cluster quality of the data.
+    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nprobe = 3)
+    val counts = ivf.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == Similarity.NumQueries)
+    assert(counts.values.forall(_ == 5L))
+    val bf = Similarity.bruteforceTopK(spark, sf, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(
+      ivf.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    ).size.toDouble / bf.size
+    assert(recall > 0.0, s"recall $recall")
+  }
+
+  test("pairStats covers every label") {
+    val s = Similarity.pairStats(spark, sf)
+    assert(s.count() == 10)
+    assert(s.filter(col("mean_cos_to_centroid") > 1.0).count() == 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sink
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  test("overwrite replaces previous contents") {
+    val p = tmpDir()
+    Sink.overwrite(Seq((1L, "a")).toDF("k", "v"), p)
+    Sink.overwrite(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), p)
+    assert(spark.read.parquet(p).count() == 2)
+  }
+
+  test("partitioned overwrite lays out hive-style dirs") {
+    val p = tmpDir()
+    Sink.overwrite(Seq((1L, "x", "2024"), (2L, "y", "2025")).toDF("k", "v", "yr"),
+      p, partitionBy = Seq("yr"))
+    val sub = new java.io.File(p).listFiles().map(_.getName).filter(_.startsWith("yr="))
+    assert(sub.toSet == Set("yr=2024", "yr=2025"))
+    // partition filter prunes to one directory
+    assert(spark.read.parquet(p).filter(col("yr") === "2024").count() == 1)
+  }
+
+  test("append accumulates") {
+    val p = tmpDir()
+    Sink.append(Seq((1L, "a")).toDF("k", "v"), p)
+    Sink.append(Seq((2L, "b")).toDF("k", "v"), p)
+    assert(spark.read.parquet(p).count() == 2)
+  }
+
+  test("dedupUpsert keeps the latest version per key across writes") {
+    val p = tmpDir()
+    Sink.dedupUpsert(spark, p,
+      Seq((1L, 1L, "old"), (2L, 1L, "two")).toDF("k", "ver", "v"),
+      keys = Seq("k"), versionCol = "ver")
+    Sink.dedupUpsert(spark, p,
+      Seq((1L, 2L, "new"), (3L, 1L, "three")).toDF("k", "ver", "v"),
+      keys = Seq("k"), versionCol = "ver")
+    val out = spark.read.parquet(p).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 2L, "new"), (2L, 1L, "two"), (3L, 1L, "three")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts with watermark via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData((ts("2024-01-01 15:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT bucket, event_type, n, sum_value FROM tumbling_test ORDER BY bucket")
+        .collect()
+      val clicks10 = rows.find(r => r.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(clicks10.isDefined && clicks10.get.getLong(2) == 2L &&
+        clicks10.get.getDouble(3) == 3.0)
+      val views11 = rows.find(r => r.getTimestamp(0) == ts("2024-01-01 11:00:00"))
+      assert(views11.isDefined && views11.get.getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap,
+      // then another event (second session).
+      input.addData(
+        EventStream.Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStream.Ev(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Ev(1L, ts("2024-01-01 12:10:00"), 5.0))
+      q.processAllAvailable()
+      // push watermark forward so the open session times out and flushes
+      input.addData(EventStream.Ev(99L, ts("2024-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Ev(98L, ts("2024-01-02 08:00:00"), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.sql(
+        "SELECT user_id, session_start, n_events, sum_value FROM session_test " +
+        "WHERE user_id = 1 ORDER BY session_start").collect()
+      assert(sessions.length == 2, s"got ${sessions.mkString(";")}")
+      assert(sessions(0).getInt(2) == 2 && sessions(0).getDouble(3) == 3.0)
+      assert(sessions(1).getInt(2) == 1 && sessions(1).getDouble(3) == 5.0)
+    } finally q.stop()
+  }
+
+  test("session_window builtin aggregates on batch frames") {
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 12:10:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val s = EventStream.sessionWindowCounts(batch).collect()
+    assert(s.length == 2)
+  }
+}
