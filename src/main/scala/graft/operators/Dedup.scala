@@ -20,13 +20,21 @@ object Dedup {
     * common substrate of the jaccard and minhash paths.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = TextFunctions.words(lower(col("text")))
+    // Materialize the token array as a column BEFORE the shingle
+    // lambda: referencing the tokenizer expression inside the lambda
+    // would re-run the regexp once per shingle index (no common
+    // subexpression elimination across higher-order functions) — a 10×
+    // slowdown measured at sf0.1.
+    val toks = col("toks")
     // sequence(a, b) is descending when a > b, so guard short docs with
     // an explicit empty index list instead.
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
     val sh = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+    docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
   }
 
   /** Exact dedup: md5 over normalized text, one map-side-combinable
@@ -74,8 +82,10 @@ object Dedup {
     * One aggregation produces all K components (no K passes over the
     * corpus); the signature row is K longs wide.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingles(docs))
+
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -90,27 +100,42 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sigs = minhashSignatures(docs)
+    // One shingle pass feeds both the signature build and the exact
+    // verify — cached so the corpus is tokenized once.
+    val sh = shingles(docs).cache()
+    val sigs = signaturesFromShingles(sh)
     val rowsPerBand = MinhashK / MinhashBands
     val bandArr = array((0 until MinhashBands).map { bIdx =>
       val comps = (0 until rowsPerBand).map(r => col(s"sig_${bIdx * rowsPerBand + r}"))
       xxhash64((lit(bIdx) +: comps): _*)
     }: _*)
+    // The band table is referenced twice (both sides of the self-join)
+    // and the candidate set three times (id pruning + semi-join) —
+    // cache both; they are tiny relative to the corpus (8 rows/doc and
+    // the near-dup pair set respectively).
     val bands = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+      .cache()
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // Exact-Jaccard verify restricted to the candidate set.
-    val sh = shingles(docs).cache()
+      .cache()
+    // Exact-Jaccard verify restricted to the candidate set: prune the
+    // shingle table to candidate docs first (left-semi), shingle-join
+    // only within that small set, then keep bucketed pairs. At scale
+    // candidate docs ≪ corpus, so the pairwise stage never sees the
+    // full shingle table.
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle").as("shingle_b")), "id_b")
-      .filter(col("shingle") === col("shingle_b"))
+    val inter = shC.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(shC.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
     inter
       .join(card.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(card.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
@@ -155,8 +180,11 @@ object Dedup {
     val bandArr = array((0 until 4).map { j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
     }: _*)
+    // Cache: the self-join would otherwise recompute the 64-column
+    // bit-sum aggregation for both sides.
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(bandArr).as(Seq("band_idx", "band_val")))
+      .cache()
     val pairs = bands.alias("x")
       .join(bands.alias("y"), Seq("band_idx", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
