@@ -27,6 +27,9 @@ object GraftSession {
       // reader refuses; read as epoch-nanos long, Tables.load converts
       // to timestamp_ntz (microsecond floor, same as DuckDB's reader).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Managed (bucketed) tables land outside the repo checkout.
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Dedup, Fusion, Similarity, Validity}
+import graft.operators.{Analytics, Dedup, Fusion, Similarity, Temporal, Validity}
 import graft.sources.Ingest
 
 /** Driver contract: every operator in SURVEY.md §2, one `queries` entry
@@ -49,6 +49,10 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
+    "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
+    "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
+    "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
+    "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
     // §2.4 dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -268,6 +272,38 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_median" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
+    "q_range_join" ->
+      (s"""WITH ranges(wk_bucket, start_ts, end_ts) AS (VALUES ${
+        Temporal.weekRanges.map { case (w, s, e) =>
+          s"($w, TIMESTAMP '$s', TIMESTAMP '$e')"
+        }.mkString(", ")})
+         |SELECT r.wk_bucket, count(*) AS n_events,
+         |       round(sum(e.value), 2) AS sum_value
+         |FROM events e JOIN ranges r
+         |  ON e.ts >= r.start_ts AND e.ts < r.end_ts
+         |GROUP BY r.wk_bucket ORDER BY r.wk_bucket""".stripMargin),
+    "q_salted_join_agg" ->
+      """SELECT o.o_orderpriority,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -130,6 +130,20 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exact median (linear-interpolated percentile) per group. At scale
+    * the one-pass mergeable alternative is `percentile_approx`; the
+    * exact variant buffers per-group values and is the cross-engine-
+    * checkable baseline.
+    */
+  def medianPricePerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Gap-based sessionization in batch: a session break is a >30min gap
     * since the previous event of the same user; session id = running
     * count of breaks. lag + cumsum over one (user, time) window — the

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal join operators Spark has no single built-in for: as-of
+  * joins and range joins.
+  *
+  * The as-of join generalizes the reference's "latest status at-or-
+  * before the cutoff" (create_view_vw_valid_collision_from_oracle.sql:
+  * 59-107): instead of three ROW_NUMBER passes over a pair join, both
+  * sides are unioned into one keyed stream and a single running
+  * `last(ignoreNulls)` window carries the most recent right-side row
+  * forward — ONE shuffle on the key, no pairwise blowup, linear in
+  * |left|+|right| at any scale.
+  */
+object Temporal {
+
+  /** Generic as-of join: for every left row, attach the latest right
+    * row with the same key whose timestamp is <= the left timestamp.
+    * `payload` columns are carried from the right side (prefixed
+    * `asof_`). Right rows sort before left rows on timestamp ties, so
+    * an exactly-simultaneous right row matches (inclusive as-of).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTs)).withColumn("__is_l", lit(1))
+    val rTagged = right
+      .select((key +: rightTs +: payload).map(col): _*)
+      .withColumnsRenamed(payload.map(p => p -> s"asof_$p").toMap)
+      .withColumn("__t", col(rightTs)).withColumn("__is_l", lit(0))
+      .drop(rightTs)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(
+      lTagged.unionByName(rTagged, allowMissingColumns = true)) {
+      case (df, p) =>
+        df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_l") === 1).drop("__t", "__is_l")
+  }
+
+  /** `q_asof_join` surface: each purchase event joined to the user's
+    * latest prior (or simultaneous) click.
+    */
+  def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+    asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_event_id", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_event_id").as("click_event_id"),
+        col("asof_click_ts").as("click_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Inline interval calendar for the range join (wk → [start, end)). */
+  val weekRanges: Seq[(Int, String, String)] = Seq(
+    (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    (2, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    (3, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    (4, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+    (5, "2024-01-29 00:00:00", "2024-02-05 00:00:00"),
+    (6, "2024-02-05 00:00:00", "2024-02-12 00:00:00"),
+    (7, "2024-02-12 00:00:00", "2024-02-19 00:00:00"),
+    (8, "2024-02-19 00:00:00", "2024-02-26 00:00:00"))
+
+  /** `q_range_join` surface: assign events to calendar intervals via a
+    * non-equi join against the BROADCAST range table, then count per
+    * interval. The fact side is scanned once; a small range table makes
+    * the nested-loop probe O(|events| × |ranges|) with |ranges| tiny —
+    * the right shape whenever the interval table fits in memory.
+    */
+  def eventsByRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = weekRanges.toDF("wk_bucket", "start_s", "end_s")
+      .select(col("wk_bucket"),
+        to_timestamp_ntz(col("start_s")).as("start_ts"),
+        to_timestamp_ntz(col("end_s")).as("end_ts"))
+    val e = Tables.load(spark, dir, "events")
+    e.join(broadcast(ranges),
+        col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("wk_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("wk_bucket"))
+  }
+
+  /** `q_salted_join_agg` surface: fact⋈fact join with the join key
+    * SALTED to split hot keys across `nSalt` sub-partitions — the
+    * standard skew mitigation when one key dominates a shuffle
+    * partition. The salt is derived from a per-row column (line
+    * number), the dimension side is exploded across all salt values,
+    * and the final aggregate provably equals the unsalted join (the
+    * oracle runs the plain join).
+    */
+  def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 8): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("__salt", pmod(col("l_linenumber"), lit(nSalt)))
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("__salt", explode(array((0 until nSalt).map(lit): _*)))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("__salt") === o("__salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+}

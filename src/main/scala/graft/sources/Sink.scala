@@ -28,6 +28,19 @@ object Sink {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Bucketed managed table: co-locates rows by join key at write time
+    * so later equi-joins/aggregations on that key need NO shuffle —
+    * both sides arrive hash-partitioned from disk. This is the
+    * write-side half of the 100 TB join strategy: pay one shuffle at
+    * ingest, never again.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 16, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).format("parquet").saveAsTable(table)
+  }
+
   /** Upsert: union existing rows with incoming, keep the latest version
     * per key (version desc, deterministic tie-break on the key), write
     * via staging + swap so the read of `path` and the overwrite of

@@ -53,6 +53,18 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeats of a key seen within the
+    * watermark horizon — the streaming twin of `Dedup.exact` /
+    * `Fusion.dedupLatestPerKey`, with state bounded by the watermark
+    * (old keys are evicted once the watermark passes them).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("dedup_key"),
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

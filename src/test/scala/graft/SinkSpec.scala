@@ -35,6 +35,23 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 2)
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import graft.sources.Tables
+    Sink.writeBucketed(Tables.load(spark, sf, "lineitem"), "li_b", "l_orderkey", 4)
+    Sink.writeBucketed(Tables.load(spark, sf, "orders"), "o_b", "o_orderkey", 4)
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    // the aggregate still shuffles on o_orderpriority; the join keys
+    // must not (bucket layout satisfies the join's distribution)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(l_orderkey") &&
+      !plan.contains("hashpartitioning(o_orderkey"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
   test("dedupUpsert keeps the latest version per key across writes") {
     val p = tmpDir()
     Sink.dedupUpsert(spark, p,

@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups a keyed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val events = input.toDF().toDF("dedup_key", "ts")
+    val q = EventStream.dedupWithinWatermark(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("a", ts("2024-01-01 10:00:00")),
+        ("a", ts("2024-01-01 10:05:00")), ("b", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT dedup_key FROM dedup_test")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("session_window builtin aggregates on batch frames") {
     val batch = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
