@@ -8,6 +8,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q_star_join_agg", "q_valid_entities",
     "q_topn_per_group", "q_sessionize", "q_tumbling_window",
+    "q_asof_join", "q_salted_join_agg",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "sim_bruteforce_topk", "text_quality", "mm_payload_stats")
 

@@ -57,21 +57,27 @@ object TextFunctions {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val nw = nWords(col("text"))
-    val punct = punctRatio(col("text"))
-    val stopR = nStopwords(col("text")).cast("double") /
-      greatest(nw.cast("double"), lit(1.0))
-    val meanLen = nAlnumChars(col("text")).cast("double") /
-      greatest(nw.cast("double"), lit(1.0))
-    d.select(col("doc_id"),
+    // Tokenize ONCE into intermediate columns; repeating the regexp
+    // expression per derived metric would re-run it per output column
+    // (see the shingle-lambda note in Dedup.shingles).
+    val sw = array(stopwords.map(lit): _*)
+    val base = d.select(col("doc_id"), col("text"),
+      nWords(col("text")).as("nw"),
+      nAlnumChars(col("text")).as("nalnum"),
+      size(filter(words(lower(col("text"))), w => array_contains(sw, w)))
+        .cast("long").as("nsw"),
+      punctRatio(col("text")).as("punct"))
+    val nwD = greatest(col("nw").cast("double"), lit(1.0))
+    val stopR = col("nsw").cast("double") / nwD
+    base.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_text"),
-        nw.as("n_words"),
-        round(punct, 6).as("punct_ratio"),
+        col("nw").as("n_words"),
+        round(col("punct"), 6).as("punct_ratio"),
         round(stopR, 6).as("stopword_ratio"),
-        round(meanLen, 6).as("mean_word_len"),
+        round(col("nalnum").cast("double") / nwD, 6).as("mean_word_len"),
         round(least(lit(1.0),
-          least(nw.cast("double") / 20.0, lit(1.0)) * (lit(1.0) - punct) *
-            (lit(0.5) + stopR)), 6).as("quality"))
+          least(col("nw").cast("double") / 20.0, lit(1.0)) *
+            (lit(1.0) - col("punct")) * (lit(0.5) + stopR)), 6).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -92,11 +98,17 @@ object TextFunctions {
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val (en, de, es) = (langScore(col("text"), "en"),
-      langScore(col("text"), "de"), langScore(col("text"), "es"))
-    d.select(col("doc_id"), en.as("s_en"), de.as("s_de"), es.as("s_es"),
-        when(en >= de && en >= es, "en")
-          .when(de >= es, "de").otherwise("es").as("lang_guess"))
+    // One tokenize pass; each language scores the materialized array.
+    def score(lang: String): Column = {
+      val sw = array(langMarkers(lang).map(lit): _*)
+      size(filter(col("toks"), w => array_contains(sw, w))).cast("long")
+    }
+    d.select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), score("en").as("s_en"),
+        score("de").as("s_de"), score("es").as("s_es"))
+      .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de").otherwise("es").as("lang_guess"))
       .orderBy(col("doc_id"))
   }
 
