@@ -62,6 +62,7 @@ object SparkEntry {
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansTopK(s, d)),
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),

@@ -81,6 +81,46 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF with a REAL coarse quantizer: k-means over the corpus builds
+    * `nCells` centroids (the index build), every vector is assigned to
+    * its nearest cell, and queries probe only their `nprobe` closest
+    * cells. The model's centers are driver-side by design — an IVF
+    * codebook is tiny and ships with the query, exactly like a
+    * broadcast dimension. Approximate → rows-only check.
+    */
+  def ivfKMeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      nprobe: Int = 4, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val cent = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probed = q.join(broadcast(cent))
+      .withColumn("cell_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .filter(col("cell_rk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Cluster statistics: members per label + mean cosine of members to
     * their label centroid — the cluster-cohesion diagnostic an IVF
     * index build emits.

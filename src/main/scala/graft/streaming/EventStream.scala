@@ -53,6 +53,22 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases enriched with same-user
+    * clicks from the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can evict
+    * join state — the streaming twin of `Temporal.purchaseAsOfClick`
+    * (all candidates in the window rather than just the latest).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p.join(c,
+        expr("p.user_id = c.user_id AND " +
+          "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"))
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop repeats of a key seen within the
     * watermark horizon — the streaming twin of `Dedup.exact` /
     * `Fusion.dedupLatestPerKey`, with state bounded by the watermark

@@ -49,6 +49,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"recall $recall")
   }
 
+  test("ivfKMeansTopK builds a quantizer and returns ranked results") {
+    val ivf = Similarity.ivfKMeansTopK(spark, sf, k = 5, nprobe = 4)
+    val counts = ivf.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == Similarity.NumQueries)
+    assert(counts.values.forall(_ == 5L))
+    val bf = Similarity.bruteforceTopK(spark, sf, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(
+      ivf.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    ).size.toDouble / bf.size
+    assert(recall > 0.0, s"recall $recall")
+  }
+
   test("pairStats covers every label") {
     val s = Similarity.pairStats(spark, sf)
     assert(s.count() == 10)

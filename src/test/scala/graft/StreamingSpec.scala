@@ -86,6 +86,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Double)]
+    val cIn = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pIn.toDF().toDF("user_id", "ts", "value")
+    val clicks = cIn.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.purchaseClickJoin(purchases, clicks)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cIn.addData(
+        (1L, ts("2024-01-01 09:30:00"), 0.0), // in window of the purchase
+        (1L, ts("2024-01-01 07:00:00"), 0.0), // too old
+        (2L, ts("2024-01-01 09:45:00"), 0.0)) // wrong user
+      pIn.addData((1L, ts("2024-01-01 10:00:00"), 42.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, click_ts FROM ssjoin_test").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 1L &&
+        rows(0).getTimestamp(1) == ts("2024-01-01 09:30:00"))
+    } finally q.stop()
+  }
+
   test("session_window builtin aggregates on batch frames") {
     val batch = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
