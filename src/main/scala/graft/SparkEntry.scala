@@ -31,6 +31,7 @@ object SparkEntry {
     "q_cutoff_lookup_join" -> ((s, d) => Validity.cutoffAssignments(s, d)),
     "q_latest_at_cutoff" -> ((s, d) => Validity.statusAtCutoffQuery(s, d)),
     "q_valid_entities" -> ((s, d) => Validity.validUsersFromDir(s, d)),
+    "q_valid_entities_sql" -> ((s, d) => graft.sql.GraftSql.validUsers(s, d)),
     "q_semi_join_filter" -> ((s, d) => Fusion.semiJoinFilter(s, d)),
     "q_anti_join" -> ((s, d) => Fusion.antiJoin(s, d)),
     "q_case_flag" -> ((s, d) => Fusion.caseFlag(s, d)),
@@ -151,6 +152,12 @@ object SparkEntry {
         "SELECT user_id, wk, cutoff_ts, last_type, last_ts, last_event_id " +
         "FROM latest ORDER BY user_id"),
     "q_valid_entities" ->
+      (validityCtes +
+        """SELECT l.user_id, c.c_name
+          |FROM latest l LEFT JOIN customer c ON l.user_id = c.c_custkey
+          |WHERE l.last_type IN ('purchase', 'signup') AND c.c_name IS NOT NULL
+          |ORDER BY c.c_name DESC, l.user_id""".stripMargin),
+    "q_valid_entities_sql" ->
       (validityCtes +
         """SELECT l.user_id, c.c_name
           |FROM latest l LEFT JOIN customer c ON l.user_id = c.c_custkey

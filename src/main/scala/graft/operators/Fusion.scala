@@ -118,6 +118,43 @@ object Fusion {
       .orderBy(col("user_id"))
   }
 
+  /** The complete fusion ETL, end to end — the one-call equivalent of
+    * the reference's main flow (etl_ecollision_fusion_table_collisions
+    * .py:55-135): compute the valid-entity set, semi-join the entity
+    * table down to it, derive case_year / date-string / renamed
+    * columns, tag the lineage, project onto the target schema, and
+    * overwrite the sink. Everything stays distributed; the valid-id
+    * set never reaches the driver.
+    */
+  val fusionTargetSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("case_year",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("order_datestring",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+
+  def runFusionEtl(spark: SparkSession, dir: String, outPath: String): Long = {
+    val valid = graft.operators.Validity.validUsersFromDir(spark, dir)
+      .select(col("user_id"))
+    val o = Tables.load(spark, dir, "orders")
+    val filtered = o.join(valid, o("o_custkey") === valid("user_id"), "left_semi")
+    val derived = filtered.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("case_year"),
+      col("o_totalprice").as("total_price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_datestring"),
+      lit("eCollision Oracle").as("source"))
+    val projected = SchemaAlign.project(derived, fusionTargetSchema)
+    graft.sources.Sink.overwrite(projected, outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** Deterministic bounded sample per group — the reference's
     * `sample_size=888` bounded ingest (ingest_ecollision_oracle_data
     * .py:96) generalized to stratified: rank by key inside each group,

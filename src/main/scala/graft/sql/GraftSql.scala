@@ -1,0 +1,56 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** SQL-first surface: the reference's analytical heart is a SQL view
+  * (/root/reference/create_view_vw_valid_collision_from_oracle.sql);
+  * a user migrating from it writes SQL, not Scala. This object
+  * registers the engine tables as temp views and exposes the validity
+  * chain as ONE Spark SQL statement — same semantics, same oracle, as
+  * the DataFrame implementation in operators.Validity.
+  */
+object GraftSql {
+
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  private val cutoffRows =
+    graft.operators.Validity.cutoffs
+      .map { case (w, t) => s"($w, TIMESTAMP_NTZ '$t')" }.mkString(", ")
+
+  /** The validity view as executable Spark SQL (CTE chain mirroring the
+    * reference's view text, minus its redundant re-ranking passes).
+    */
+  val validUsersViewSql: String =
+    s"""WITH fe AS (
+       |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+       |fw AS (
+       |  SELECT user_id, first_ts,
+       |         CAST(ceil(day(first_ts) / 7.0D) AS INT) AS wk
+       |  FROM fe),
+       |cut AS (
+       |  SELECT * FROM VALUES $cutoffRows AS t(wk, cutoff_ts)),
+       |assigned AS (
+       |  SELECT fw.user_id, fw.wk, fw.first_ts, cut.cutoff_ts
+       |  FROM fw JOIN cut ON fw.wk = cut.wk),
+       |ranked AS (
+       |  SELECT e.user_id, e.event_type, e.ts, e.event_id,
+       |         row_number() OVER (PARTITION BY e.user_id
+       |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+       |  FROM events e JOIN assigned a ON e.user_id = a.user_id
+       |  WHERE e.ts <= a.cutoff_ts)
+       |SELECT r.user_id, c.c_name
+       |FROM ranked r LEFT JOIN customer c ON r.user_id = c.c_custkey
+       |WHERE r.rn = 1 AND r.event_type IN ('purchase', 'signup')
+       |  AND c.c_name IS NOT NULL
+       |ORDER BY c.c_name DESC, r.user_id""".stripMargin
+
+  /** `q_valid_entities_sql` surface. */
+  def validUsers(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(validUsersViewSql)
+  }
+}

@@ -46,6 +46,30 @@ class FusionSpec extends SparkSpec {
       .filter(col("count") > 3).count() == 0)
   }
 
+  test("runFusionEtl writes the filtered, derived, projected table") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fusion")
+      .resolve("fusion_orders").toString
+    val n = Fusion.runFusionEtl(spark, sf, out)
+    val written = spark.read.parquet(out)
+    assert(written.columns.toSeq ==
+      Seq("o_orderkey", "case_year", "total_price", "order_datestring", "source"))
+    // row count equals orders semi-joined to the valid-user set
+    val valid = graft.operators.Validity.validUsersFromDir(spark, sf)
+      .select("user_id").as[Long].collect().toSet
+    val expect = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(col("o_custkey").isin(valid.toSeq: _*)).count()
+    assert(n == expect && n > 0)
+    assert(written.filter(col("source") =!= "eCollision Oracle").count() == 0)
+  }
+
+  test("SQL surface of the validity view matches the DataFrame chain") {
+    val sqlRows = graft.sql.GraftSql.validUsers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dfRows = graft.operators.Validity.validUsersFromDir(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(sqlRows == dfRows)
+  }
+
   test("unionLineages aligns differing schemas") {
     val a = Seq((1L, "x")).toDF("id", "a_only")
     val b = Seq((2L, 3.0)).toDF("id", "b_only")
