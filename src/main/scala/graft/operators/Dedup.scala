@@ -53,10 +53,28 @@ object Dedup {
     * counted per pair, union from per-doc cardinalities. One shuffle on
     * shingle, one on the pair key.
     */
+  /** Optional hot-shingle guard: drop shingles present in more than
+    * `maxDf` documents before the pairwise join. Ubiquitous shingles
+    * carry no near-dup signal but dominate the self-join cost
+    * (sum of per-shingle count² — quadratic in the hottest key). At
+    * web-corpus scale this bound is what keeps the join linear; None
+    * keeps exact semantics for the oracle comparison.
+    */
+  def boundedShingles(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
+    val sh = shingles(docs)
+    maxDf.fold(sh) { df =>
+      val hot = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > df)
+        .select(col("shingle"))
+      sh.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxDf: Option[Int] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs).cache()
+    val sh = boundedShingles(docs, maxDf).cache()
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))

@@ -52,6 +52,16 @@ class DedupSpec extends SparkSpec {
       java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)))
   }
 
+  test("boundedShingles drops only shingles above the document-frequency cap") {
+    val sfDocs = graft.sources.Tables.load(spark, sf, "documents")
+    val all = Dedup.boundedShingles(sfDocs, None)
+    val capped = Dedup.boundedShingles(sfDocs, Some(2))
+    assert(capped.count() < all.count())
+    // every surviving shingle appears in at most 2 docs
+    val over = capped.groupBy("shingle").count().filter(col("count") > 2).count()
+    assert(over == 0)
+  }
+
   test("embeddingPairs only pairs within a label block") {
     val p = Dedup.embeddingPairs(spark, sf, threshold = 0.0)
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
