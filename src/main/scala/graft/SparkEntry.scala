@@ -354,6 +354,56 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |      FROM embeddings WHERE vec_id < 8),
+        |cellrank AS (
+        |  SELECT q.q_id, q.q_emb, c.label,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                           c.centroid) DESC,
+        |                    c.label) AS cell_rk
+        |  FROM q CROSS JOIN cent c),
+        |probed AS (SELECT q_id, q_emb, label FROM cellrank WHERE cell_rk <= 2),
+        |s AS (SELECT p.q_id, e.vec_id,
+        |             list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM probed p JOIN embeddings e ON e.label = p.label
+        |      WHERE e.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "mm_decode_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         ascii(text) AS b0, ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents)
+        |SELECT doc_id, kind, n_bytes,
+        |       CAST(CASE WHEN kind = 'audio' THEN 0
+        |                 ELSE 16 + b0 % 64 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN kind = 'audio' THEN 0
+        |                 ELSE 16 + b1 % 64 END AS INTEGER) AS height,
+        |       CAST(CASE WHEN kind = 'image' THEN 1
+        |                 WHEN kind = 'audio' THEN 0
+        |                 ELSE 1 + b1 % 240 END AS INTEGER) AS n_frames,
+        |       CAST(CASE WHEN kind = 'audio' THEN 8000 + (b0 % 5) * 8000
+        |                 ELSE 0 END AS INTEGER) AS sample_rate
+        |FROM m ORDER BY doc_id""".stripMargin,
     "sim_pair_stats" ->
       """WITH pos AS (
         |  SELECT label, vec_id, unnest(embedding) AS v,
