@@ -51,6 +51,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
+    "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
+    "q_window_range" -> ((s, d) => Analytics.hourlyMovingAvg(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
     "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
@@ -286,6 +288,22 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       round(avg(value) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+        |         AS moving_avg
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),

@@ -130,6 +130,36 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** CUBE totals over two independent dimensions: every combination of
+    * (status, priority) plus both marginals and the grand total in one
+    * aggregation pass.
+    */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** RANGE-frame window: per-user moving average of `value` over the
+    * trailing hour of EVENT TIME (not a row count) — the frame is
+    * defined on the ordering value, so sparse and bursty streams get
+    * the same semantics. Ordering on epoch micros keeps the frame
+    * arithmetic integral.
+    */
+  def hourlyMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val micros = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy(col("user_id")).orderBy(micros)
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.filter(col("user_id") < 10)
+      .withColumn("moving_avg", round(avg(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("moving_avg"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Exact median (linear-interpolated percentile) per group. At scale
     * the one-pass mergeable alternative is `percentile_approx`; the
     * exact variant buffers per-group values and is the cross-engine-

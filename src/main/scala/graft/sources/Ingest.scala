@@ -54,6 +54,20 @@ object Ingest {
     withSource(Tables.load(spark, dir, "region"), "eCollision Oracle")
       .orderBy(col("r_regionkey"))
 
+  /** Format-generic readers with EXPLICIT schemas — at 100 TB a schema
+    * inference pass is a full extra read of the input, so the engine
+    * never infers. CSV/JSON are the interchange formats the reference's
+    * source databases export to.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .csv(path)
+
+  def loadJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Semi-structured property extraction: pull typed fields out of a
     * JSON string column with an explicit schema (no schema inference
     * pass — at 100 TB a second inference scan is a full extra read).

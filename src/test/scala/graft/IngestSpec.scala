@@ -40,6 +40,21 @@ class IngestSpec extends SparkSpec {
     assert(out.filter(col("prop_k").isNull).count() == 0)
   }
 
+  test("csv and json round-trip with explicit schemas") {
+    val region = graft.sources.Tables.load(spark, sf, "region")
+    val base = java.nio.file.Files.createTempDirectory("graft-io")
+    val csvPath = base.resolve("r.csv").toString
+    val jsonPath = base.resolve("r.json").toString
+    region.write.option("header", "true").csv(csvPath)
+    region.write.json(jsonPath)
+    val expect = region.orderBy("r_regionkey").collect().toSeq
+    val fromCsv = Ingest.loadCsv(spark, csvPath, region.schema)
+      .orderBy("r_regionkey").collect().toSeq
+    val fromJson = Ingest.loadJson(spark, jsonPath, region.schema)
+      .orderBy("r_regionkey").collect().toSeq
+    assert(fromCsv == expect && fromJson == expect)
+  }
+
   test("dynamicProjection matches the declared target schema") {
     val out = Ingest.dynamicProjection(spark, sf)
     assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
