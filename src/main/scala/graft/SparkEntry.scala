@@ -52,6 +52,8 @@ object SparkEntry {
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
+    "q_ntile" -> ((s, d) => Analytics.priceQuartiles(s, d)),
+    "text_editdist" -> ((s, d) => TextFunctions.editDistanceChain(s, d)),
     "q_window_range" -> ((s, d) => Analytics.hourlyMovingAvg(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
@@ -295,6 +297,20 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |         AS quartile
+        |FROM orders
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "text_editdist" ->
+      """SELECT a.doc_id,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |       CAST(length(a.text) AS BIGINT) AS len_a,
+        |       CAST(length(b.text) AS BIGINT) AS len_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |       round(avg(value) OVER (

@@ -112,6 +112,24 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit distance between adjacent documents (`text_editdist`):
+    * levenshtein is the exact verifier a near-dup pipeline applies to
+    * its final candidate pairs. Full pairwise distance is O(n²·len²),
+    * so this surface scores a LINEAR pair set (each doc against its
+    * successor by id — a stand-in for any blocked candidate list).
+    */
+  def editDistanceChain(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val a = d.select(col("doc_id"), col("text"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        levenshtein(col("text"), col("next_text")).cast("long").as("edit_dist"),
+        length(col("text")).cast("long").as("len_a"),
+        length(col("next_text")).cast("long").as("len_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting (`text_fingerprint`): md5 of the
     * whitespace-normalized lowercased text (the exact-dedup key) plus
     * the word-trigram shingle count the near-dup stage will explode.

@@ -130,6 +130,20 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Quartile assignment per group (NTILE): equal-frequency bucketing
+    * of order values within each priority — the windowed partner of
+    * the exact-percentile aggregate.
+    */
+  def priceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
   /** CUBE totals over two independent dimensions: every combination of
     * (status, priority) plus both marginals and the grand total in one
     * aggregation pass.
