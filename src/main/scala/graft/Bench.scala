@@ -25,23 +25,32 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // min of two runs per query: the first pays plan compilation and
     // codegen, the second is the steady-state number a cluster job sees.
+    // A run that throws contributes NO timing — a fast failure must not
+    // make the benchmark look faster; failed queries are reported and
+    // fail the process.
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        name -> times.minOption
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -122,6 +122,99 @@ object SparkEntry {
        |  FROM (SELECT doc_id, ${textWords()} AS w FROM documents))
        |""".stripMargin
 
+  /** DuckDB twin of Dedup.md5Bits — the cross-engine hash that lets the
+    * oracle replay MinHash/SimHash banding bit-for-bit.
+    */
+  private def duckMd5Bits(s: String, start: Int, len: Int): String =
+    s"CAST(concat('0x', substr(md5($s), $start, $len)) AS BIGINT)"
+
+  /** Full LSH replay: shingles → double-hash minhash signatures → band
+    * md5 buckets → candidate pairs → exact-Jaccard verify, identical to
+    * Dedup.minhashPairs.
+    */
+  private val duckMinhash: String = {
+    import graft.operators.Dedup.{MinhashBands, MinhashK}
+    val rowsPerBand = MinhashK / MinhashBands
+    val sigCols = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS sig_$i").mkString(", ")
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val comps = (0 until rowsPerBand)
+        .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"md5(concat_ws('_', '$b', $comps))"
+    }.mkString(",\n|    ")
+    s"""WITH $duckShingles,
+       |hh AS (
+       |  SELECT doc_id,
+       |         ${duckMd5Bits("shingle", 1, 7)} AS h1,
+       |         ${duckMd5Bits("shingle", 8, 7)} AS h2
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, unnest([$bandExprs]) AS band_hash
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |         CAST(n_inter AS DOUBLE) /
+       |         CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN card ca ON ca.doc_id = id_a
+       |  JOIN card cb ON cb.doc_id = id_b)
+       |SELECT jac.id_a AS id_a, jac.id_b AS id_b, round(j, 6) AS jaccard
+       |FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+       |WHERE j >= 0.7
+       |ORDER BY jac.id_a, jac.id_b""".stripMargin
+  }
+
+  /** SimHash replay: 60-bit word hashes → signed bit sums → signature
+    * (token-less docs get signature 0 via the LEFT JOIN, like the Spark
+    * side) → 15-bit band blocking → hamming verify.
+    */
+  private val duckSimhash: String = {
+    import graft.operators.Dedup.SimhashBits
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(${textWords()}) AS w FROM documents),
+       |h AS (SELECT doc_id, ${duckMd5Bits("w", 1, 15)} AS h FROM w),
+       |bits AS (
+       |  SELECT doc_id, j.j,
+       |         sum(CASE WHEN (h >> CAST(j.j AS INTEGER)) & 1 = 1
+       |                  THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(range($SimhashBits)) AS j) j
+       |  GROUP BY doc_id, j.j),
+       |sig0 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0
+       |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+       |  FROM bits GROUP BY doc_id),
+       |sig AS (
+       |  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS BIGINT)) AS sim
+       |  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+       |bv AS (
+       |  SELECT doc_id, sim, b.b AS band_idx,
+       |         (sim >> CAST(b.b * 15 AS INTEGER)) & 32767 AS band_val
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       |         a.sim AS sim_a, c.sim AS sim_b
+       |  FROM bv a JOIN bv c
+       |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+       |   AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "src_schema_mapped_read" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -323,8 +416,8 @@ object SparkEntry {
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, event_id FROM events
-        |      WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
         |FROM p ASOF LEFT JOIN c
@@ -366,6 +459,8 @@ object SparkEntry {
          |WHERE CAST(n_inter AS DOUBLE) /
          |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin),
+    "dedup_minhash" -> duckMinhash,
+    "dedup_simhash" -> duckSimhash,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -420,12 +515,21 @@ object SparkEntry {
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "mm_decode_stats" ->
+      // b0/b1 are the first two RAW UTF-8 BYTES of the payload (what
+      // FakeDecoder reads), not codepoints — derived via hex(encode())
+      // so the oracle agrees with the byte-based decoder even for
+      // non-ASCII text.
       """WITH m AS (
         |  SELECT doc_id,
         |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         ascii(text) AS b0, ascii(substr(text, 2, 1)) AS b1
+        |         CASE WHEN strlen(text) >= 1
+        |              THEN CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER)
+        |              ELSE 0 END AS b0,
+        |         CASE WHEN strlen(text) >= 2
+        |              THEN CAST(concat('0x', substr(hex(encode(text)), 3, 2)) AS INTEGER)
+        |              ELSE 0 END AS b1
         |  FROM documents)
         |SELECT doc_id, kind, n_bytes,
         |       CAST(CASE WHEN kind = 'audio' THEN 0

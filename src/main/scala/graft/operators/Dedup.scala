@@ -96,17 +96,35 @@ object Dedup {
   val MinhashK = 32
   val MinhashBands = 8 // 4 rows per band
 
-  /** MinHash signatures: sig_i = min over shingles of xxhash64(i, shingle).
-    * One aggregation produces all K components (no K passes over the
-    * corpus); the signature row is K longs wide.
+  /** Cross-engine hash: an integer from a hex substring of md5. DuckDB
+    * computes the identical value via
+    * `CAST(concat('0x', substr(md5(s), start, len)) AS BIGINT)`, which
+    * is what makes the LSH pipelines oracle-checkable — the banding is
+    * a pure function of these hashes, so an independent engine can
+    * replay it bit-for-bit. 7 hex chars = 28 bits, small enough that
+    * the double-hashing combination below never overflows a long.
+    */
+  def md5Bits(c: Column, start: Int, len: Int): Column =
+    conv(substring(md5(c.cast("binary")), start, len), 16, 10).cast("long")
+
+  /** MinHash signatures via double hashing: two independent 28-bit
+    * hashes per shingle (one md5, two substrings), then
+    * sig_i = min(h1 + i·h2) — the standard affine family. One
+    * aggregation produces all K components (no K passes over the
+    * corpus, no K string-hash evaluations per shingle).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     signaturesFromShingles(shingles(docs))
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("h2"))
     val sigCols = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
-    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"sig_$i"))
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash + LSH banding: band_j = hash of 4 consecutive signature
@@ -123,18 +141,22 @@ object Dedup {
     val sh = shingles(docs).cache()
     val sigs = signaturesFromShingles(sh)
     val rowsPerBand = MinhashK / MinhashBands
+    // Band key = md5 over the band index + its signature components
+    // (band index baked into the hash, so the bucket key is a single
+    // column). Same string concatenation on the DuckDB side.
     val bandArr = array((0 until MinhashBands).map { bIdx =>
-      val comps = (0 until rowsPerBand).map(r => col(s"sig_${bIdx * rowsPerBand + r}"))
-      xxhash64((lit(bIdx) +: comps): _*)
+      val comps = (0 until rowsPerBand)
+        .map(r => col(s"sig_${bIdx * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("_", (lit(bIdx.toString) +: comps): _*).cast("binary"))
     }: _*)
     // The band table is referenced twice (both sides of the self-join)
     // and the candidate set three times (id pruning + semi-join) —
     // cache both; they are tiny relative to the corpus (8 rows/doc and
     // the near-dup pair set respectively).
-    val bands = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val bands = sigs.select(col("doc_id"), explode(bandArr).as("band_hash"))
       .cache()
     val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band_idx", "band_hash"))
+      .join(bands.alias("y"), Seq("band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
@@ -165,38 +187,45 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 64-bit SimHash over word unigrams: per bit, sum +1/-1 by whether
-    * xxhash64(word) has that bit set; the signature bit is the sign.
-    * All 64 bit-sums come out of ONE aggregation over the exploded
-    * token table.
+  val SimhashBits = 60 // 60 md5-derived bits: stays positive in a long
+
+  /** 60-bit SimHash over word unigrams: per bit, sum +1/-1 by whether
+    * the word's 60-bit md5-derived hash has that bit set; the signature
+    * bit is the sign. All 60 bit-sums come out of ONE aggregation over
+    * the exploded token table (duplicates kept — term frequency
+    * weights). Documents with zero alphanumeric tokens get the defined
+    * signature 0 (left join back to the full doc list) instead of
+    * silently vanishing — they are mutual exact-dups under the other
+    * dedup paths and must surface here too.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.words(lower(col("text")))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", md5Bits(col("w"), 1, 15))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b_$j")
     }
     val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until SimhashBits).map { j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sim.as("simhash"))
+    docs.select(col("doc_id"))
+      .join(agg.select(col("doc_id"), sim.as("simhash")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 16-bit bands (a pair within
-    * hamming distance ≤ maxHamming of 64 bits must agree on at least one
-    * of the 4 bands when maxHamming < 4... pigeonhole holds for ≤ 3 band
-    * mismatches; maxHamming ≤ 3 guarantees a shared band), then verify
-    * with bit_count(xor).
+  /** SimHash near-dup pairs: block on 15-bit bands (pigeonhole: a pair
+    * within hamming distance ≤ 3 of 60 bits can mismatch at most 3 of
+    * the 4 bands, so it must agree on at least one), then verify with
+    * bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sigs = simhashSignatures(docs)
     val bandArr = array((0 until 4).map { j =>
-      shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
+      shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7FFFL))
     }: _*)
     // Cache: the self-join would otherwise recompute the 64-column
     // bit-sum aggregation for both sides.

@@ -23,9 +23,17 @@ object Temporal {
     * `payload` columns are carried from the right side (prefixed
     * `asof_`). Right rows sort before left rows on timestamp ties, so
     * an exactly-simultaneous right row matches (inclusive as-of).
+    *
+    * When several right rows share the same (key, timestamp), the one
+    * with the greatest `tieBreak` payload column wins — without it the
+    * attached payload would depend on partition layout (nulls-first
+    * ascending ordering puts the max tie value last under the running
+    * `last()`, and left rows carry a null tie so they never reorder
+    * against right rows).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Option[String] = None): DataFrame = {
     val lTagged = left
       .withColumn("__t", col(leftTs)).withColumn("__is_l", lit(1))
     val rTagged = right
@@ -33,8 +41,9 @@ object Temporal {
       .withColumnsRenamed(payload.map(p => p -> s"asof_$p").toMap)
       .withColumn("__t", col(rightTs)).withColumn("__is_l", lit(0))
       .drop(rightTs)
+    val tieCols = tieBreak.map(t => col(s"asof_$t").asc_nulls_first).toSeq
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__is_l"))
+      .orderBy(col("__t").asc +: col("__is_l").asc +: tieCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(
       lTagged.unionByName(rTagged, allowMissingColumns = true)) {
@@ -45,17 +54,22 @@ object Temporal {
   }
 
   /** `q_asof_join` surface: each purchase event joined to the user's
-    * latest prior (or simultaneous) click.
+    * latest prior (or simultaneous) click. The click side is first
+    * deduplicated to one row per (user_id, ts) keeping the max
+    * event_id — DuckDB's ASOF JOIN (the oracle) picks arbitrarily
+    * among equal-timestamp matches, so both engines must see a
+    * tie-free right side to agree bit-for-bit.
     */
   def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts", col("ts"))
     asOfJoin(purchases, clicks, "user_id", "ts", "ts",
-      Seq("click_event_id", "click_ts"))
+      Seq("click_event_id", "click_ts"), tieBreak = Some("click_event_id"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("asof_click_event_id").as("click_event_id"),
         col("asof_click_ts").as("click_ts"))

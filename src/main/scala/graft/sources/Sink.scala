@@ -42,9 +42,11 @@ object Sink {
   }
 
   /** Upsert: union existing rows with incoming, keep the latest version
-    * per key (version desc, deterministic tie-break on the key), write
-    * via staging + swap so the read of `path` and the overwrite of
-    * `path` never race inside one job.
+    * per key (version desc; version TIES break deterministically on the
+    * remaining non-key columns, descending in name order — the key
+    * columns are constant within a window partition so they cannot
+    * discriminate), write via staging + swap so the read of `path` and
+    * the overwrite of `path` never race inside one job.
     */
   def dedupUpsert(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String], versionCol: String): Unit = {
@@ -54,8 +56,11 @@ object Sink {
       if (fs.exists(target))
         SchemaAlign.unionLineages(spark.read.parquet(path), incoming)
       else incoming
+    val tieCols = merged.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == versionCol)
+      .sorted.map(col(_).desc_nulls_last)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc +: keys.map(col(_).desc): _*)
+      .orderBy(col(versionCol).desc +: tieCols: _*)
     val dedup = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val staging = new Path(path + "__staging")
