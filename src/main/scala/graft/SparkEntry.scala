@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Dedup, Fusion, Similarity, Temporal, Validity}
+import graft.operators.{Analytics, Dedup, Fusion, Relational, Similarity, Temporal, Validity}
 import graft.sources.Ingest
 
 /** Driver contract: every operator in SURVEY.md §2, one `queries` entry
@@ -55,6 +55,20 @@ object SparkEntry {
     "q_ntile" -> ((s, d) => Analytics.priceQuartiles(s, d)),
     "text_editdist" -> ((s, d) => TextFunctions.editDistanceChain(s, d)),
     "q_window_range" -> ((s, d) => Analytics.hourlyMovingAvg(s, d)),
+    "q_lag_delta" -> ((s, d) => Analytics.lagLeadDeltas(s, d)),
+    "q_first_last" -> ((s, d) => Analytics.firstLastPerUser(s, d)),
+    "q_moving_rows" -> ((s, d) => Analytics.movingAvgRows(s, d)),
+    "q_percent_rank" -> ((s, d) => Analytics.percentRanks(s, d)),
+    "q_zscore" -> ((s, d) => Analytics.zscorePerPriority(s, d)),
+    "q_stats_agg" -> ((s, d) => Analytics.statsPerPriority(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsTotals(s, d)),
+    "q_intersect_except" -> ((s, d) => Relational.intersectExceptUsers(s, d)),
+    "q_argminmax" -> ((s, d) => Relational.argMinMaxOrders(s, d)),
+    "q_histogram" -> ((s, d) => Relational.priceHistogram(s, d)),
+    "q_date_parts" -> ((s, d) => Relational.datePartsOrders(s, d)),
+    "q_null_clean" -> ((s, d) => Relational.nullCleanOrders(s, d)),
+    "text_tfidf" -> ((s, d) => TextFunctions.tfidfTopTerms(s, d)),
+    "text_ngram_freq" -> ((s, d) => TextFunctions.bigramFreq(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
     "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
@@ -413,6 +427,140 @@ object SparkEntry {
         |         AS moving_avg
         |FROM events WHERE user_id < 10
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) AS gap_us,
+        |       lead(event_type) OVER w AS next_type
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_first_last" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       nth_value(event_id, 2) OVER w AS second_event_id
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_moving_rows" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        |         AS moving_avg3
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_zscore" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       round((o_totalprice - avg(o_totalprice) OVER w) /
+        |             stddev_samp(o_totalprice) OVER w, 6) AS z
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT o_orderpriority,
+        |       round(stddev_samp(o_totalprice), 4) AS sd_price,
+        |       round(var_samp(o_totalprice) / CAST(1000000.0 AS DOUBLE), 4)
+        |         AS var_price_m,
+        |       round(corr(o_totalprice, age_days), 6) AS corr_price_age,
+        |       round(covar_samp(o_totalprice, age_days) / CAST(1000000.0 AS DOUBLE), 6)
+        |         AS cov_price_age_m,
+        |       count(*) AS n_orders
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |             CAST(datediff('day', DATE '1995-01-01',
+        |                           CAST(o_orderdate AS DATE)) AS DOUBLE) AS age_days
+        |      FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_intersect_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_argminmax" ->
+      """SELECT o_orderpriority,
+        |       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS max_order,
+        |       (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS max_price,
+        |       (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS min_order,
+        |       (min(struct_pack(p := o_totalprice, k := o_orderkey))).p AS min_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor((o_totalprice - CAST(0.0 AS DOUBLE)) /
+        |                                 CAST(50000.0 AS DOUBLE)),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(11.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        |       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |       CAST(year(d) AS BIGINT) AS yr, CAST(quarter(d) AS BIGINT) AS qtr,
+        |       CAST(month(d) AS BIGINT) AS mo, CAST(day(d) AS BIGINT) AS dom,
+        |       CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |       strftime(last_day(d), '%Y-%m-%d') AS month_end,
+        |       strftime(d + 30, '%Y-%m-%d') AS plus30,
+        |       CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS age_days
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_null_clean" ->
+      """SELECT o_orderkey,
+        |       coalesce(CASE WHEN o_orderstatus <> 'O' THEN o_orderpriority END,
+        |                'UNSPECIFIED') AS priority_clean,
+        |       CAST(CASE WHEN (CASE WHEN o_orderstatus <> 'O'
+        |                            THEN o_orderpriority END) IS NULL
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS priority_present,
+        |       round(coalesce(CASE WHEN o_totalprice >= CAST(5000.0 AS DOUBLE)
+        |                           THEN o_totalprice END,
+        |                      CAST(0.0 AS DOUBLE)), 2) AS price_filled
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.w,
+         |         CAST(tf.tf AS DOUBLE) *
+         |         ln((CAST(n.n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+         |            (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS score
+         |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+         |r AS (SELECT doc_id, w, score,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, w ASC) AS rk
+         |      FROM s)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term,
+         |       round(score, 6) AS tfidf
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT ${textWords()} AS w FROM documents),
+         |b AS (SELECT unnest(
+         |        CASE WHEN len(w) >= 2
+         |             THEN list_transform(range(len(w) - 1),
+         |                    i -> w[i+1] || ' ' || w[i+2])
+         |             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM t),
+         |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+         |r AS (SELECT bigram, n,
+         |             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rk
+         |      FROM c)
+         |SELECT CAST(rk AS BIGINT) AS rk, bigram, n
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),

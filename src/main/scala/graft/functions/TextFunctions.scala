@@ -144,4 +144,57 @@ object TextFunctions {
         greatest(nWords(col("text")) - 2, lit(0L)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** TF-IDF top terms per document (`text_tfidf`): tf from the exploded
+    * token table (duplicates kept), df from the distinct (doc, term)
+    * pairs, idf = ln((N+1)/(df+1)) with add-one smoothing, top 3 terms
+    * per doc by (score desc, term asc). The corpus size N joins in as a
+    * broadcast single-row aggregate — no driver-side count. Two
+    * shuffles total (term stats, per-doc rank), both linear in token
+    * volume.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(words(lower(col("text")))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Corpus-level bigram frequencies (`text_ngram_freq`): top-20 word
+    * bigrams with a deterministic (count desc, bigram asc) rank — the
+    * vocabulary/statistics pass of a tokenizer-training pipeline. One
+    * explode + one aggregation; the final top-k is a single-partition
+    * sort of an already-aggregated (small) table.
+    */
+  def bigramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = col("toks")
+    val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram").asc)
+    d.select(words(lower(col("text"))).as("toks"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col("bigram"), col("n"))
+      .orderBy(col("rk"))
+  }
 }

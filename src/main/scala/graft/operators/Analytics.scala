@@ -218,4 +218,99 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
   }
+
+  /** lag/lead: per-user inter-event gap (µs, integral so no float
+    * noise) and the type of the NEXT event — the change-detection /
+    * funnel primitive. One window, one shuffle on the entity key.
+    */
+  def lagLeadDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val micros = unix_micros(col("ts").cast("timestamp"))
+    e.filter(col("user_id") < 20)
+      .withColumn("gap_us", micros - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts"), col("gap_us"), col("next_type"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** first_value / last_value / nth_value over the FULL partition frame
+    * (unbounded both ways): each event annotated with its user's first
+    * event type, last event type, and second event id.
+    */
+  def firstLastPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.filter(col("user_id") < 20)
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .withColumn("last_type", last(col("event_type")).over(w))
+      .withColumn("second_event_id", nth_value(col("event_id"), 2).over(w))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("first_type"), col("last_type"), col("second_event_id"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** ROWS-frame sliding window: 3-row trailing moving average per user —
+    * the row-count twin of the event-time RANGE frame above.
+    */
+  def movingAvgRows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    e.filter(col("user_id") < 10)
+      .withColumn("moving_avg3", round(avg(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("moving_avg3"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Relative-rank windows: percent_rank + cume_dist of order value
+    * within each priority (ties share a rank, so the output is
+    * deterministic without a tie-break).
+    */
+  def percentRanks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    o.withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("pr"), col("cd"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Window standardization: z-score of each order's value against its
+    * priority group's mean/stddev — whole-partition frame, no ordering,
+    * so Catalyst evaluates both aggregates in one window pass.
+    */
+  def zscorePerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+    o.withColumn("z",
+        round((col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
+          stddev_samp(col("o_totalprice")).over(w), 6))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("z"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Second-moment aggregates per group: stddev / variance of order
+    * value, correlation and covariance of value vs order age — all
+    * partial-aggregation-friendly (merged moment sketches, one
+    * shuffle).
+    */
+  def statsPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val days = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double")
+    o.select(col("o_orderpriority"), col("o_totalprice"), days.as("age_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        // variance/covariance are ~1e10/1e6-scale: divide by 1e6 BEFORE
+        // rounding so the cross-engine float noise (relative ~1e-14)
+        // sits far below the rounding boundary.
+        round(var_samp(col("o_totalprice")) / 1e6, 4).as("var_price_m"),
+        round(corr(col("o_totalprice"), col("age_days")), 6).as("corr_price_age"),
+        round(covar_samp(col("o_totalprice"), col("age_days")) / 1e6, 6).as("cov_price_age_m"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational odds-and-ends that round out the ETL surface: explicit
+  * grouping sets, set operators, deterministic arg-max, fixed-width
+  * histograms, date-part derivation, and null-handling policies.
+  *
+  * Scale notes: every operator is a single scan plus at most one
+  * shuffle; the arg-max uses an ordered-struct aggregate (map-side
+  * combinable) instead of a window so no per-group sort materializes.
+  */
+object Relational {
+
+  /** Explicit GROUPING SETS — each marginal without the full cube:
+    * (status), (priority), and the grand total, tagged with the
+    * standard grouping_id bit-encoding.
+    */
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Set operators: users who both clicked AND purchased, minus anyone
+    * who ever hit an error — INTERSECT/EXCEPT with their standard
+    * distinct semantics (each is a hash aggregate, not a join chain).
+    */
+  def intersectExceptUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    def users(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id"))
+    users("click").intersect(users("purchase")).except(users("error"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic arg-max/arg-min per group via ordered-struct
+    * aggregates: max(struct(price, key)) compares lexicographically, so
+    * equal prices break ties on the key — unlike a bare max_by, which
+    * picks arbitrarily. No window, no per-group sort: one combinable
+    * aggregation.
+    */
+  def argMinMaxOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("mx"),
+        min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("mn"))
+      .select(col("o_orderpriority"),
+        col("mx.k").as("max_order"), col("mx.p").as("max_price"),
+        col("mn.k").as("min_order"), col("mn.p").as("min_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Fixed-width histogram of order values: explicit floor-binning
+    * (portable across engines, unlike width_bucket) with clamped edge
+    * buckets; one aggregation, bucket count bounded by the bin spec
+    * regardless of data volume.
+    */
+  def priceHistogram(spark: SparkSession, dir: String,
+      lo: Double = 0.0, width: Double = 50000.0, nBuckets: Int = 12): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val bucket = least(greatest(floor((col("o_totalprice") - lo) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    o.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Date-part derivation suite over the order date: calendar parts,
+    * month-end, day arithmetic, day-diff from an epoch — all evaluated
+    * in one projection (no shuffle at all).
+    */
+  def datePartsOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    o.select(col("o_orderkey"),
+        year(d).cast("long").as("yr"),
+        quarter(d).cast("long").as("qtr"),
+        month(d).cast("long").as("mo"),
+        dayofmonth(d).cast("long").as("dom"),
+        dayofweek(d).cast("long").as("dow"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+        datediff(d, lit("1995-01-01")).cast("long").as("age_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Null-handling policy: synthesize nulls (open orders lose their
+    * priority; cheap orders lose their value), then repair them with
+    * coalesce / fill defaults plus an nvl2-style presence flag — the
+    * declarative twin of the reference's pandas fillna/notnull passes.
+    */
+  def nullCleanOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val prio = when(col("o_orderstatus") =!= "O", col("o_orderpriority"))
+    val price = when(col("o_totalprice") >= 5000.0, col("o_totalprice"))
+    o.select(col("o_orderkey"),
+        coalesce(prio, lit("UNSPECIFIED")).as("priority_clean"),
+        when(prio.isNull, 0L).otherwise(1L).as("priority_present"),
+        round(coalesce(price, lit(0.0)), 2).as("price_filled"))
+      .orderBy(col("o_orderkey"))
+  }
+}

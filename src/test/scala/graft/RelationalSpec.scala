@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Relational}
+import graft.functions.TextFunctions
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grouping sets emits both marginals plus the grand total") {
+    val g = Relational.groupingSetsTotals(spark, sf)
+    val byGid = g.groupBy("gid").count().as[(Long, Long)].collect().toMap
+    // gid 1 = (status) rows, 2 = (priority) rows, 3 = grand total
+    assert(byGid(3L) == 1L)
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    val total = g.filter(col("gid") === 3L).select("n_orders").as[Long].head()
+    assert(total == graft.sources.Tables.load(spark, sf, "orders").count())
+  }
+
+  test("intersect/except equals the explicit set algebra") {
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    def users(t: String) = e.filter(col("event_type") === t)
+      .select("user_id").as[Long].collect().toSet
+    val expected = (users("click") & users("purchase")) -- users("error")
+    val got = Relational.intersectExceptUsers(spark, sf).as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("argminmax picks the true extremes with key tie-break") {
+    val rows = Relational.argMinMaxOrders(spark, sf)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val expectMax = o.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      .select("o_orderkey").as[Long].head()
+    val gotMax = rows.orderBy(col("max_price").desc)
+      .select("max_order").as[Long].head()
+    assert(gotMax == expectMax)
+  }
+
+  test("histogram buckets cover every order exactly once") {
+    val h = Relational.priceHistogram(spark, sf)
+    val n = h.agg(sum("n_orders")).as[Long].head()
+    assert(n == graft.sources.Tables.load(spark, sf, "orders").count())
+    val buckets = h.select("bucket").as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b <= 11))
+  }
+
+  test("null-clean repairs synthesized nulls") {
+    val r = Relational.nullCleanOrders(spark, sf)
+    assert(r.filter(col("priority_clean").isNull).count() == 0)
+    assert(r.filter(col("price_filled").isNull).count() == 0)
+    // open orders must be flagged absent
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val nOpen = o.filter(col("o_orderstatus") === "O").count()
+    assert(r.filter(col("priority_present") === 0L).count() == nOpen)
+  }
+
+  test("zscore standardizes to mean ~0 within each priority") {
+    val z = Analytics.zscorePerPriority(spark, sf)
+    val means = z.groupBy("o_orderpriority").agg(avg("z").as("m"))
+      .select("m").as[Double].collect()
+    assert(means.forall(m => math.abs(m) < 1e-3))
+  }
+
+  test("lag/lead gaps are non-negative and first-per-user is null") {
+    val g = Analytics.lagLeadDeltas(spark, sf)
+    assert(g.filter(col("gap_us") < 0).count() == 0)
+    val users = g.select("user_id").distinct().count()
+    assert(g.filter(col("gap_us").isNull).count() == users)
+  }
+
+  test("tfidf ranks at most 3 terms per doc, scores descending") {
+    val t = TextFunctions.tfidfTopTerms(spark, sf)
+    val worst = t.groupBy("doc_id").count().agg(max("count")).as[Long].head()
+    assert(worst <= 3)
+    val bad = t.alias("a").join(t.alias("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.rk") === col("b.rk") - 1 &&
+        col("a.tfidf") < col("b.tfidf"))
+    assert(bad.count() == 0)
+  }
+
+  test("bigram frequencies are correctly ordered and bounded") {
+    val b = TextFunctions.bigramFreq(spark, sf)
+    val rows = b.select("rk", "n").as[(Long, Long)].collect()
+    assert(rows.length <= 20)
+    assert(rows.sliding(2).forall {
+      case Array((_, n1), (_, n2)) => n1 >= n2
+      case _ => true
+    })
+  }
+}
