@@ -78,11 +78,14 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansTopK(s, d)),
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
+    "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
+    "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -142,11 +145,12 @@ object SparkEntry {
   private def duckMd5Bits(s: String, start: Int, len: Int): String =
     s"CAST(concat('0x', substr(md5($s), $start, $len)) AS BIGINT)"
 
-  /** Full LSH replay: shingles → double-hash minhash signatures → band
-    * md5 buckets → candidate pairs → exact-Jaccard verify, identical to
-    * Dedup.minhashPairs.
+  /** Shared CTE chain of the LSH replay: shingles → double-hash minhash
+    * signatures → band md5 buckets → candidate pairs → exact Jaccard,
+    * identical to Dedup.minhashPairs. Used by both the pair oracle and
+    * the connected-component cluster oracle.
     */
-  private val duckMinhash: String = {
+  private val duckMinhashCtes: String = {
     import graft.operators.Dedup.{MinhashBands, MinhashK}
     val rowsPerBand = MinhashK / MinhashBands
     val sigCols = (0 until MinhashK)
@@ -156,7 +160,7 @@ object SparkEntry {
         .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)").mkString(", ")
       s"md5(concat_ws('_', '$b', $comps))"
     }.mkString(",\n|    ")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
        |hh AS (
        |  SELECT doc_id,
        |         ${duckMd5Bits("shingle", 1, 7)} AS h1,
@@ -181,12 +185,42 @@ object SparkEntry {
        |         CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS j
        |  FROM inter
        |  JOIN card ca ON ca.doc_id = id_a
-       |  JOIN card cb ON cb.doc_id = id_b)
+       |  JOIN card cb ON cb.doc_id = id_b)""".stripMargin
+  }
+
+  private val duckMinhash: String =
+    s"""WITH $duckMinhashCtes
        |SELECT jac.id_a AS id_a, jac.id_b AS id_b, round(j, 6) AS jaccard
        |FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
        |WHERE j >= 0.7
        |ORDER BY jac.id_a, jac.id_b""".stripMargin
-  }
+
+  /** Connected components over the verified minhash pairs via a
+    * recursive transitive-closure CTE: cluster_id = min doc_id
+    * reachable in the near-dup graph; singletons map to themselves.
+    */
+  private val duckClusters: String =
+    s"""WITH RECURSIVE $duckMinhashCtes,
+       |pairs AS (
+       |  SELECT jac.id_a AS id_a, jac.id_b AS id_b
+       |  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+       |  WHERE j >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (
+       |  SELECT s AS doc_id, least(min(d), s) AS cluster_id
+       |  FROM reach GROUP BY s)
+       |SELECT dd.doc_id,
+       |       coalesce(comp.cluster_id, dd.doc_id) AS cluster_id,
+       |       CAST(CASE WHEN coalesce(comp.cluster_id, dd.doc_id) = dd.doc_id
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
 
   /** SimHash replay: 60-bit word hashes → signed bit sums → signature
     * (token-less docs get signature 0 via the LEFT JOIN, like the Spark
@@ -609,6 +643,72 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin),
     "dedup_minhash" -> duckMinhash,
     "dedup_simhash" -> duckSimhash,
+    "dedup_clusters" -> duckClusters,
+    "sim_centroid_classify" ->
+      """WITH pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, c.label AS pred_label,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                c.centroid) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |r AS (
+        |  SELECT vec_id, label, pred_label,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos DESC, pred_label ASC) AS rk
+        |  FROM sc)
+        |SELECT label, pred_label, count(*) AS n_vecs
+        |FROM r WHERE rk = 1
+        |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin,
+    "sim_rp_lsh" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |hp AS (
+         |  SELECT p.pos, j.j,
+         |         CASE WHEN ${duckMd5Bits(
+                     "CAST(j.j AS VARCHAR) || '_' || CAST(p.pos AS VARCHAR)", 1, 15)}
+         |                   & 1 = 1
+         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+         |         END AS s
+         |  FROM (SELECT DISTINCT pos FROM el) p
+         |  CROSS JOIN (SELECT unnest(range(${Similarity.RpBits})) AS j) j),
+         |d AS (
+         |  SELECT el.vec_id, hp.j, sum(el.v * hp.s) AS dj
+         |  FROM el JOIN hp ON el.pos = hp.pos GROUP BY el.vec_id, hp.j),
+         |sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dj > 0
+         |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rp_sig
+         |  FROM d GROUP BY vec_id),
+         |bv AS (
+         |  SELECT vec_id, b.b AS band_idx,
+         |         (rp_sig >> CAST(b.b * 8 AS INTEGER)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM bv a JOIN bv c
+         |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         |   AND a.vec_id < c.vec_id),
+         |sc AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                CAST(eb.embedding AS DOUBLE[])) AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, round(cos, 6) AS cos
+         |FROM sc WHERE cos >= CAST(0.5 AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -245,6 +245,56 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected-component clustering of the MinHash near-dup pair graph
+    * — the survivorship step that turns pairwise "A dups B" edges into
+    * one canonical id per duplicate cluster (cluster_id = min doc_id in
+    * the component; `keep` marks the canonical doc).
+    *
+    * Distributed min-label propagation: each round every node adopts
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (diameter ≲ 3), so this is 2-4 shuffles in practice, each linear
+    * in |edges|. Only nodes that appear in an edge iterate; the rest of
+    * the corpus joins back as singletons at the end. At 100 TB the
+    * per-round cache() becomes a checkpoint to truncate lineage, and
+    * the edge table is the (already linear) LSH pair output.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      maxIter: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val pairs = minhashPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val joined = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"), col("lbl"), col("nbr_lbl")).cache()
+      val next = joined
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
+      labels.unpersist()
+      joined.unpersist()
+      labels = next
+      iter += 1
+    }
+    docs
+      .join(labels.withColumnRenamed("lbl", "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, label-blocked (IVF-style: the
     * label is the coarse quantizer cell; only same-cell pairs are
     * scored). Cosine runs in the native codegen expression.

@@ -121,6 +121,88 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Nearest-centroid classification: assign every vector to its
+    * closest label centroid and emit the (true label × predicted label)
+    * confusion counts — the label-cleaning / propagation diagnostic a
+    * training-data pipeline runs over weak labels. Centroid table is
+    * tiny → broadcast; corpus scanned once.
+    */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(emb)
+      .select(col("label").as("pred_label"), col("centroid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("pred_label").asc)
+    emb.join(broadcast(cent))
+      .withColumn("cos", cosine(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  val RpBits = 32 // 4 bands × 8 bits
+
+  /** Random-hyperplane signatures (signed random projections): bit j of
+    * a vector's signature is the sign of its dot product with
+    * pseudo-random hyperplane j, whose ±1 components are md5-derived
+    * per (j, position) — data-independent, reproducible on any engine,
+    * no stored model. The hyperplane table is (dim × RpBits) — tiny —
+    * and broadcast; signatures come out of ONE aggregation over the
+    * exploded vectors.
+    */
+  def rpSignatures(emb: DataFrame): DataFrame = {
+    val elems = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val signCols = (0 until RpBits).map { j =>
+      when(Dedup.md5Bits(
+          concat(lit(j.toString), lit("_"), col("pos").cast("string")), 1, 15)
+          .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)).as(s"s_$j")
+    }
+    val hp = elems.select(col("pos")).distinct()
+      .select(col("pos") +: signCols: _*)
+    val dotCols = (0 until RpBits).map(j =>
+      sum(col("v").cast("double") * col(s"s_$j")).as(s"d_$j"))
+    val sums = elems.join(broadcast(hp), Seq("pos"))
+      .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
+    val sig = (0 until RpBits).map { j =>
+      when(col(s"d_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("vec_id"), sig.as("rp_sig"))
+  }
+
+  /** Cosine near-dup pairs via random-hyperplane LSH: band the 32-bit
+    * signatures into 4 × 8-bit buckets, candidates = any shared
+    * (band, value) bucket, verified with exact cosine ≥ threshold.
+    * Unlike the label-blocked variant this needs NO prior clustering —
+    * the data-independent banding is the 100 TB path when no coarse
+    * quantizer exists yet. Linear band table, bounded bucket occupancy
+    * (~n/256 per band for spread signatures).
+    */
+  def rpLshPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sigs = rpSignatures(emb)
+    val bandArr = array((0 until 4).map { b =>
+      shiftright(col("rp_sig"), b * 8).bitwiseAND(lit(0xFFL))
+    }: _*)
+    val bands = sigs.select(col("vec_id"),
+      posexplode(bandArr).as(Seq("band_idx", "band_val"))).cache()
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band_idx", "band_val"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cluster statistics: members per label + mean cosine of members to
     * their label centroid — the cluster-cohesion diagnostic an IVF
     * index build emits.

@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
       graft.sources.Tables.load(spark, sf, "documents").count())
   }
 
+  test("nearDupClusters assigns every doc; members share the component min") {
+    val cl = Dedup.nearDupClusters(spark, sf)
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(cl.count() == nDocs)
+    // cluster_id is the min doc_id of its cluster, so every cluster's
+    // canonical row must exist and carry keep=1
+    val canon = cl.filter(col("cluster_id") === col("doc_id"))
+      .filter(col("keep") === 0L)
+    assert(canon.count() == 0)
+    val pairs = Dedup.minhashPairs(spark, sf)
+    val joined = pairs
+      .join(cl.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), "id_a")
+      .join(cl.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), "id_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+  }
+
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 

@@ -67,4 +67,26 @@ class SimilaritySpec extends SparkSpec {
     assert(s.count() == 10)
     assert(s.filter(col("mean_cos_to_centroid") > 1.0).count() == 0)
   }
+
+  test("centroidClassify assigns every vector exactly once") {
+    val c = Similarity.centroidClassify(spark, sf)
+    val n = c.agg(sum("n_vecs")).as[Long].head()
+    assert(n == graft.sources.Tables.load(spark, sf, "embeddings").count())
+    // labels cluster only weakly in the synthetic embeddings; the
+    // diagonal must still clearly beat the 1-in-10 chance rate
+    val diag = c.filter(col("label") === col("pred_label"))
+      .agg(sum("n_vecs")).as[Long].head()
+    assert(diag > n / 5, s"diagonal $diag of $n")
+  }
+
+  test("rp signatures are stable and rpLshPairs verifies with exact cosine") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val s1 = Similarity.rpSignatures(emb).orderBy("vec_id")
+      .as[(Long, Long)].collect()
+    val s2 = Similarity.rpSignatures(emb).orderBy("vec_id")
+      .as[(Long, Long)].collect()
+    assert(s1.sameElements(s2))
+    val pairs = Similarity.rpLshPairs(spark, sf)
+    assert(pairs.filter(col("cos") < 0.5).count() == 0)
+  }
 }
