@@ -266,8 +266,14 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").cache()
+    // localCheckpoint (not cache) per round: an iterative algorithm's
+    // lineage otherwise doubles every pass — by round k the plan holds
+    // 2^k joins and the driver chokes on analysis long before the
+    // executors see data. Checkpointing truncates to the materialized
+    // blocks; on a cluster this is the same pattern with a reliable
+    // checkpoint dir.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).cache()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -276,15 +282,10 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val joined = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"), col("lbl"), col("nbr_lbl")).cache()
-      val next = joined
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .select(col("doc_id"), col("lbl"), col("nbr_lbl")).localCheckpoint()
       changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
-      labels.unpersist()
-      joined.unpersist()
-      labels = next
+      labels = joined.select(col("doc_id"),
+        least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       iter += 1
     }
     docs
