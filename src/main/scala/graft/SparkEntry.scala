@@ -67,6 +67,10 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(s, d)),
     "q_date_parts" -> ((s, d) => Relational.datePartsOrders(s, d)),
     "q_null_clean" -> ((s, d) => Relational.nullCleanOrders(s, d)),
+    "q_full_outer" -> ((s, d) => Relational.fullOuterReconcile(s, d)),
+    "q_collect_set" -> ((s, d) => Relational.collectTypesPerUser(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.stringFuncsCustomers(s, d)),
+    "q_above_avg" -> ((s, d) => graft.sql.GraftSql.aboveAvgOrders(s, d)),
     "text_tfidf" -> ((s, d) => TextFunctions.tfidfTopTerms(s, d)),
     "text_ngram_freq" -> ((s, d) => TextFunctions.bigramFreq(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
@@ -563,6 +567,36 @@ object SparkEntry {
         |                           THEN o_totalprice END,
         |                      CAST(0.0 AS DOUBLE)), 2) AS price_filled
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(a.k, b.k) AS k,
+        |       CAST(CASE WHEN a.price_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_a,
+        |       CAST(CASE WHEN b.price_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_b,
+        |       round(coalesce(a.price_a, b.price_b), 2) AS price
+        |FROM (SELECT o_orderkey AS k, o_totalprice AS price_a FROM orders
+        |      WHERE o_orderkey % 2 = 0) a
+        |FULL OUTER JOIN
+        |     (SELECT o_orderkey AS k, o_totalprice AS price_b FROM orders
+        |      WHERE o_orderkey % 3 = 0) b
+        |  ON a.k = b.k
+        |ORDER BY k""".stripMargin,
+    "q_collect_set" ->
+      """SELECT user_id,
+        |       list_sort(list(DISTINCT event_type)) AS types,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       replace(c_name, '#', '-') AS name_dashed,
+        |       reverse(c_mktsegment) AS segment_rev,
+        |       CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${textWords()}) AS w FROM documents),

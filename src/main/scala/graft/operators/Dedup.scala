@@ -169,7 +169,10 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Cardinalities only matter for candidate docs, and the semi-join
+    // keeps each candidate doc's shingle set intact — so count over the
+    // pruned table, not the full corpus.
+    val card = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = shC.select(col("doc_id").as("id_a"), col("shingle"))
       .join(shC.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

@@ -94,6 +94,54 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** FULL OUTER reconciliation of two lineages: keys on either side
+    * survive, presence flags mark which source had them — the
+    * fuse-two-databases audit query (the reference's Oracle-vs-
+    * Analytics comparison generalized). Both sides derive from one
+    * scan; the join shuffles on the key once.
+    */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_a"))
+    val b = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("price_a").isNotNull, 1L).otherwise(0L).as("in_a"),
+        when(col("price_b").isNotNull, 1L).otherwise(0L).as("in_b"),
+        round(coalesce(col("price_a"), col("price_b")), 2).as("price"))
+      .orderBy(col("k"))
+  }
+
+  /** Array aggregation: per-user sorted distinct event-type vocabulary
+    * (collect_set is order-nondeterministic — array_sort fixes the
+    * output) plus its cardinality.
+    */
+  def collectTypesPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  /** String-function suite in one projection: case mapping, padding,
+    * substring, replacement, reversal — the name/code normalization
+    * pass of a schema-mapping ingest.
+    */
+  def stringFuncsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    c.select(col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "#", "-").as("name_dashed"),
+        reverse(col("c_mktsegment")).as("segment_rev"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Null-handling policy: synthesize nulls (open orders lose their
     * priority; cheap orders lose their value), then repair them with
     * coalesce / fill defaults plus an nvl2-style presence flag — the

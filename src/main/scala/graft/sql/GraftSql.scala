@@ -53,4 +53,15 @@ object GraftSql {
     registerTables(spark, dir)
     spark.sql(validUsersViewSql)
   }
+
+  /** `q_above_avg` surface: scalar subquery in the predicate — Catalyst
+    * plans the subquery once (a one-row broadcast), not per row.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
 }

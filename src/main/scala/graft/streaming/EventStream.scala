@@ -81,6 +81,33 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: join the stream against a static
+    * dimension frame (broadcast — the dim is read once per microbatch,
+    * never shuffled with the stream). No watermark needed: stream-static
+    * joins are stateless.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      streamKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Idempotent streaming upsert via foreachBatch: every microbatch is
+    * merged into the parquet target with Sink.dedupUpsert (latest
+    * version per key wins), so replays and overlapping batches are
+    * absorbed — the streaming twin of the reference's delete-then-
+    * insert. Returns the started query; caller awaits/stops it.
+    */
+  def upsertEachBatch(events: DataFrame, path: String, keys: Seq[String],
+      versionCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sink.dedupUpsert(
+          batch.sparkSession, path, batch.toDF(), keys, versionCol)
+      }
+      .start()
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

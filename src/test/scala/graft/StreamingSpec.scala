@@ -119,4 +119,43 @@ class StreamingSpec extends SparkSpec {
     val s = EventStream.sessionWindowCounts(batch).collect()
     assert(s.length == 2)
   }
+
+  test("stream-static join enriches events with the customer dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val dim = graft.sources.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    val q = EventStream.enrichWithDim(events, dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 10.0), (999999L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, c_name FROM enrich_test ORDER BY user_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) != null)   // known customer enriched
+      assert(rows(1).isNullAt(1))            // unknown key survives (left join)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert absorbs replayed keys across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val events = input.toDF().toDF("id", "version", "payload")
+    val q = EventStream.upsertEachBatch(events, s"$dir/t",
+      Seq("id"), "version", s"$dir/ckpt")
+    try {
+      input.addData((1L, 1L, "old"), (2L, 1L, "two"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "new"), (3L, 1L, "three"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/t")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      assert(rows.toSeq == Seq((1L, "new"), (2L, "two"), (3L, "three")))
+    } finally q.stop()
+  }
 }
