@@ -43,6 +43,7 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_star_join_agg" -> ((s, d) => Analytics.starJoinRevenue(s, d)),
     "q_topn_per_group" -> ((s, d) => Analytics.topNPerGroup(s, d)),
+    "q_topk_agg" -> ((s, d) => Analytics.topKPerGroupAgg(s, d)),
     "q_running_window" -> ((s, d) => Analytics.runningUserValue(s, d)),
     "q_pivot" -> ((s, d) => Analytics.pivotEventTypes(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAcctBal(s, d)),
@@ -71,6 +72,9 @@ object SparkEntry {
     "q_collect_set" -> ((s, d) => Relational.collectTypesPerUser(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncsCustomers(s, d)),
     "q_above_avg" -> ((s, d) => graft.sql.GraftSql.aboveAvgOrders(s, d)),
+    "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotOrders(s, d)),
+    "q_profile" -> ((s, d) => Relational.profileOrders(s, d)),
     "text_tfidf" -> ((s, d) => TextFunctions.tfidfTopTerms(s, d)),
     "text_ngram_freq" -> ((s, d) => TextFunctions.bigramFreq(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
@@ -379,6 +383,14 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name
         |ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC,
+        |                                         o_orderkey DESC) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -597,6 +609,45 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type AS status,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+        |       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_current
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+        |FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null,
+        |       count(DISTINCT o_custkey) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR),
+        |       CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderstatus),
+        |       CAST(min(o_orderstatus) AS VARCHAR),
+        |       CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${textWords()}) AS w FROM documents),

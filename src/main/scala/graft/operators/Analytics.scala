@@ -67,6 +67,24 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Top-N per group via the custom `graft_topk` bounded-heap AGGREGATE
+    * (functions.BoundedTopK) instead of a window: per-group state is k
+    * rows on every map task, heaps merge map-side, and only |groups|·k
+    * rows cross the shuffle — no per-partition sort of the full input.
+    * The struct's lexicographic order (price, then key) ranks and
+    * tie-breaks deterministically.
+    */
+  def topKPerGroupAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKFunctions.topK(
+        struct(col("o_totalprice").as("p"), col("o_orderkey").as("kk")), k).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rk"),
+        col("s.kk").as("o_orderkey"), col("s.p").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   /** Running per-user sum ordered by time: one window, partitioned on
     * the entity key so state never leaves an executor.
     */

@@ -142,6 +142,58 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD type-2 interval build: each event opens a validity interval
+    * that the user's NEXT event closes — valid_from/valid_to/is_current
+    * via one lead() window per entity. The standard
+    * change-data-capture → dimension-history transform.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.filter(col("user_id") < 20)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("status"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  /** Unpivot (melt): wide order metrics to long (key, metric, value)
+    * rows — the pandas `melt` the reference's profiling code leans on,
+    * as a zero-shuffle projection.
+    */
+  def unpivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey")), "metric", "val")
+      .orderBy(col("o_orderkey"), col("metric"))
+  }
+
+  /** Column profiler: null count / distinct count / min / max per
+    * profiled column, one output row per column (min/max rendered as
+    * strings so heterogeneous columns share a schema). The per-column
+    * aggregates all fold into ONE scan-side pass per column — at scale
+    * this is the ingest-time data-quality report.
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    cols.map { c =>
+      o.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   /** Null-handling policy: synthesize nulls (open orders lose their
     * priority; cheap orders lose their value), then repair them with
     * coalesce / fill defaults plus an nvl2-style presence flag — the

@@ -79,6 +79,36 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("graft_topk bounded-heap aggregate matches the window formulation") {
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .repartition(16) // force partial aggregation + heap merges + serde
+    val viaAgg = o.groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKFunctions.topK(
+        struct(col("o_totalprice").as("p"), col("o_orderkey").as("kk")), 5).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("s"))
+      .select(col("o_orderpriority"), col("s.kk"), col("s.p"))
+      .as[(String, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val viaWindow = o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("graft_topk is SQL-callable via the extensions registration") {
+    graft.sql.GraftSql.registerTables(spark, sf)
+    val rows = spark.sql(
+      """SELECT o_orderpriority,
+        |       graft_topk(struct(o_totalprice, o_orderkey), 2) AS top
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+      .select(col("o_orderpriority"), size(col("top")).as("n"))
+      .as[(String, Int)].collect()
+    assert(rows.length == 5 && rows.forall(_._2 == 2))
+  }
+
   test("bigram frequencies are correctly ordered and bounded") {
     val b = TextFunctions.bigramFreq(spark, sf)
     val rows = b.select("rk", "n").as[(Long, Long)].collect()
