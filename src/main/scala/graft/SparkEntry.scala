@@ -78,6 +78,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextFunctions.tfidfTopTerms(s, d)),
     "text_ngram_freq" -> ((s, d) => TextFunctions.bigramFreq(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
+    "q_asof_native" -> ((s, d) => Temporal.purchaseAsOfClickNative(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
     "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
     // §2.4 dedup family
@@ -136,6 +137,20 @@ object SparkEntry {
 
   private def textWords(src: String = "text") =
     s"regexp_extract_all(lower($src), '[a-z0-9]+')"
+
+  /** Shared by q_asof_join (window formulation) and q_asof_native
+    * (custom AsOfJoinExec) — identical semantics, one oracle.
+    */
+  private val duckAsOf: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+      |      WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin
 
   private val duckShingles: String =
     s"""sh AS (
@@ -680,16 +695,8 @@ object SparkEntry {
          |      FROM c)
          |SELECT CAST(rk AS BIGINT) AS rk, bigram, n
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
-    "q_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
-        |      WHERE event_type = 'click' GROUP BY user_id, ts)
-        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
-        |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
+    "q_asof_join" -> duckAsOf,
+    "q_asof_native" -> duckAsOf,
     "q_range_join" ->
       (s"""WITH ranges(wk_bucket, start_ts, end_ts) AS (VALUES ${
         Temporal.weekRanges.map { case (w, s, e) =>

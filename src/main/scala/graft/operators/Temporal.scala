@@ -76,6 +76,29 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** `q_asof_native` surface: the same purchase↔click as-of join, but
+    * through the CUSTOM operator (graft.plans.AsOfJoin logical node →
+    * AsOfJoinStrategy → AsOfJoinExec streaming merge) instead of the
+    * union+window formulation — one shuffle+sort per side and O(1)
+    * merge state per partition. Same oracle as q_asof_join.
+    */
+  def purchaseAsOfClickNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("click_event_id"))
+    graft.plans.AsOfJoinOps
+      .asOfJoinNative(spark, purchases, clicks,
+        "user_id", "c_user_id", "ts", "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_event_id"), col("click_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Inline interval calendar for the range join (wk → [start, end)). */
   val weekRanges: Seq[(Int, String, String)] = Seq(
     (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.VectorFunctions.registerSql(e)
     graft.functions.TopKFunctions.registerSql(e)
     e.injectOptimizerRule(_ => BroadcastSmallDims)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.Temporal
 
 class TemporalSpec extends SparkSpec {
+
+  test("native as-of join plans AsOfJoinExec and matches the window formulation") {
+    val native = Temporal.purchaseAsOfClickNative(spark, sf)
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical.take(500))
+    val window = Temporal.purchaseAsOfClick(spark, sf)
+    assert(native.collect().toSeq == window.collect().toSeq)
+  }
+
+  test("native as-of join emits nulls for left rows with no prior right row") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p1"), (1L, 5L, "p0"), (2L, 7L, "q0"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 6L, "r6"), (1L, 10L, "r10"), (3L, 1L, "zz"))
+      .toDF("rk", "rt", "rtag")
+    val out = graft.plans.AsOfJoinOps
+      .asOfJoinNative(spark, l, r, "k", "rk", "t", "rt")
+      .select("k", "t", "tag", "rtag")
+      .as[(Long, Long, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, "p1", Some("r10")), // inclusive tie matches
+      (1L, 5L, "p0", None),         // nothing at-or-before t=5
+      (2L, 7L, "q0", None)))        // key with no right rows at all
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
