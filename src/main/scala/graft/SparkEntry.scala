@@ -102,7 +102,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
-    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d))
+    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d))
   )
 
   private val cutoffValues =
@@ -137,6 +138,26 @@ object SparkEntry {
 
   private def textWords(src: String = "text") =
     s"regexp_extract_all(lower($src), '[a-z0-9]+')"
+
+  /** Media metadata CTE shared by the multimodal oracles: kind cycles
+    * by doc_id, b0/b1 are the first two RAW UTF-8 BYTES of the payload
+    * (what FakeDecoder reads) via hex(encode()) — NOT ascii()
+    * codepoints, so the oracle agrees with the byte-based decoder even
+    * for non-ASCII text.
+    */
+  private val duckMediaMeta: String =
+    """m AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |         CASE WHEN strlen(text) >= 1
+      |              THEN CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER)
+      |              ELSE 0 END AS b0,
+      |         CASE WHEN strlen(text) >= 2
+      |              THEN CAST(concat('0x', substr(hex(encode(text)), 3, 2)) AS INTEGER)
+      |              ELSE 0 END AS b1
+      |  FROM documents)""".stripMargin
 
   /** Shared by q_asof_join (window formulation) and q_asof_native
     * (custom AsOfJoinExec) — identical semantics, one oracle.
@@ -854,24 +875,8 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    "mm_decode_stats" ->
-      // b0/b1 are the first two RAW UTF-8 BYTES of the payload (what
-      // FakeDecoder reads), not codepoints — derived via hex(encode())
-      // so the oracle agrees with the byte-based decoder even for
-      // non-ASCII text.
-      """WITH m AS (
-        |  SELECT doc_id,
-        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-        |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         CASE WHEN strlen(text) >= 1
-        |              THEN CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INTEGER)
-        |              ELSE 0 END AS b0,
-        |         CASE WHEN strlen(text) >= 2
-        |              THEN CAST(concat('0x', substr(hex(encode(text)), 3, 2)) AS INTEGER)
-        |              ELSE 0 END AS b1
-        |  FROM documents)
-        |SELECT doc_id, kind, n_bytes,
+    "mm_decode_stats" -> (s"WITH $duckMediaMeta\n" +
+      """SELECT doc_id, kind, n_bytes,
         |       CAST(CASE WHEN kind = 'audio' THEN 0
         |                 ELSE 16 + b0 % 64 END AS INTEGER) AS width,
         |       CAST(CASE WHEN kind = 'audio' THEN 0
@@ -881,7 +886,16 @@ object SparkEntry {
         |                 ELSE 1 + b1 % 240 END AS INTEGER) AS n_frames,
         |       CAST(CASE WHEN kind = 'audio' THEN 8000 + (b0 % 5) * 8000
         |                 ELSE 0 END AS INTEGER) AS sample_rate
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "mm_frame_sample" -> (s"WITH $duckMediaMeta,\n" +
+      """v AS (SELECT doc_id, 1 + b1 % 240 AS n_frames FROM m
+        |      WHERE kind = 'video'),
+        |s AS (SELECT doc_id, n_frames, unnest(range(4)) AS sample_i FROM v)
+        |SELECT doc_id, CAST(sample_i AS BIGINT) AS sample_i,
+        |       CAST(floor(CAST(sample_i AS DOUBLE) * CAST(n_frames AS DOUBLE) /
+        |                  CAST(4.0 AS DOUBLE)) AS BIGINT) AS frame_idx,
+        |       CAST(n_frames AS BIGINT) AS n_frames
+        |FROM s ORDER BY doc_id, sample_i""".stripMargin),
     "sim_pair_stats" ->
       """WITH pos AS (
         |  SELECT label, vec_id, unnest(embedding) AS v,

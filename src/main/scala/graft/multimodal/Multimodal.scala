@@ -70,6 +70,23 @@ object Multimodal {
     * instance per partition (codecs are expensive to init) and streams
     * the iterator — no partition-wide materialization.
     */
+  /** Frame sampling: k evenly-spaced frame indices per video payload
+    * (`frame_idx_i = floor(i·n_frames/k)`) — the decode-stage fan-out a
+    * video pipeline feeds to per-frame feature extraction. The sample
+    * plan is columnar (sequence + explode) on top of the decoded
+    * metadata; payload bytes never leave the scan stage.
+    */
+  def frameSample(spark: SparkSession, dir: String, k: Int = 4): DataFrame =
+    decodeStats(spark, dir)
+      .filter(col("kind") === "video")
+      .withColumn("sample_i", explode(sequence(lit(0L), lit((k - 1).toLong))))
+      .withColumn("frame_idx",
+        floor(col("sample_i").cast("double") * col("n_frames").cast("double") /
+          lit(k.toDouble)).cast("long"))
+      .select(col("doc_id"), col("sample_i"), col("frame_idx"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"), col("sample_i"))
+
   def decodeStats(spark: SparkSession, dir: String,
       decoder: Decoder = FakeDecoder): DataFrame = {
     import spark.implicits._

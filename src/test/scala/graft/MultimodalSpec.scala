@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkSpec {
     assert(twice == d.collect().toSeq)
   }
 
+  test("frameSample emits k evenly-spaced in-range frame indices per video") {
+    val fs = Multimodal.frameSample(spark, sf, k = 4)
+    val perDoc = fs.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") =!= 4L).count() == 0)
+    assert(fs.filter(col("frame_idx") < 0 ||
+      col("frame_idx") >= col("n_frames")).count() == 0)
+    // sample 0 is always frame 0; samples are non-decreasing
+    assert(fs.filter(col("sample_i") === 0L && col("frame_idx") =!= 0L).count() == 0)
+  }
+
   test("FakeDecoder is a pure function of bytes") {
     val m1 = FakeDecoder.decode("image", Array[Byte](10, 20, 30))
     val m2 = FakeDecoder.decode("image", Array[Byte](10, 20, 30))

@@ -52,6 +52,23 @@ class SinkSpec extends SparkSpec {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
   }
 
+  test("hive-partitioned write enables partition pruning on read") {
+    val p = tmpDir()
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type")
+    Sink.overwrite(e, p, partitionBy = Seq("event_type"))
+    // one directory per partition value on disk
+    val dirs = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).toSet
+    assert(dirs.contains("event_type=click"))
+    val pruned = spark.read.parquet(p).filter(col("event_type") === "purchase")
+    // the partition filter must reach the scan (pruning, not a row filter)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan.take(800))
+    val expected = e.filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+  }
+
   test("dedupUpsert keeps the latest version per key across writes") {
     val p = tmpDir()
     Sink.dedupUpsert(spark, p,
