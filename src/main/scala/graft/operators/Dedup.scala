@@ -16,10 +16,10 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Word-trigram shingles as distinct (doc_id, shingle) pairs — the
-    * common substrate of the jaccard and minhash paths.
+  /** Word-trigram shingles as (doc_id, shingle) pairs WITH duplicates —
+    * no shuffle; min-based signatures are unaffected by repeats.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     // Materialize the token array as a column BEFORE the shingle
     // lambda: referencing the tokenizer expression inside the lambda
     // would re-run the regexp once per shingle index (no common
@@ -34,8 +34,13 @@ object Dedup {
     docs
       .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(sh).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, shingle) pairs — the set-semantics substrate the
+    * Jaccard math needs (one corpus-wide dedup shuffle).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(docs, n).distinct()
 
   /** Exact dedup: md5 over normalized text, one map-side-combinable
     * aggregation. keep_id = min(doc_id) is the survivor-selection rule.
@@ -75,6 +80,12 @@ object Dedup {
       threshold: Double = 0.4, maxDf: Option[Int] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sh = boundedShingles(docs, maxDf).cache()
+    // Count-based verify: every co-shingle pair IS a candidate here
+    // (no LSH pre-filter), so the pair set is large and map-side
+    // partial aggregation of join rows (count per pair) beats
+    // materializing per-pair shingle sets — the set+array_intersect
+    // formulation only wins when candidates are sparse (see
+    // minhashPairs).
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -136,9 +147,11 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // One shingle pass feeds both the signature build and the exact
-    // verify — cached so the corpus is tokenized once.
-    val sh = shingles(docs).cache()
+    // One RAW shingle pass feeds both stages — cached so the corpus is
+    // tokenized once. No corpus-wide distinct: min-signatures ignore
+    // duplicates, and the verify stage dedups AFTER candidate pruning
+    // (a shuffle over candidate docs only, not the whole corpus).
+    val sh = shinglesRaw(docs).cache()
     val sigs = signaturesFromShingles(sh)
     val rowsPerBand = MinhashK / MinhashBands
     // Band key = md5 over the band index + its signature components
@@ -161,30 +174,26 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .cache()
-    // Exact-Jaccard verify restricted to the candidate set: prune the
-    // shingle table to candidate docs first (left-semi), shingle-join
-    // only within that small set, then keep bucketed pairs. At scale
-    // candidate docs ≪ corpus, so the pairwise stage never sees the
-    // full shingle table.
+    // Exact-Jaccard verify per candidate PAIR via per-doc shingle SETS
+    // and array_intersect — work is O(|candidate pairs| · doc length),
+    // not the Σ df² of a shingle-equality self-join (a hot shingle
+    // shared by m candidate docs would otherwise fan out m² join
+    // rows). collect_set dedups per doc, so the raw shingle table
+    // never pays a corpus-wide distinct either. Set rows are bounded
+    // by document length — fine for documents, re-block by length
+    // first if a corpus has pathological outliers.
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val shC = sh.join(candIds, Seq("doc_id"), "left_semi")
-    // Cardinalities only matter for candidate docs, and the semi-join
-    // keeps each candidate doc's shingle set intact — so count over the
-    // pruned table, not the full corpus.
-    val card = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shC.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(shC.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
-    inter
-      .join(card.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(card.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("shs"))
+      .cache()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
