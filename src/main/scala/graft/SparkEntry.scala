@@ -740,10 +740,12 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_ngram_jaccard" ->
       (s"""WITH $duckShingles,
-         |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shh AS (SELECT DISTINCT doc_id,
+         |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+         |card AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |       round(CAST(n_inter AS DOUBLE) /
