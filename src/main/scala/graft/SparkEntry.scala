@@ -95,11 +95,16 @@ object SparkEntry {
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
     "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
     "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
+    "text_gopher" -> ((s, d) => TextFunctions.gopherRules(s, d)),
+    "text_scrub" -> ((s, d) => TextFunctions.scrub(s, d)),
+    "text_domain_mix" -> ((s, d) => TextFunctions.domainMix(s, d)),
+    "text_subsample" -> ((s, d) => TextFunctions.subsample(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -703,6 +708,90 @@ object SparkEntry {
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term,
          |       round(score, 6) AS tfidf
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_gopher" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${textWords()} AS w,
+         |         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nalnum
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |         CAST(nalnum AS DOUBLE) /
+         |           greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS mean_wl,
+         |         len(list_intersect(list_distinct(w),
+         |             ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS n_stop,
+         |         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |              AS DOUBLE) /
+         |           greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS alpha_r
+         |  FROM b)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       round(mean_wl, 6) AS mean_word_len,
+         |       CAST(n_stop AS BIGINT) AS n_stop_distinct,
+         |       round(alpha_r, 6) AS alpha_ratio,
+         |       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS pass_word_count,
+         |       CAST(CASE WHEN mean_wl BETWEEN 3.0 AND 10.0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS pass_mean_len,
+         |       CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS pass_stopwords,
+         |       CAST(CASE WHEN alpha_r >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS pass_alpha,
+         |       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |                  AND mean_wl BETWEEN 3.0 AND 10.0
+         |                  AND n_stop >= 2 AND alpha_r >= 0.8
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |         regexp_replace(regexp_replace(lower(text),
+        |           '\b(customer|supplier)\b', '[X]', 'g'),
+        |           '[0-9]{3,}', '[N]', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lt, '\b(customer|supplier)\b'))
+        |            AS BIGINT) AS n_blocked,
+        |       CAST(len(regexp_extract_all(lt, '[0-9]{3,}')) AS BIGINT) AS n_nums,
+        |       md5(scrubbed) AS scrub_fp,
+        |       CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_domain_mix" ->
+      s"""WITH p AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         count(DISTINCT lang) AS n_langs,
+         |         sum(len(${textWords()})) AS sum_words,
+         |         round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |         AS doc_share,
+         |       CAST(n_langs AS BIGINT) AS n_langs,
+         |       CAST(sum_words AS BIGINT) AS sum_words, avg_chars
+         |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+    "text_subsample" -> {
+      val rateCase = graft.functions.TextFunctions.sourceRates
+        .map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 100 AS bucket,
+         |         CASE source $rateCase ELSE 0 END AS rate_pct
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
+         |FROM r WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
+    },
+    "sim_knn_graph" ->
+      """WITH s AS (
+        |  SELECT a.vec_id, b.vec_id AS nb_id,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nb_id, cos,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY cos DESC, nb_id) AS rk
+        |      FROM s)
+        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, nb_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT ${textWords()} AS w FROM documents),
          |b AS (SELECT unnest(

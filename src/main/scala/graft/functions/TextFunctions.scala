@@ -175,6 +175,117 @@ object TextFunctions {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Gopher-style quality-rule filter (`text_gopher`): the word-level
+    * subset of the Gopher corpus rules (Rae et al. 2021, §A1.1) —
+    * word-count bounds, mean-word-length bounds, minimum distinct
+    * stopwords, minimum alphabetic-word ratio — emitted as per-rule
+    * 0/1 flags plus the conjunctive keep decision, so a pipeline can
+    * report per-rule rejection rates, not just the survivor set. One
+    * tokenize pass, all rules inside whole-stage codegen, no shuffle
+    * until the output sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val sw = array(stopwords.map(lit): _*)
+    val base = d.select(col("doc_id"),
+      words(lower(col("text"))).as("toks"),
+      nAlnumChars(col("text")).as("nalnum"))
+    val nw = size(col("toks")).cast("long")
+    val nwD = greatest(nw.cast("double"), lit(1.0))
+    val meanWl = col("nalnum").cast("double") / nwD
+    val nStopDistinct =
+      size(array_intersect(array_distinct(col("toks")), sw)).cast("long")
+    val alphaRatio =
+      size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).cast("double") / nwD
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    base.select(col("doc_id"),
+        nw.as("n_words"),
+        round(meanWl, 6).as("mean_word_len"),
+        nStopDistinct.as("n_stop_distinct"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        flag(nw.between(50L, 100000L)).as("pass_word_count"),
+        flag(meanWl.between(3.0, 10.0)).as("pass_mean_len"),
+        flag(nStopDistinct >= 2L).as("pass_stopwords"),
+        flag(alphaRatio >= 0.8).as("pass_alpha"))
+      .withColumn("keep",
+        flag(col("pass_word_count") === 1L && col("pass_mean_len") === 1L &&
+          col("pass_stopwords") === 1L && col("pass_alpha") === 1L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocklist / pattern scrubbing (`text_scrub`): the PII-shaped
+    * redaction pass of a training-data pipeline — a term blocklist and
+    * a digit-run pattern replaced with fixed placeholder tokens, with
+    * per-pattern hit counts and a fingerprint of the scrubbed text so
+    * downstream exact-dedup runs on the REDACTED form. Pure projection
+    * (regexp_replace / regexp_extract_all are codegen'd); the real
+    * patterns (emails, phones, credentials) drop in without changing
+    * the plan shape.
+    */
+  val blockPattern = "\\b(customer|supplier)\\b"
+  val numPattern = "[0-9]{3,}"
+
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val lowered = lower(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(lowered, blockPattern, "[X]"), numPattern, "[N]")
+    d.select(col("doc_id"),
+        size(regexp_extract_all(lowered, lit(blockPattern), lit(0)))
+          .cast("long").as("n_blocked"),
+        size(regexp_extract_all(lowered, lit(numPattern), lit(0)))
+          .cast("long").as("n_nums"),
+        md5(scrubbed.cast("binary")).as("scrub_fp"),
+        length(scrubbed).cast("long").as("n_chars_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus composition report (`text_domain_mix`): per-source doc
+    * share, token volume, language spread — the mixture dashboard a
+    * data team reads before setting sampling weights. One aggregation;
+    * the corpus total joins in as a broadcast single-row aggregate.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val perSrc = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(nWords(col("text"))).as("sum_words"),
+      round(avg(length(col("text")).cast("double")), 6).as("avg_chars"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
+          .as("doc_share"),
+        col("n_langs"), col("sum_words"), col("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic per-source subsampling (`text_subsample`): rebalance
+    * the corpus mixture by keeping a source-dependent fraction of
+    * documents, selected by an md5-derived bucket of the doc id — the
+    * same rows survive on every run, every engine, and every cluster
+    * layout (no RNG, no sample()). The rate table is a tiny broadcast
+    * join, the bucket test is a codegen'd projection: the corpus is
+    * scanned once with no shuffle.
+    */
+  def sourceRates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", if (i < 5) 100 else if (i < 10) 50 else 25))
+
+  def subsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    val rates = sourceRates.toDF("source", "rate_pct")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7),
+        16, 10).cast("long"), lit(100L))
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("rate_pct").cast("long"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level bigram frequencies (`text_ngram_freq`): top-20 word
     * bigrams with a deterministic (count desc, bigram asc) rank — the
     * vocabulary/statistics pass of a tokenizer-training pipeline. One

@@ -203,6 +203,31 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** k-NN graph (`sim_knn_graph`): every vector's k nearest neighbors
+    * within its label cell — the building block of graph-based dedup
+    * and cluster refinement. Blocking = the cell equi-join (pairs only
+    * form inside a cell), ranking = a per-vector window with a
+    * deterministic (cos desc, id asc) tie-break. At cluster scale the
+    * cell is the IVF partition key, so each cell's self-join is
+    * co-located and the stage is embarrassingly parallel; pair volume
+    * is Σ|cell|², bounded by the quantizer's cell-size cap — never a
+    * corpus-wide O(n²).
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nb = emb.select(col("label"), col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    emb.join(nb, Seq("label"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cos", cosine(col("embedding"), col("nb_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nb_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Cluster statistics: members per label + mean cosine of members to
     * their label centroid — the cluster-cohesion diagnostic an IVF
     * index build emits.

@@ -79,6 +79,22 @@ class SimilaritySpec extends SparkSpec {
     assert(diag > n / 5, s"diagonal $diag of $n")
   }
 
+  test("knnGraph emits k in-label neighbors per vector, ranked by cosine") {
+    val g = Similarity.knnGraph(spark, sf, k = 3)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    // every vector appears (each label cell has > 3 members at sf0.001)
+    assert(g.select("vec_id").distinct().count() == emb.count())
+    // ranks are exactly 1..3 and never self-referential
+    assert(g.groupBy("vec_id").count().filter(col("count") =!= 3).count() == 0)
+    assert(g.filter(col("vec_id") === col("nb_id")).count() == 0)
+    // rank 1 has the max cosine within each vector's neighbor list
+    val viol = g.groupBy("vec_id").agg(
+      max(col("cos")).as("mx"),
+      max(when(col("rk") === 1, col("cos"))).as("r1"))
+      .filter(col("r1") < col("mx"))
+    assert(viol.count() == 0)
+  }
+
   test("rp signatures are stable and rpLshPairs verifies with exact cosine") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
     val s1 = Similarity.rpSignatures(emb).orderBy("vec_id")

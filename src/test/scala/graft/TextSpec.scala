@@ -36,6 +36,43 @@ class TextSpec extends SparkSpec {
     assert(l.filter(!col("lang_guess").isin("en", "de", "es")).count() == 0)
   }
 
+  test("gopher rules flag short and stopword-free docs") {
+    val g = TextFunctions.gopherRules(spark, sf)
+    // every keep decision is the conjunction of its four rule flags
+    val bad = g.filter(col("keep") =!=
+      (col("pass_word_count") * col("pass_mean_len") *
+        col("pass_stopwords") * col("pass_alpha")))
+    assert(bad.count() == 0)
+    // flags are well-formed 0/1
+    assert(g.filter(!col("keep").isin(0L, 1L)).count() == 0)
+  }
+
+  test("scrub replaces blocklist terms and digit runs") {
+    val one = Seq((1L, "Customer 12345 met supplier Bob at 9am"))
+      .toDF("doc_id", "text")
+    val scrubbed = one.select(regexp_replace(regexp_replace(lower(col("text")),
+      TextFunctions.blockPattern, "[X]"), TextFunctions.numPattern, "[N]"))
+      .as[String].head()
+    assert(scrubbed == "[X] [N] met [X] bob at 9am")
+  }
+
+  test("domain mix shares sum to 1") {
+    val m = TextFunctions.domainMix(spark, sf)
+    val total = m.agg(sum(col("doc_share"))).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-4)
+  }
+
+  test("subsample keeps full-rate sources and is deterministic") {
+    val s1 = TextFunctions.subsample(spark, sf)
+    // rate-100 sources keep every doc
+    val full = TextFunctions.sourceRates.filter(_._2 == 100).map(_._1)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val expected = docs.filter(col("source").isin(full: _*)).count()
+    assert(s1.filter(col("source").isin(full: _*)).count() == expected)
+    // deterministic across runs
+    assert(s1.collect().toSeq == TextFunctions.subsample(spark, sf).collect().toSeq)
+  }
+
   test("fingerprint is whitespace-insensitive") {
     val two = Seq((1L, "a  b   c"), (2L, " a b c ")).toDF("doc_id", "text")
     val fps = two.select(md5(TextFunctions.normText(col("text")).cast("binary")))
