@@ -81,6 +81,37 @@ object ProbePerf {
 
     time("minhash_current")(graft.operators.Dedup.minhashPairs(spark, dir))
 
+    time("quality_current")(graft.functions.TextFunctions.qualityScore(spark, dir))
+
+    // variant: one tokenize pass + one keep-class regex; alnum chars from
+    // the token array instead of a second regex pass
+    def qualityFused(): DataFrame = {
+      import graft.functions.TextFunctions.{stopwords, words}
+      val d = docs
+      val sw = array(stopwords.map(lit): _*)
+      val base = d.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        words(lower(col("text"))).as("toks"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("long").as("len_keep"))
+      val nw = size(col("toks")).cast("long")
+      val nalnum = aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+      val nsw = size(filter(col("toks"), w => array_contains(sw, w))).cast("long")
+      val punct = (col("len") - col("len_keep")).cast("double") / col("len").cast("double")
+      val nwD = greatest(nw.cast("double"), lit(1.0))
+      val stopR = nsw.cast("double") / nwD
+      base.select(col("doc_id"),
+          col("len").as("n_chars_text"),
+          nw.as("n_words"),
+          round(punct, 6).as("punct_ratio"),
+          round(stopR, 6).as("stopword_ratio"),
+          round(nalnum.cast("double") / nwD, 6).as("mean_word_len"),
+          round(least(lit(1.0),
+            least(nw.cast("double") / 20.0, lit(1.0)) *
+              (lit(1.0) - punct) * (lit(0.5) + stopR)), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }
+    time("quality_fused")(qualityFused())
+
     spark.stop()
   }
 }
