@@ -69,6 +69,27 @@ class SinkSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition overwrite replaces only touched partitions, compacted") {
+    val p = tmpDir()
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    Sink.overwritePartitionsDynamic(day1, p, Seq("day"))
+    // reload ONLY day 2 with new contents
+    val day2 = Seq((9L, "2024-01-02", "z")).toDF("id", "day", "v")
+    Sink.overwritePartitionsDynamic(day2, p, Seq("day"))
+    val out = spark.read.parquet(p).orderBy("id")
+      .select("id", "day", "v").as[(Long, String, String)].collect().toSeq
+    // day 1 untouched, day 2 fully replaced
+    assert(out == Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (9L, "2024-01-02", "z")))
+    // compaction: exactly one data file per partition directory
+    Seq("day=2024-01-01", "day=2024-01-02").foreach { d =>
+      val files = new java.io.File(p, d).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+  }
+
   test("dedupUpsert keeps the latest version per key across writes") {
     val p = tmpDir()
     Sink.dedupUpsert(spark, p,
