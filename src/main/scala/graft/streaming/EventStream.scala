@@ -108,6 +108,63 @@ object EventStream {
       }
       .start()
 
+  /** Input row for the streaming as-of enrichment: `kind` is "l"
+    * (a row to enrich) or "r" (a reference tick that becomes state).
+    */
+  final case class Tick(user_id: Long, ts: Timestamp, kind: String,
+      event_id: Long, payload: Double)
+  final case class AsOfOut(user_id: Long, ts: Timestamp, event_id: Long,
+      asof_event_id: Option[Long], asof_payload: Option[Double])
+  /** Reference ticks retained per key, newest-first as (tsMs, event_id,
+    * payload); pruned against the watermark on every invocation.
+    */
+  final case class AsOfState(rights: List[(Long, Long, Double)])
+
+  /** Streaming as-of enrichment (the streaming twin of
+    * `Temporal.asOfJoin`, which Structured Streaming has no built-in
+    * for): every left tick is joined to the latest right tick of the
+    * same key at-or-before its timestamp. Keyed state holds the recent
+    * right ticks; rights older than the watermark are pruned down to
+    * the single newest pre-watermark tick (still the floor candidate
+    * for any future left, which must carry ts >= watermark). Tie rules
+    * mirror the batch operator: a same-timestamp right IS visible to a
+    * left, and among equal-timestamp rights the greatest event_id wins.
+    */
+  def asOfEnrich(ticks: Dataset[Tick]): Dataset[AsOfOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Tick], state: GroupState[AsOfState]) =>
+          // rights first at equal ts; among rights, ascending event_id so
+          // the LAST inserted equal-ts right has the greatest id
+          val sorted = rows.toSeq.sortBy(t =>
+            (t.ts.getTime, if (t.kind == "r") 0 else 1, t.event_id))
+          var rights = state.getOption.map(_.rights).getOrElse(Nil)
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { t =>
+            if (t.kind == "r") {
+              // newest-first insert; equal-ts: greater id in front
+              val (newer, older) = rights.partition { case (ms, id, _) =>
+                ms > t.ts.getTime || (ms == t.ts.getTime && id > t.event_id)
+              }
+              rights = newer ::: (t.ts.getTime, t.event_id, t.payload) :: older
+            } else {
+              val m = rights.find(_._1 <= t.ts.getTime)
+              out += AsOfOut(userId, t.ts, t.event_id, m.map(_._2), m.map(_._3))
+            }
+          }
+          // watermark pruning: keep all rights >= wm plus the newest older one
+          val wm = state.getCurrentWatermarkMs()
+          val (recent, old) = rights.span(_._1 >= wm)
+          val pruned = recent ::: old.take(1)
+          if (pruned.nonEmpty) state.update(AsOfState(pruned)) else state.remove()
+          out.result().iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

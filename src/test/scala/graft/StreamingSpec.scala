@@ -67,6 +67,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich attaches the latest right tick at-or-before each left") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Tick]
+    val q = EventStream.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      import EventStream.Tick
+      // batch 1: two rights then a left between them, plus a same-ts
+      // right/left pair (right must be visible to the left)
+      input.addData(
+        Tick(1L, ts("2024-01-01 10:00:00"), "r", 100L, 1.0),
+        Tick(1L, ts("2024-01-01 11:00:00"), "r", 101L, 2.0),
+        Tick(1L, ts("2024-01-01 10:30:00"), "l", 500L, 0.0),
+        Tick(2L, ts("2024-01-01 09:00:00"), "r", 200L, 7.0),
+        Tick(2L, ts("2024-01-01 09:00:00"), "l", 600L, 0.0))
+      q.processAllAvailable()
+      // batch 2: a left AFTER both rights matches the newest; a left
+      // for a key with no prior right gets null
+      input.addData(
+        Tick(1L, ts("2024-01-01 12:00:00"), "l", 501L, 0.0),
+        Tick(3L, ts("2024-01-01 12:00:00"), "l", 700L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, asof_event_id, asof_payload FROM asof_stream_test " +
+        "ORDER BY event_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(500L, 501L, 600L, 700L))
+      // 500 @10:30 -> right 100 @10:00 (not the 11:00 future right)
+      assert(rows(0).getLong(1) == 100L && rows(0).getDouble(2) == 1.0)
+      // 501 @12:00 -> newest right 101 @11:00, carried across batches
+      assert(rows(1).getLong(1) == 101L && rows(1).getDouble(2) == 2.0)
+      // 600 same-ts as right 200: the right is visible
+      assert(rows(2).getLong(1) == 200L && rows(2).getDouble(2) == 7.0)
+      // 700: no right for key 3 -> null enrichment
+      assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups a keyed stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
