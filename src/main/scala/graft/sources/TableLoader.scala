@@ -85,4 +85,19 @@ object SchemaAlign {
     */
   def unionLineages(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** Schema-evolved read: one logical table whose parquet files were
+    * written under successive schema versions (columns added over
+    * time). `mergeSchema` unions the footers at planning time — old
+    * files surface the new columns as null, and column pruning still
+    * reaches every file (a projection of the v1 columns never reads a
+    * v2-only column). This is how a 100 TB table absorbs additive
+    * schema change without a rewrite; renames/retypes go through an
+    * explicit `SchemaAlign.project` onto the current target instead.
+    */
+  def loadEvolved(spark: SparkSession, paths: Seq[String],
+      target: Option[StructType] = None): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    target.fold(merged)(SchemaAlign.project(merged, _))
+  }
 }

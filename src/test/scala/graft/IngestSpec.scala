@@ -55,6 +55,30 @@ class IngestSpec extends SparkSpec {
     assert(fromCsv == expect && fromJson == expect)
   }
 
+  test("loadEvolved merges additive schema versions and prunes columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft-evolve")
+    val v1 = base.resolve("v1").toString
+    val v2 = base.resolve("v2").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(v1)
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score").write.parquet(v2)
+    val merged = SchemaAlign.loadEvolved(spark, Seq(v1, v2))
+    // new column surfaces; v1 rows carry null for it
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.orderBy("id")
+      .select("id", "score").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(1) && rows(2).getDouble(1) == 9.5)
+    // projecting only v1 columns never reads the v2-only column
+    val pruned = SchemaAlign.loadEvolved(spark, Seq(v1, v2)).select("id", "v")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("score"), scan.take(600))
+    // optional target alignment casts and reorders in the same pass
+    val target = StructType(Seq(StructField("score", DoubleType),
+      StructField("id", LongType)))
+    val aligned = SchemaAlign.loadEvolved(spark, Seq(v1, v2), Some(target))
+    assert(aligned.columns.toSeq == Seq("score", "id"))
+  }
+
   test("dynamicProjection matches the declared target schema") {
     val out = Ingest.dynamicProjection(spark, sf)
     assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
