@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_span" -> ((s, d) => Dedup.spanDups(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -845,6 +846,22 @@ object SparkEntry {
          |WHERE CAST(n_inter AS DOUBLE) /
          |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin),
+    "dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 10
+         |              THEN list_transform(range(len(w) - 9),
+         |                     i -> array_to_string(w[i+1:i+10], ' '))
+         |              ELSE CAST([] AS VARCHAR[]) END AS wl
+         |  FROM t),
+         |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+         |             unnest(wl) AS s FROM win),
+         |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e)
+         |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |       min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
+         |FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY h""".stripMargin,
     "dedup_minhash" -> duckMinhash,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,

@@ -326,6 +326,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated token-window spans (`dedup_span`): the token-window
+    * re-expression of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") —
+    * every W-token window (stride 1) is hashed, and a hash occurring
+    * in more than one document marks a copied span, the unit a
+    * substring-dedup pass would cut. Window volume is one row per
+    * token (linear); the aggregation is one shuffle on the window
+    * hash with map-side combine. 60-bit md5-derived hashes keep the
+    * oracle replayable; at corpus scale widen to the full digest.
+    */
+  def spanDups(spark: SparkSession, dir: String, window: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = col("toks")
+    val idx = when(size(toks) >= window, sequence(lit(0), size(toks) - window))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idx, i =>
+      md5Bits(concat_ws(" ", slice(toks, i + 1, lit(window))), 1, 15))
+    docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("pos")).cast("long").as("min_pos"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"), col("n_docs"), col("n_occ"), col("first_doc"), col("min_pos"))
+      .orderBy(col("h"))
+  }
+
   /** Embedding-cosine near-dup pairs, label-blocked (IVF-style: the
     * label is the coarse quantizer cell; only same-cell pairs are
     * scored). Cosine runs in the native codegen expression.

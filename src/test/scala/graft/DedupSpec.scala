@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpec {
       java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)))
   }
 
+  test("spanDups finds cross-document copied windows only") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (2L, "ZZZ one two three four five six seven eight nine ten QQQ"),
+      (3L, "completely different words with no shared window at all here")
+    ).toDF("doc_id", "text")
+    val toks = col("toks")
+    // replicate the operator body on an inline frame (the public entry
+    // reads from a table dir)
+    val idx = when(size(toks) >= 10, sequence(lit(0), size(toks) - 10))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idx, i =>
+      Dedup.md5Bits(concat_ws(" ", slice(toks, i + 1, lit(10))), 1, 15))
+    val spans = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+    // docs 1 and 2 share exactly one 10-token window ("one ... ten")
+    val rows = spans.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 2L) // n_docs: both sharing docs
+    assert(rows(0).getLong(2) == 1L) // first_doc
+  }
+
   test("boundedShingles drops only shingles above the document-frequency cap") {
     val sfDocs = graft.sources.Tables.load(spark, sf, "documents")
     val all = Dedup.boundedShingles(sfDocs, None)
