@@ -69,6 +69,7 @@ object SparkEntry {
     "q_date_parts" -> ((s, d) => Relational.datePartsOrders(s, d)),
     "q_null_clean" -> ((s, d) => Relational.nullCleanOrders(s, d)),
     "q_full_outer" -> ((s, d) => Relational.fullOuterReconcile(s, d)),
+    "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiff(s, d)),
     "q_collect_set" -> ((s, d) => Relational.collectTypesPerUser(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncsCustomers(s, d)),
     "q_above_avg" -> ((s, d) => graft.sql.GraftSql.aboveAvgOrders(s, d)),
@@ -633,6 +634,28 @@ object SparkEntry {
         |      WHERE o_orderkey % 3 = 0) b
         |  ON a.k = b.k
         |ORDER BY k""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice AS price_a, o_orderstatus AS status_a
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |b AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0
+        |              THEN o_totalprice * CAST(2 AS DOUBLE)
+        |              ELSE o_totalprice END AS price_b,
+        |         o_orderstatus AS status_b
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         CASE WHEN a.price_a IS NULL THEN 'insert'
+        |              WHEN b.price_b IS NULL THEN 'delete'
+        |              WHEN a.price_a <> b.price_b
+        |                OR a.status_a <> b.status_b THEN 'update'
+        |              ELSE 'same' END AS change,
+        |         round(coalesce(b.price_b, a.price_a), 2) AS price
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, change, price FROM d
+        |WHERE change <> 'same' ORDER BY o_orderkey""".stripMargin,
     "q_collect_set" ->
       """SELECT user_id,
         |       list_sort(list(DISTINCT event_type)) AS types,

@@ -114,6 +114,43 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Snapshot diff (`q_snapshot_diff`): CDC-style changed-row detection
+    * between two versions of a keyed table — the incremental-ETL
+    * primitive that turns full reloads into delta loads. One full-outer
+    * join on the key; presence decides insert/delete, column-level
+    * inequality decides update (typed comparison, NOT a stringified
+    * row hash — float formatting is engine-specific but value equality
+    * is not). Unchanged rows are dropped so the output is the delta,
+    * which at 100 TB is what gets written, not the snapshots.
+    * The two "snapshots" derive deterministically from `orders`:
+    * version B drops key%5==0, adds key%3==0-only rows, and doubles
+    * the price of key%7==0.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val a = o.filter(col("o_orderkey") % 3 =!= 0)
+    val b = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    val aa = a.select(col("o_orderkey"), col("o_totalprice").as("price_a"),
+      col("o_orderstatus").as("status_a"))
+    val bb = b.select(col("o_orderkey"), col("o_totalprice").as("price_b"),
+      col("o_orderstatus").as("status_b"))
+    aa.join(bb, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("price_a").isNull, "insert")
+          .when(col("price_b").isNull, "delete")
+          .when(col("price_a") =!= col("price_b") ||
+            col("status_a") =!= col("status_b"), "update")
+          .otherwise("same").as("change"),
+        round(coalesce(col("price_b"), col("price_a")), 2).as("price"))
+      .filter(col("change") =!= "same")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Array aggregation: per-user sorted distinct event-type vocabulary
     * (collect_set is order-nondeterministic — array_sort fixes the
     * output) plus its cardinality.

@@ -109,6 +109,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length == 5 && rows.forall(_._2 == 2))
   }
 
+  test("snapshotDiff classifies inserts, deletes, and updates") {
+    val d = graft.operators.Relational.snapshotDiff(spark, sf)
+    val byChange = d.groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    // inserts: in B only = key%3==0 && key%5!=0
+    val ins = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0).count()
+    // deletes: in A only = key%5==0 && key%3!=0
+    val del = o.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 3 =!= 0).count()
+    // updates: in both with doubled price = key%7==0, %3!=0, %5!=0
+    val upd = o.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 =!= 0).count()
+    assert(byChange.get("insert").contains(ins), s"$byChange vs insert=$ins")
+    assert(byChange.get("delete").contains(del), s"$byChange vs delete=$del")
+    assert(byChange.get("update").contains(upd), s"$byChange vs update=$upd")
+    assert(byChange.keySet == Set("insert", "delete", "update"))
+  }
+
   test("bigram frequencies are correctly ordered and bounded") {
     val b = TextFunctions.bigramFreq(spark, sf)
     val rows = b.select("rk", "n").as[(Long, Long)].collect()
