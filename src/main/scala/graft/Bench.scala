@@ -23,14 +23,15 @@ object Bench {
     // runs time the plan, not classloading.
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
-    // min of two runs per query: the first pays plan compilation and
-    // codegen, the second is the steady-state number a cluster job sees.
+    // min of three runs per query: the first pays plan compilation and
+    // codegen, the rest are steady-state samples — the min discards
+    // ambient host noise (virtualized timing varies 2x run-to-run).
     // A run that throws contributes NO timing — a fast failure must not
     // make the benchmark look faster; failed queries are reported and
     // fail the process.
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).flatMap { _ =>
+        val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
