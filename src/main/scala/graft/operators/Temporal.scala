@@ -137,9 +137,12 @@ object Temporal {
     * partition. The salt is derived from a per-row column (line
     * number), the dimension side is exploded across all salt values,
     * and the final aggregate provably equals the unsalted join (the
-    * oracle runs the plain join).
+    * oracle runs the plain join). Size the salt to the observed skew:
+    * it multiplies the replicated side, so it should be the SMALLEST
+    * factor that levels the hottest partition — 4 here; a real deploy
+    * reads the factor from shuffle-partition size metrics.
     */
-  def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 8): DataFrame = {
+  def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 4): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .withColumn("__salt", pmod(col("l_linenumber"), lit(nSalt)))
     val o = Tables.load(spark, dir, "orders")
