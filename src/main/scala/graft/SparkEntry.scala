@@ -225,10 +225,12 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shv AS (SELECT DISTINCT doc_id,
+       |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM shv GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shv a JOIN shv b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |jac AS (
        |  SELECT id_a, id_b,

@@ -145,9 +145,16 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     signaturesFromShingles(shingles(docs))
 
-  def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val hashed = sh
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+  def signaturesFromShingles(sh: DataFrame): DataFrame =
+    signaturesFromDigests(
+      sh.select(col("doc_id"), md5(col("shingle").cast("binary")).as("m")))
+
+  /** Signatures from pre-computed md5 hex digests (`m`) — lets a caller
+    * hash each shingle occurrence ONCE and feed both the signature
+    * build (chars 1-7, 8-14) and the verify-set hash (chars 1-15).
+    */
+  def signaturesFromDigests(digests: DataFrame): DataFrame = {
+    val hashed = digests
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h1"),
         conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("h2"))
@@ -165,12 +172,17 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // One RAW shingle pass feeds both stages — cached so the corpus is
-    // tokenized once. No corpus-wide distinct: min-signatures ignore
-    // duplicates, and the verify stage dedups AFTER candidate pruning
-    // (a shuffle over candidate docs only, not the whole corpus).
-    val sh = shinglesRaw(docs).cache()
-    val sigs = signaturesFromShingles(sh)
+    // One RAW shingle pass, hashed ONCE to its md5 digest — the cached
+    // (doc, digest) table feeds both the signature build (two 28-bit
+    // substrings) and the verify-set hash (60-bit substring), so the
+    // corpus is tokenized and digested exactly once. No corpus-wide
+    // distinct: min-signatures ignore duplicates, and the verify stage
+    // dedups AFTER candidate pruning (a shuffle over candidate docs
+    // only, not the whole corpus).
+    val sh = shinglesRaw(docs)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .cache()
+    val sigs = signaturesFromDigests(sh)
     val rowsPerBand = MinhashK / MinhashBands
     // Band key = md5 over the band index + its signature components
     // (band index baked into the hash, so the bucket key is a single
@@ -192,26 +204,30 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .cache()
-    // Exact-Jaccard verify per candidate PAIR via per-doc shingle SETS
-    // and array_intersect — work is O(|candidate pairs| · doc length),
-    // not the Σ df² of a shingle-equality self-join (a hot shingle
-    // shared by m candidate docs would otherwise fan out m² join
-    // rows). collect_set dedups per doc, so the raw shingle table
-    // never pays a corpus-wide distinct either. Set rows are bounded
-    // by document length — fine for documents, re-block by length
-    // first if a corpus has pathological outliers.
+    // Exact-Jaccard verify per candidate PAIR via per-doc SORTED sets
+    // of 60-bit shingle hashes and the native graft_jaccard merge
+    // expression — work is O(|candidate pairs| · doc length), not the
+    // Σ df² of a shingle-equality self-join (a hot shingle shared by m
+    // candidate docs would otherwise fan out m² join rows). The single
+    // merge pass replaces array_intersect's per-call hash-set build;
+    // sorted long arrays also shuffle ~3× smaller than string sets.
+    // collect_set dedups per doc, so the raw shingle table never pays
+    // a corpus-wide distinct either. Set rows are bounded by document
+    // length — fine for documents, re-block by length first if a
+    // corpus has pathological outliers. DuckDB replays the same 60-bit
+    // hash, so the oracle comparison stays bit-for-bit.
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("shs"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("shs"))
       .cache()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")).cast("double"))
+        graft.functions.JaccardFunctions.jaccardSorted(col("shs_a"), col("shs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

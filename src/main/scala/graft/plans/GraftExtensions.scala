@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.registerSql(e)
+    graft.functions.JaccardFunctions.registerSql(e)
     graft.functions.TopKFunctions.registerSql(e)
     e.injectOptimizerRule(_ => BroadcastSmallDims)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

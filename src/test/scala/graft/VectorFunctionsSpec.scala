@@ -45,6 +45,44 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("graft_jaccard merges sorted long arrays in one pass") {
+    import graft.functions.JaccardFunctions
+    val rows = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L)), // inter 2, union 6
+      (2L, Array(1L, 2L), Array(1L, 2L)),                 // identical
+      (3L, Array(1L, 2L), Array(5L, 6L))                  // disjoint
+    ).toDF("id", "a", "b")
+    val got = rows.select(col("id"), JaccardFunctions.jaccardSorted(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 2.0 / 6.0) < 1e-12)
+    assert(got(2L) == 1.0 && got(3L) == 0.0)
+    // empty side -> null (undefined)
+    val n = Seq((Array.empty[Long], Array(1L)))
+      .toDF("a", "b")
+      .select(JaccardFunctions.jaccardSorted(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+    // matches the builtin-composed formulation on random-ish sets
+    val sets = Seq.tabulate(40)(i =>
+      (i.toLong, (0L to 30L).filter(v => (v * 7 + i) % 3 == 0).toArray,
+        (0L to 30L).filter(v => (v * 11 + i) % 4 == 0).toArray))
+      .toDF("id", "a", "b")
+    val diff = sets.select(abs(
+      JaccardFunctions.jaccardSorted(col("a"), col("b")) -
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          (size(col("a")) + size(col("b")) -
+            size(array_intersect(col("a"), col("b")))).cast("double")).as("d"))
+      .agg(max(col("d"))).as[Double].head()
+    assert(diff < 1e-12)
+  }
+
+  test("graft_jaccard is registered for SQL") {
+    Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("a", "b")
+      .createOrReplaceTempView("jtest")
+    val j = spark.sql("SELECT graft_jaccard(a, b) AS j FROM jtest").as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
   test("agreement on real embeddings") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
     val diff = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(5))
