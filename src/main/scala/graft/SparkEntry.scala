@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_span" -> ((s, d) => Dedup.spanDups(s, d)),
+    "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -107,6 +108,8 @@ object SparkEntry {
     "text_scrub" -> ((s, d) => TextFunctions.scrub(s, d)),
     "text_domain_mix" -> ((s, d) => TextFunctions.domainMix(s, d)),
     "text_subsample" -> ((s, d) => TextFunctions.subsample(s, d)),
+    "text_repetition" -> ((s, d) => TextFunctions.repetitionStats(s, d)),
+    "text_contamination" -> ((s, d) => TextFunctions.contamination(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -240,6 +243,47 @@ object SparkEntry {
        |  JOIN card ca ON ca.doc_id = id_a
        |  JOIN card cb ON cb.doc_id = id_b)""".stripMargin
   }
+
+  private val duckExact: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  private val duckNgram: String =
+    s"""WITH $duckShingles,
+       |shh AS (SELECT DISTINCT doc_id,
+       |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(CAST(n_inter AS DOUBLE) /
+       |             CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |JOIN card ca ON ca.doc_id = id_a
+       |JOIN card cb ON cb.doc_id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) /
+       |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val duckSpan: String =
+    s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+       |             unnest(wl) AS s FROM win),
+       |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e)
+       |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |       min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
+       |FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY h""".stripMargin
 
   private val duckMinhash: String =
     s"""WITH $duckMinhashCtes
@@ -805,6 +849,55 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
          |FROM r WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
     },
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(len(w) - 1),
+         |                i -> w[i+1] || ' ' || w[i+2])
+         |         ELSE CAST([] AS VARCHAR[]) END) AS bg
+         |  FROM t),
+         |c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         |p AS (SELECT doc_id, sum(n) AS n_bigrams, count(*) AS n_distinct,
+         |             max(n) AS max_occ
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |       CAST(coalesce(p.max_occ, 0) AS BIGINT) AS max_occ,
+         |       round(CASE WHEN p.n_bigrams IS NULL THEN 0.0
+         |             ELSE 1.0 - CAST(p.n_distinct AS DOUBLE) /
+         |                        CAST(p.n_bigrams AS DOUBLE) END, 6) AS dup_frac,
+         |       round(CASE WHEN p.n_bigrams IS NULL THEN 0.0
+         |             ELSE CAST(p.max_occ AS DOUBLE) /
+         |                  CAST(p.n_bigrams AS DOUBLE) END, 6) AS top_frac
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 8
+         |         THEN list_transform(range(len(w) - 7),
+         |                i -> array_to_string(w[i+1:i+8], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS s
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM win),
+         |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0),
+         |p AS (SELECT tr.doc_id, count(*) AS n_grams,
+         |             sum(CASE WHEN ev.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |      FROM tr LEFT JOIN ev ON tr.h = ev.h GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+         |       round(CASE WHEN p.n_grams IS NULL THEN 0.0
+         |             ELSE CAST(p.n_hit AS DOUBLE) /
+         |                  CAST(p.n_grams AS DOUBLE) END, 6) AS contam_frac
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     "sim_knn_graph" ->
       """WITH s AS (
         |  SELECT a.vec_id, b.vec_id AS nb_id,
@@ -849,47 +942,21 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
-    "dedup_exact" ->
-      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-        |       min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      (s"""WITH $duckShingles,
-         |shh AS (SELECT DISTINCT doc_id,
-         |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
-         |card AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |       round(CAST(n_inter AS DOUBLE) /
-         |             CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-         |FROM inter
-         |JOIN card ca ON ca.doc_id = id_a
-         |JOIN card cb ON cb.doc_id = id_b
-         |WHERE CAST(n_inter AS DOUBLE) /
-         |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin),
-    "dedup_span" ->
-      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
-         |win AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(w) >= 10
-         |              THEN list_transform(range(len(w) - 9),
-         |                     i -> array_to_string(w[i+1:i+10], ' '))
-         |              ELSE CAST([] AS VARCHAR[]) END AS wl
-         |  FROM t),
-         |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
-         |             unnest(wl) AS s FROM win),
-         |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e)
-         |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
-         |       min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
-         |FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1
-         |ORDER BY h""".stripMargin,
+    "dedup_exact" -> duckExact,
+    "dedup_ngram_jaccard" -> duckNgram,
+    "dedup_span" -> duckSpan,
     "dedup_minhash" -> duckMinhash,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
+    "dedup_report" ->
+      s"""SELECT method, n FROM (
+         |  SELECT 'exact_dup_groups' AS method, count(*) AS n
+         |  FROM ($duckExact) WHERE n_dups > 1
+         |  UNION ALL SELECT 'minhash_pairs', count(*) FROM ($duckMinhash)
+         |  UNION ALL SELECT 'ngram_pairs', count(*) FROM ($duckNgram)
+         |  UNION ALL SELECT 'simhash_pairs', count(*) FROM ($duckSimhash)
+         |  UNION ALL SELECT 'span_hashes', count(*) FROM ($duckSpan)
+         |) ORDER BY method""".stripMargin,
     "sim_centroid_classify" ->
       """WITH pos AS (
         |  SELECT label, vec_id, unnest(embedding) AS v,

@@ -298,6 +298,87 @@ object TextFunctions {
     * explode + one aggregation; the final top-k is a single-partition
     * sort of an already-aggregated (small) table.
     */
+  /** Repetition signals (`text_repetition`): the n-gram repetition
+    * subset of the Gopher rules (Rae et al. 2021, §A1.1) — the fraction
+    * of duplicated word bigrams and the share held by the single most
+    * frequent bigram. Heavy repetition is the signature of boilerplate
+    * and generator spam, and catches low-quality docs that pass the
+    * word-count rules. One explode + two keyed aggregations, both
+    * map-side combinable; docs with <2 words re-enter via the left
+    * join with zeroed stats so the report covers the whole corpus.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = col("toks")
+    val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val perDoc = d
+      .select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_occ"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("max_occ"), lit(0L)).as("max_occ"),
+        round(when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_bigrams").cast("double")), 6)
+          .as("dup_frac"),
+        round(when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(
+            col("max_occ").cast("double") / col("n_bigrams").cast("double")), 6)
+          .as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-set decontamination scan (`text_contamination`): documents
+    * whose doc_id ≡ 0 (mod 97) stand in for a held-out benchmark;
+    * every other (training) document is scored by the fraction of its
+    * distinct 8-token windows that also occur in the eval set — the
+    * n-gram-overlap contamination check run before training. Window
+    * hashes are 60-bit md5-derived longs (Dedup.md5Bits), so the
+    * overlap test is an equi-join on longs: eval grams shuffle once,
+    * training grams once, nothing pairwise — at 100 TB the eval side
+    * is a fraction of the corpus and the join stays linear.
+    */
+  def contamination(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = col("toks")
+    val idx = when(size(toks) >= window, sequence(lit(0), size(toks) - window))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idx, i => graft.operators.Dedup.md5Bits(
+      concat_ws(" ", slice(toks, i + 1, lit(window))), 1, 15))
+    val isEval = col("doc_id") % 97 === 0
+    val grams = d
+      .select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(wins).as("h"))
+      .distinct()
+    val evalGrams = grams.filter(isEval).select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = grams.filter(!isEval)
+      .join(evalGrams, Seq("h"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    d.filter(!isEval).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(when(col("n_grams").isNull, lit(0.0))
+          .otherwise(
+            col("n_hit").cast("double") / col("n_grams").cast("double")), 6)
+          .as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def bigramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val toks = col("toks")

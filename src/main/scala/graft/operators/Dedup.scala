@@ -233,6 +233,27 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Whole-pipeline dedup report (`dedup_report`): one frame with the
+    * headline count of every dedup method — the summary a data team
+    * reads after the nightly dedup pass (how much of the corpus is
+    * duplicated, by which detector). Each branch is the corresponding
+    * verified operator; the union evaluates as ONE job, so shared
+    * cached subplans (the digested shingle table, the band tables) are
+    * computed once per method and nothing lands on the driver.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    def one(method: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(method).as("method"), col("n"))
+    Seq(
+      one("exact_dup_groups", exact(spark, dir).filter(col("n_dups") > 1)),
+      one("minhash_pairs", minhashPairs(spark, dir)),
+      one("ngram_pairs", ngramJaccard(spark, dir)),
+      one("simhash_pairs", simhashPairs(spark, dir)),
+      one("span_hashes", spanDups(spark, dir)))
+      .reduce(_.unionByName(_))
+      .orderBy(col("method"))
+  }
+
   val SimhashBits = 60 // 60 md5-derived bits: stays positive in a long
 
   /** 60-bit SimHash over word unigrams: per bit, sum +1/-1 by whether

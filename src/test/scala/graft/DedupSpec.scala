@@ -104,6 +104,17 @@ class DedupSpec extends SparkSpec {
     assert(over == 0)
   }
 
+  test("dedup report echoes the per-method counts") {
+    val rep = Dedup.dedupReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == Set("exact_dup_groups", "minhash_pairs",
+      "ngram_pairs", "simhash_pairs", "span_hashes"))
+    assert(rep("minhash_pairs") == Dedup.minhashPairs(spark, sf).count())
+    assert(rep("span_hashes") == Dedup.spanDups(spark, sf).count())
+    assert(rep("exact_dup_groups") ==
+      Dedup.exact(spark, sf).filter(col("n_dups") > 1).count())
+  }
+
   test("embeddingPairs only pairs within a label block") {
     val p = Dedup.embeddingPairs(spark, sf, threshold = 0.0)
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")

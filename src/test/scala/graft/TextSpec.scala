@@ -73,6 +73,26 @@ class TextSpec extends SparkSpec {
     assert(s1.collect().toSeq == TextFunctions.subsample(spark, sf).collect().toSeq)
   }
 
+  test("repetition stats bound their ratios and zero-fill bigram-less docs") {
+    val r = TextFunctions.repetitionStats(spark, sf)
+    assert(r.filter(col("n_distinct") > col("n_bigrams") ||
+      col("max_occ") > col("n_bigrams") ||
+      col("dup_frac") < 0 || col("dup_frac") > 1 ||
+      col("top_frac") < 0 || col("top_frac") > 1).count() == 0)
+    // covers every document, including ones with <2 words
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(r.count() == nDocs)
+    assert(r.filter(col("n_bigrams") === 0 &&
+      (col("dup_frac") =!= 0.0 || col("top_frac") =!= 0.0)).count() == 0)
+  }
+
+  test("contamination scores only training docs with bounded fractions") {
+    val c = TextFunctions.contamination(spark, sf)
+    assert(c.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(c.filter(col("n_hit") > col("n_grams")).count() == 0)
+    assert(c.filter(col("contam_frac") < 0 || col("contam_frac") > 1).count() == 0)
+  }
+
   test("fingerprint is whitespace-insensitive") {
     val two = Seq((1L, "a  b   c"), (2L, " a b c ")).toDF("doc_id", "text")
     val fps = two.select(md5(TextFunctions.normText(col("text")).cast("binary")))
