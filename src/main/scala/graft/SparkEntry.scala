@@ -39,6 +39,7 @@ object SparkEntry {
     "q_union_sources" -> ((s, d) => Fusion.unionSources(s, d)),
     "q_dedup_pk" -> ((s, d) => Fusion.dedupLatestPerKey(s, d)),
     "q_sample_per_group" -> ((s, d) => Fusion.samplePerGroup(s, d)),
+    "q_fusion_etl" -> ((s, d) => Fusion.fusionEtl(s, d)),
     // §2.3 analytics
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_star_join_agg" -> ((s, d) => Analytics.starJoinRevenue(s, d)),
@@ -405,6 +406,20 @@ object SparkEntry {
           |FROM latest l LEFT JOIN customer c ON l.user_id = c.c_custkey
           |WHERE l.last_type IN ('purchase', 'signup') AND c.c_name IS NOT NULL
           |ORDER BY c.c_name DESC, l.user_id""".stripMargin),
+    "q_fusion_etl" ->
+      (validityCtes +
+        """SELECT o.o_orderkey,
+          |       CAST(year(o.o_orderdate) AS BIGINT) AS case_year,
+          |       o.o_totalprice AS total_price,
+          |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_datestring,
+          |       'eCollision Oracle' AS source
+          |FROM orders o
+          |WHERE o.o_custkey IN (
+          |  SELECT l.user_id FROM latest l
+          |  LEFT JOIN customer c ON l.user_id = c.c_custkey
+          |  WHERE l.last_type IN ('purchase', 'signup')
+          |    AND c.c_name IS NOT NULL)
+          |ORDER BY o.o_orderkey""".stripMargin),
     "q_semi_join_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer

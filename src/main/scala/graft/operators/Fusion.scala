@@ -139,7 +139,11 @@ object Fusion {
       org.apache.spark.sql.types.StructField("source",
         org.apache.spark.sql.types.StringType)))
 
-  def runFusionEtl(spark: SparkSession, dir: String, outPath: String): Long = {
+  /** `q_fusion_etl` surface: the transform half of the flow above,
+    * exposed as one oracle-checked frame (validity chain → LEFT SEMI →
+    * derive → project), sorted on the output key.
+    */
+  def fusionEtl(spark: SparkSession, dir: String): DataFrame = {
     val valid = graft.operators.Validity.validUsersFromDir(spark, dir)
       .select(col("user_id"))
     val o = Tables.load(spark, dir, "orders")
@@ -150,8 +154,12 @@ object Fusion {
       col("o_totalprice").as("total_price"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_datestring"),
       lit("eCollision Oracle").as("source"))
-    val projected = SchemaAlign.project(derived, fusionTargetSchema)
-    graft.sources.Sink.overwrite(projected, outPath)
+    SchemaAlign.project(derived, fusionTargetSchema)
+      .orderBy(col("o_orderkey"))
+  }
+
+  def runFusionEtl(spark: SparkSession, dir: String, outPath: String): Long = {
+    graft.sources.Sink.overwrite(fusionEtl(spark, dir), outPath)
     spark.read.parquet(outPath).count()
   }
 
