@@ -642,12 +642,15 @@ object SparkEntry {
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_intersect_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'click'
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'click'
         |INTERSECT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'purchase'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id""".stripMargin,
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, d""".stripMargin,
     "q_argminmax" ->
       """SELECT o_orderpriority,
         |       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS max_order,

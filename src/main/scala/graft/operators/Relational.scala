@@ -36,10 +36,14 @@ object Relational {
     */
   def intersectExceptUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    def users(t: String) =
-      e.filter(col("event_type") === t).select(col("user_id"))
-    users("click").intersect(users("purchase")).except(users("error"))
-      .orderBy(col("user_id"))
+    // user-DAY granularity: every user eventually emits every event
+    // type, so user-level sets degenerate to empty/full — days with a
+    // click AND a purchase but NO error are the non-trivial audit set
+    def userDays(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+    userDays("click").intersect(userDays("purchase"))
+      .except(userDays("error"))
+      .orderBy(col("user_id"), col("d"))
   }
 
   /** Deterministic arg-max/arg-min per group via ordered-struct

@@ -19,11 +19,15 @@ class RelationalSpec extends SparkSpec {
 
   test("intersect/except equals the explicit set algebra") {
     val e = graft.sources.Tables.load(spark, sf, "events")
-    def users(t: String) = e.filter(col("event_type") === t)
-      .select("user_id").as[Long].collect().toSet
-    val expected = (users("click") & users("purchase")) -- users("error")
-    val got = Relational.intersectExceptUsers(spark, sf).as[Long].collect().toSet
+    def userDays(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd"))
+      .as[(Long, String)].collect().toSet
+    val expected =
+      (userDays("click") & userDays("purchase")) -- userDays("error")
+    val got = Relational.intersectExceptUsers(spark, sf)
+      .as[(Long, String)].collect().toSet
     assert(got == expected)
+    assert(got.nonEmpty) // the set must be non-trivial to be a real check
   }
 
   test("argminmax picks the true extremes with key tie-break") {
