@@ -68,6 +68,32 @@ object Ingest {
   def loadJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Corrupt-tolerant JSON-lines read: PERMISSIVE mode with an explicit
+    * `_corrupt_record` column, so malformed lines survive the scan as
+    * quarantine rows instead of failing the job (FAILFAST) or silently
+    * vanishing (DROPMALFORMED). At 100 TB some fraction of any real
+    * feed is broken — the pipeline must count and route it, not die at
+    * hour nine. Returns (clean rows, quarantined raw lines); both come
+    * from the SAME single scan (Spark requires a cache before filtering
+    * on the corrupt column — done here, and at cluster scale the
+    * quarantine split would be one persisted pass writing two sinks).
+    */
+  def loadJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Semi-structured property extraction: pull typed fields out of a
     * JSON string column with an explicit schema (no schema inference
     * pass — at 100 TB a second inference scan is a full extra read).

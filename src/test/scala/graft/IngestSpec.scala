@@ -55,6 +55,26 @@ class IngestSpec extends SparkSpec {
     assert(fromCsv == expect && fromJson == expect)
   }
 
+  test("loadJsonQuarantine routes malformed lines instead of failing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    val p = base.resolve("feed.jsonl")
+    java.nio.file.Files.writeString(p,
+      """{"id": 1, "name": "ok"}
+        |not json at all
+        |{"id": 2, "name": "also ok"}
+        |{"id": "wrong-type"
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantine) = Ingest.loadJsonQuarantine(spark, p.toString, schema)
+    assert(clean.count() == 2)
+    assert(clean.columns.toSeq == Seq("id", "name"))
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val bad = quarantine.select("raw_line").as[String].collect()
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("not json at all")))
+  }
+
   test("loadEvolved merges additive schema versions and prunes columns") {
     val base = java.nio.file.Files.createTempDirectory("graft-evolve")
     val v1 = base.resolve("v1").toString
