@@ -111,6 +111,8 @@ object SparkEntry {
     "text_subsample" -> ((s, d) => TextFunctions.subsample(s, d)),
     "text_repetition" -> ((s, d) => TextFunctions.repetitionStats(s, d)),
     "text_contamination" -> ((s, d) => TextFunctions.contamination(s, d)),
+    "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
+    "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -916,6 +918,37 @@ object SparkEntry {
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
          |WHERE d.doc_id % 97 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    "text_rarity" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS t_total FROM vocab),
+         |p AS (
+         |  SELECT o.doc_id, count(*) AS n_toks, sum(v.cnt) AS sum_cnt
+         |  FROM occ o JOIN vocab v ON o.tok = v.tok
+         |  GROUP BY o.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+         |       CAST(coalesce(p.sum_cnt, 0) AS BIGINT) AS sum_cnt,
+         |       round(CASE WHEN p.n_toks IS NULL THEN 0.0
+         |             ELSE -ln(CAST(p.sum_cnt AS DOUBLE) /
+         |                      (CAST(p.n_toks AS DOUBLE) *
+         |                       CAST(tot.t_total AS DOUBLE))) END, 6) AS rarity
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |CROSS JOIN tot
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH perkey AS (
+        |  SELECT l_orderkey AS key, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(n_rows) AS n_total FROM perkey),
+        |r AS (SELECT key, n_rows,
+        |             row_number() OVER (ORDER BY n_rows DESC, key) AS rk
+        |      FROM perkey)
+        |SELECT CAST(rk AS BIGINT) AS rk, key, n_rows,
+        |       round(CAST(n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
+        |         AS share
+        |FROM r CROSS JOIN tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "sim_knn_graph" ->
       """WITH s AS (
         |  SELECT a.vec_id, b.vec_id AS nb_id,

@@ -379,6 +379,42 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency rarity score (`text_rarity`): a deterministic
+    * stand-in for LM-perplexity quality filtering — each document is
+    * scored by the mean corpus frequency of its token occurrences,
+    * reported as -ln(S / (n·T)) where S = sum of the corpus counts of
+    * the doc's tokens, n = doc token count, T = corpus token count.
+    * High rarity = unusual vocabulary (gibberish or jargon), low =
+    * boilerplate. All aggregation happens in INTEGER space (S, n, T);
+    * the single ln at the edge is the only floating op, so the score
+    * is bit-identical across engines and partition layouts — unlike a
+    * mean-of-logs, whose summation order would wobble the last ulp.
+    * The vocab joins on the token (shuffle equi-join; at test SF AQE
+    * broadcasts it), and T rides along as a broadcast one-row frame.
+    */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val occ = d.select(col("doc_id"),
+      explode(words(lower(col("text")))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("t_total"))
+    val perDoc = occ.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("cnt")).as("sum_cnt"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+        round(when(col("n_toks").isNull, lit(0.0))
+          .otherwise(-log(col("sum_cnt").cast("double") /
+            (col("n_toks").cast("double") * col("t_total").cast("double")))), 6)
+          .as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
   def bigramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val toks = col("toks")

@@ -68,6 +68,33 @@ object Relational {
     * buckets; one aggregation, bucket count bounded by the bin spec
     * regardless of data volume.
     */
+  /** `q_heavy_hitters` surface: top-k keys by row count with their
+    * share of the table — the skew diagnostic run BEFORE choosing a
+    * salt factor or an AQE skew threshold. One map-side-combinable
+    * count per key; the top-k is a single-partition sort of the
+    * already-aggregated key table, and the grand total joins in as a
+    * broadcast single-row aggregate (no second scan of the fact).
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val perKey = l.groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = perKey.agg(sum(col("n_rows")).as("n_total"))
+    // orderBy+limit plans as TakeOrderedAndProject: each partition keeps
+    // its local top-k, the driver merges k·partitions rows — no global
+    // sort of the key table. The rank window then runs over k rows only.
+    val topk = perKey.orderBy(col("n_rows").desc, col("key").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key").asc)
+    topk
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("rk"))
+  }
+
   def priceHistogram(spark: SparkSession, dir: String,
       lo: Double = 0.0, width: Double = 50000.0, nBuckets: Int = 12): DataFrame = {
     val o = Tables.load(spark, dir, "orders")

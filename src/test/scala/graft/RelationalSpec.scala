@@ -30,6 +30,19 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty) // the set must be non-trivial to be a real check
   }
 
+  test("heavy hitters rank by count desc with key tie-break") {
+    val h = Relational.heavyHitters(spark, sf, k = 10).collect()
+    assert(h.length == 10)
+    val counts = h.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted.reverse)) // non-increasing
+    // the top key really is the most frequent one
+    val l = graft.sources.Tables.load(spark, sf, "lineitem")
+    val top = l.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc, col("l_orderkey")).first()
+    assert(h.head.getLong(1) == top.getLong(0))
+    assert(h.head.getLong(2) == top.getLong(1))
+  }
+
   test("argminmax picks the true extremes with key tie-break") {
     val rows = Relational.argMinMaxOrders(spark, sf)
     val o = graft.sources.Tables.load(spark, sf, "orders")

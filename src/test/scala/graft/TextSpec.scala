@@ -93,6 +93,17 @@ class TextSpec extends SparkSpec {
     assert(c.filter(col("contam_frac") < 0 || col("contam_frac") > 1).count() == 0)
   }
 
+  test("rarity is positive, covers all docs, and zero-fills token-less docs") {
+    val r = TextFunctions.rarity(spark, sf)
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(r.count() == nDocs)
+    // sum_cnt >= n_toks (every token occurs at least once corpus-wide),
+    // so S/(n*T) <= 1 and rarity >= 0
+    assert(r.filter(col("sum_cnt") < col("n_toks")).count() == 0)
+    assert(r.filter(col("n_toks") > 0 && col("rarity") < 0).count() == 0)
+    assert(r.filter(col("n_toks") === 0 && col("rarity") =!= 0.0).count() == 0)
+  }
+
   test("fingerprint is whitespace-insensitive") {
     val two = Seq((1L, "a  b   c"), (2L, " a b c ")).toDF("doc_id", "text")
     val fps = two.select(md5(TextFunctions.normText(col("text")).cast("binary")))
