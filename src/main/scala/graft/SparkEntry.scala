@@ -116,7 +116,8 @@ object SparkEntry {
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
-    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d))
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d))
   )
 
   private val cutoffValues =
@@ -918,6 +919,31 @@ object SparkEntry {
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
          |WHERE d.doc_id % 97 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    "mm_embed_topk" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |         CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id, list_transform(range(8), i ->
+        |           CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE)
+        |                ELSE CAST(CAST(concat('0x',
+        |                       substr(hex(payload),
+        |                              CAST((i % n) * 2 + 1 AS INTEGER), 2))
+        |                     AS INTEGER) + 1.0 AS DOUBLE) END) AS emb
+        |  FROM m),
+        |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM e
+        |      WHERE doc_id % 101 = 0),
+        |s AS (
+        |  SELECT q.q_id, e.doc_id AS nb_id,
+        |         list_cosine_similarity(CAST(e.emb AS DOUBLE[]),
+        |                                CAST(q.q_emb AS DOUBLE[])) AS cos
+        |  FROM e CROSS JOIN q WHERE e.doc_id <> q.q_id),
+        |r AS (SELECT q_id, nb_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, nb_id) AS rk
+        |      FROM s)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, nb_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "text_rarity" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),

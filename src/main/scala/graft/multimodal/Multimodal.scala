@@ -42,6 +42,25 @@ object FakeDecoder extends Decoder {
   }
 }
 
+trait Embedder extends Serializable {
+  def embed(kind: String, payload: Array[Byte]): Array[Double]
+}
+
+/** Deterministic stand-in for a vision/audio encoder: an 8-dim vector
+  * read cyclically from the payload bytes, shifted to stay strictly
+  * positive so every vector has nonzero norm. A production deployment
+  * swaps in the real model; the plumbing (binary in, fixed-dim
+  * array<double> out, per-partition batching) is what's tested.
+  */
+object FakeEmbedder extends Embedder {
+  val Dim = 8
+  def embed(kind: String, payload: Array[Byte]): Array[Double] =
+    Array.tabulate(Dim) { i =>
+      if (payload.isEmpty) 1.0
+      else (payload(i % payload.length) & 0xFF) + 1.0
+    }
+}
+
 object Multimodal {
 
   /** Build the media table from documents: payload = utf8 bytes of the
@@ -86,6 +105,44 @@ object Multimodal {
       .select(col("doc_id"), col("sample_i"), col("frame_idx"),
         col("n_frames").cast("long").as("n_frames"))
       .orderBy(col("doc_id"), col("sample_i"))
+
+  /** Embed stage: payload bytes → fixed-dim vector, one embedder per
+    * partition (model init is expensive), payloads never shuffled —
+    * only the small (doc_id, kind, 8-dim) frame leaves the scan stage.
+    */
+  def embedTable(spark: SparkSession, dir: String,
+      embedder: Embedder = FakeEmbedder): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.doc_id, r.kind, embedder.embed(r.kind, r.payload)))
+    }.toDF("doc_id", "kind", "embedding")
+  }
+
+  /** `mm_embed_topk`: the multimodal→ANN composition end to end —
+    * embed every payload, take the docs with doc_id ≡ 0 (mod 101) as
+    * the query set, and return each query's cosine top-k among all
+    * other media. The query side broadcasts (it is a tiny fraction of
+    * the corpus); the corpus embedding frame is scanned once and never
+    * shuffled before scoring — the same plan shape as
+    * `sim_bruteforce_topk`, fed by the decode stage instead of a
+    * pre-built embeddings table.
+    */
+  def embedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = embedTable(spark, dir)
+    val q = emb.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id").as("nb_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 
   def decodeStats(spark: SparkSession, dir: String,
       decoder: Decoder = FakeDecoder): DataFrame = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.{FakeDecoder, Multimodal}
+import graft.multimodal.{FakeDecoder, FakeEmbedder, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -46,6 +46,27 @@ class MultimodalSpec extends SparkSpec {
       col("frame_idx") >= col("n_frames")).count() == 0)
     // sample 0 is always frame 0; samples are non-decreasing
     assert(fs.filter(col("sample_i") === 0L && col("frame_idx") =!= 0L).count() == 0)
+  }
+
+  test("embedTopK ranks neighbors per query, excluding self") {
+    val t = Multimodal.embedTopK(spark, sf, k = 3)
+    assert(t.filter(col("q_id") === col("nb_id")).count() == 0)
+    assert(t.filter(col("q_id") % 101 =!= 0).count() == 0)
+    val perQ = t.groupBy("q_id").count()
+    assert(perQ.filter(col("count") > 3L).count() == 0)
+    // cos non-increasing within each query's ranking
+    val rows = t.collect().groupBy(_.getLong(0))
+    rows.values.foreach { rs =>
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("FakeEmbedder reads bytes cyclically and never yields a zero vector") {
+    val v = FakeEmbedder.embed("image", Array[Byte](1, 2))
+    assert(v.length == FakeEmbedder.Dim)
+    assert(v.toSeq == Seq(2.0, 3.0, 2.0, 3.0, 2.0, 3.0, 2.0, 3.0))
+    assert(FakeEmbedder.embed("audio", Array.empty[Byte]).forall(_ == 1.0))
   }
 
   test("FakeDecoder is a pure function of bytes") {
