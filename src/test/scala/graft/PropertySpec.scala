@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Temporal
+import graft.sources.Sink
+
+/** Property tests: operator semantics checked against a naive
+  * in-memory reference on ScalaCheck-generated data. Generators run
+  * with FIXED seeds (scalacheck as a generator library) so failures
+  * are reproducible, not flaky. Key collisions, timestamp ties and
+  * version ties are all likely at these ranges — exactly the corners
+  * the deterministic tie-break rules exist for.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // (key, ts/version, value) triples over deliberately small ranges
+  private val triplesGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(40, 80)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(1L, 999L)
+    } yield (k, t, v))
+  } yield rows
+
+  /** Naive as-of: latest right (ts <= lts), ties on ts broken by max value. */
+  private def naiveAsOf(lrows: Seq[(Long, Long, Long)],
+      rrows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] =
+    lrows.map { case (k, lts, lv) =>
+      val cands = rrows.filter(r => r._1 == k && r._2 <= lts)
+      val v =
+        if (cands.isEmpty) -1L
+        else {
+          val mts = cands.map(_._2).max
+          cands.filter(_._2 == mts).map(_._3).max
+        }
+      (k, lts, lv, v)
+    }
+
+  test("asOfJoin (window) matches the naive reference on random data") {
+    val lrows = sample(triplesGen, 7L)
+    val rrows = sample(triplesGen, 11L)
+    val got = Temporal.asOfJoin(
+        lrows.toDF("k", "lts", "lv"), rrows.toDF("k", "rts", "rv"),
+        "k", "lts", "rts", Seq("rv"), tieBreak = Some("rv"))
+      .select(col("k"), col("lts"), col("lv"), col("asof_rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    assert(got.sorted == naiveAsOf(lrows, rrows).sorted)
+  }
+
+  test("native AsOfJoinExec agrees with the window formulation") {
+    val lrows = sample(triplesGen, 13L)
+    // both formulations require/assume a tie-free right side
+    val rrows = sample(triplesGen, 17L)
+      .groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val left = lrows.toDF("k", "lts", "lv")
+    val win = Temporal.asOfJoin(
+        left, rrows.toDF("k", "rts", "rv"), "k", "lts", "rts", Seq("rv"))
+      .select(col("k"), col("lts"), col("lv"), col("asof_rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val nat = graft.plans.AsOfJoinOps.asOfJoinNative(spark,
+        left, rrows.toDF("rk", "rts", "rv"), "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("lv"), col("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(win.sorted == nat.sorted)
+    assert(nat.sorted == naiveAsOf(lrows, rrows).sorted)
+  }
+
+  test("dedupUpsert converges to max version per key across batches") {
+    val b1 = sample(triplesGen, 19L)
+    val b2 = sample(triplesGen, 23L)
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .resolve("t").toString
+    Sink.dedupUpsert(spark, path, b1.toDF("k", "ver", "v"), Seq("k"), "ver")
+    Sink.dedupUpsert(spark, path, b2.toDF("k", "ver", "v"), Seq("k"), "ver")
+    val got = spark.read.parquet(path).select("k", "ver", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = (b1 ++ b2).groupBy(_._1).map { case (k, rs) =>
+      val mver = rs.map(_._2).max
+      (k, mver, rs.filter(_._2 == mver).map(_._3).max) // version tie → max v
+    }.toSeq
+    assert(got.sorted == expected.sorted)
+    assert(got.map(_._1).distinct.length == got.length) // one row per key
+  }
+}
