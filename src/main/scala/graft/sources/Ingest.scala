@@ -68,6 +68,9 @@ object Ingest {
   def loadJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  def loadOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Corrupt-tolerant JSON-lines read: PERMISSIVE mode with an explicit
     * `_corrupt_record` column, so malformed lines survive the scan as
     * quarantine rows instead of failing the job (FAILFAST) or silently

@@ -52,7 +52,11 @@ class IngestSpec extends SparkSpec {
       .orderBy("r_regionkey").collect().toSeq
     val fromJson = Ingest.loadJson(spark, jsonPath, region.schema)
       .orderBy("r_regionkey").collect().toSeq
-    assert(fromCsv == expect && fromJson == expect)
+    val orcPath = base.resolve("r.orc").toString
+    region.write.orc(orcPath)
+    val fromOrc = Ingest.loadOrc(spark, orcPath, region.schema)
+      .orderBy("r_regionkey").collect().toSeq
+    assert(fromCsv == expect && fromJson == expect && fromOrc == expect)
   }
 
   test("loadJsonQuarantine routes malformed lines instead of failing") {
