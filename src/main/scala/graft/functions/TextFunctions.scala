@@ -421,13 +421,17 @@ object TextFunctions {
     val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
     val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition local
+    // top-k, driver merge) — a global rank window over the whole bigram
+    // vocabulary would single-partition-sort millions of rows at scale.
+    // The rank window then runs over topK rows only.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("bigram").asc)
     d.select(words(lower(col("text"))).as("toks"))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(topK)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topK)
       .select(col("rk"), col("bigram"), col("n"))
       .orderBy(col("rk"))
   }
