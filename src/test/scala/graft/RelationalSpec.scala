@@ -30,6 +30,21 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty) // the set must be non-trivial to be a real check
   }
 
+  test("approx_count_distinct stays within HLL error of the exact count") {
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val approx = graft.operators.Analytics.approxDistinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t).toDouble
+      // default rsd is 5%; allow 3 sigma
+      assert(math.abs(a - n) <= math.max(3, 0.15 * n),
+        s"$t: approx $a vs exact $n")
+    }
+  }
+
   test("heavy hitters rank by count desc with key tie-break") {
     val h = Relational.heavyHitters(spark, sf, k = 10).collect()
     assert(h.length == 10)
