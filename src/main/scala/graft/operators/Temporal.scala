@@ -142,15 +142,33 @@ object Temporal {
     * factor that levels the hottest partition — 4 here; a real deploy
     * reads the factor from shuffle-partition size metrics.
     */
-  def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 4): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .withColumn("__salt", pmod(col("l_linenumber"), lit(nSalt)))
-    val o = Tables.load(spark, dir, "orders")
-      .withColumn("__salt", explode(array((0 until nSalt).map(lit): _*)))
-    li.join(o, li("l_orderkey") === o("o_orderkey") && li("__salt") === o("__salt"))
+  /** Generic skew-salted inner equi-join: the skewed (fact) side gets a
+    * deterministic salt in [0, nSalt); the other side is replicated
+    * nSalt times so every salted key still meets every match. Result is
+    * row-identical to the plain join — the salt only splits a hot key's
+    * rows across nSalt reducers. The salt column derives from a stable
+    * fact column (hash % nSalt), NOT rand(): retries and speculative
+    * tasks must salt identically. Replication multiplies the right
+    * side, so pick the smallest factor that levels the hottest key
+    * (see `q_heavy_hitters` for the diagnostic).
+    */
+  def saltedJoin(facts: DataFrame, other: DataFrame,
+      factKey: String, otherKey: String, nSalt: Int): DataFrame = {
+    val f = facts.withColumn("__salt",
+      pmod(hash(facts.columns.map(col).toIndexedSeq: _*), lit(nSalt)))
+    val o = other.withColumn("__salt",
+      explode(array((0 until nSalt).map(lit): _*)))
+    f.join(o, f(factKey) === o(otherKey) && f("__salt") === o("__salt"))
+      .drop("__salt")
+  }
+
+  def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 4): DataFrame =
+    saltedJoin(
+        Tables.load(spark, dir, "lineitem"),
+        Tables.load(spark, dir, "orders"),
+        "l_orderkey", "o_orderkey", nSalt)
       .groupBy(col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
-  }
 }

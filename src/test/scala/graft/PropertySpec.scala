@@ -80,6 +80,24 @@ class PropertySpec extends SparkSpec {
     assert(nat.sorted == naiveAsOf(lrows, rrows).sorted)
   }
 
+  test("saltedJoin is row-identical to the plain join under skew") {
+    // heavily skewed facts: ~half the rows land on key 1
+    val facts = sample(triplesGen, 29L)
+      .map { case (k, t, v) => (if (v % 2 == 0) 1L else k, t, v) }
+    val dims = sample(triplesGen, 31L).map(r => (r._1, r._3))
+      .distinct.map { case (k, v) => (k, s"d$v") }
+    val f = facts.toDF("fk", "t", "v")
+    val d = dims.toDF("dk", "name")
+    val plain = f.join(d, f("fk") === d("dk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .toSeq.sorted
+    val salted = Temporal.saltedJoin(f, d, "fk", "dk", nSalt = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .toSeq.sorted
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("dedupUpsert converges to max version per key across batches") {
     val b1 = sample(triplesGen, 19L)
     val b2 = sample(triplesGen, 23L)
