@@ -39,7 +39,7 @@ object SparkEntry {
     "q_union_sources" -> ((s, d) => Fusion.unionSources(s, d)),
     "q_dedup_pk" -> ((s, d) => Fusion.dedupLatestPerKey(s, d)),
     "q_sample_per_group" -> ((s, d) => Fusion.samplePerGroup(s, d)),
-    "q_fusion_etl" -> ((s, d) => Fusion.fusionEtl(s, d)),
+    "q_fusion_etl" -> ((s, d) => Fusion.fusionEtl(s, d).orderBy("o_orderkey")),
     // §2.3 analytics
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_star_join_agg" -> ((s, d) => Analytics.starJoinRevenue(s, d)),

@@ -9,6 +9,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty)
+        sys.error(s"unknown queries in filter: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)

@@ -41,6 +41,17 @@ object TextFunctions {
     size(filter(words(lower(text)), w => array_contains(sw, w))).cast("long")
   }
 
+  /** Stride-1 n-token window strings from a token-array column — the
+    * shared shape under bigram stats (`n = 2`), span dedup, and
+    * contamination scans. Empty array (not null) when the doc is
+    * shorter than the window, so explodes drop short docs uniformly.
+    */
+  def tokenWindows(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
   /** Per-document token counts (`text_tokens`). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -292,12 +303,6 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
-  /** Corpus-level bigram frequencies (`text_ngram_freq`): top-20 word
-    * bigrams with a deterministic (count desc, bigram asc) rank — the
-    * vocabulary/statistics pass of a tokenizer-training pipeline. One
-    * explode + one aggregation; the final top-k is a single-partition
-    * sort of an already-aggregated (small) table.
-    */
   /** Repetition signals (`text_repetition`): the n-gram repetition
     * subset of the Gopher rules (Rae et al. 2021, §A1.1) — the fraction
     * of duplicated word bigrams and the share held by the single most
@@ -309,10 +314,7 @@ object TextFunctions {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val toks = col("toks")
-    val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val bigrams = tokenWindows(col("toks"), 2)
     val perDoc = d
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(bigrams).as("bg"))
@@ -350,11 +352,8 @@ object TextFunctions {
     */
   def contamination(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val toks = col("toks")
-    val idx = when(size(toks) >= window, sequence(lit(0), size(toks) - window))
-      .otherwise(array().cast("array<int>"))
-    val wins = transform(idx, i => graft.operators.Dedup.md5Bits(
-      concat_ws(" ", slice(toks, i + 1, lit(window))), 1, 15))
+    val wins = transform(tokenWindows(col("toks"), window),
+      s => graft.operators.Dedup.md5Bits(s, 1, 15))
     val isEval = col("doc_id") % 97 === 0
     val grams = d
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
@@ -415,12 +414,14 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level bigram frequencies (`text_ngram_freq`): top-20 word
+    * bigrams with a deterministic (count desc, bigram asc) rank — the
+    * vocabulary/statistics pass of a tokenizer-training pipeline. One
+    * explode + one aggregation, then a distributed top-k.
+    */
   def bigramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val toks = col("toks")
-    val idx = when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val bigrams = tokenWindows(col("toks"), 2)
     // orderBy+limit plans as TakeOrderedAndProject (per-partition local
     // top-k, driver merge) — a global rank window over the whole bigram
     // vocabulary would single-partition-sort millions of rows at scale.

@@ -375,11 +375,8 @@ object Dedup {
     */
   def spanDups(spark: SparkSession, dir: String, window: Int = 10): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = col("toks")
-    val idx = when(size(toks) >= window, sequence(lit(0), size(toks) - window))
-      .otherwise(array().cast("array<int>"))
-    val wins = transform(idx, i =>
-      md5Bits(concat_ws(" ", slice(toks, i + 1, lit(window))), 1, 15))
+    val wins = transform(TextFunctions.tokenWindows(col("toks"), window),
+      s => md5Bits(s, 1, 15))
     docs
       .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
       .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))

@@ -139,9 +139,10 @@ object Fusion {
       org.apache.spark.sql.types.StructField("source",
         org.apache.spark.sql.types.StringType)))
 
-  /** `q_fusion_etl` surface: the transform half of the flow above,
-    * exposed as one oracle-checked frame (validity chain → LEFT SEMI →
-    * derive → project), sorted on the output key.
+  /** The transform half of the flow above (validity chain → LEFT SEMI →
+    * derive → project), UNSORTED — the sink write path must not pay a
+    * global sort. The `q_fusion_etl` oracle surface adds its
+    * deterministic orderBy in SparkEntry.
     */
   def fusionEtl(spark: SparkSession, dir: String): DataFrame = {
     val valid = graft.operators.Validity.validUsersFromDir(spark, dir)
@@ -155,7 +156,6 @@ object Fusion {
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_datestring"),
       lit("eCollision Oracle").as("source"))
     SchemaAlign.project(derived, fusionTargetSchema)
-      .orderBy(col("o_orderkey"))
   }
 
   def runFusionEtl(spark: SparkSession, dir: String, outPath: String): Long = {

@@ -63,16 +63,11 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Fixed-width histogram of order values: explicit floor-binning
-    * (portable across engines, unlike width_bucket) with clamped edge
-    * buckets; one aggregation, bucket count bounded by the bin spec
-    * regardless of data volume.
-    */
   /** `q_heavy_hitters` surface: top-k keys by row count with their
     * share of the table — the skew diagnostic run BEFORE choosing a
     * salt factor or an AQE skew threshold. One map-side-combinable
-    * count per key; the top-k is a single-partition sort of the
-    * already-aggregated key table, and the grand total joins in as a
+    * count per key; the top-k is a distributed TakeOrderedAndProject
+    * over the aggregated key table, and the grand total joins in as a
     * broadcast single-row aggregate (no second scan of the fact).
     */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
@@ -95,6 +90,11 @@ object Relational {
       .orderBy(col("rk"))
   }
 
+  /** Fixed-width histogram of order values: explicit floor-binning
+    * (portable across engines, unlike width_bucket) with clamped edge
+    * buckets; one aggregation, bucket count bounded by the bin spec
+    * regardless of data volume.
+    */
   def priceHistogram(spark: SparkSession, dir: String,
       lo: Double = 0.0, width: Double = 50000.0, nBuckets: Int = 12): DataFrame = {
     val o = Tables.load(spark, dir, "orders")

@@ -131,42 +131,41 @@ object Temporal {
       .orderBy(col("wk_bucket"))
   }
 
-  /** `q_salted_join_agg` surface: fact⋈fact join with the join key
-    * SALTED to split hot keys across `nSalt` sub-partitions — the
-    * standard skew mitigation when one key dominates a shuffle
-    * partition. The salt is derived from a per-row column (line
-    * number), the dimension side is exploded across all salt values,
-    * and the final aggregate provably equals the unsalted join (the
-    * oracle runs the plain join). Size the salt to the observed skew:
-    * it multiplies the replicated side, so it should be the SMALLEST
-    * factor that levels the hottest partition — 4 here; a real deploy
-    * reads the factor from shuffle-partition size metrics.
-    */
   /** Generic skew-salted inner equi-join: the skewed (fact) side gets a
     * deterministic salt in [0, nSalt); the other side is replicated
     * nSalt times so every salted key still meets every match. Result is
     * row-identical to the plain join — the salt only splits a hot key's
-    * rows across nSalt reducers. The salt column derives from a stable
-    * fact column (hash % nSalt), NOT rand(): retries and speculative
-    * tasks must salt identically. Replication multiplies the right
-    * side, so pick the smallest factor that levels the hottest key
-    * (see `q_heavy_hitters` for the diagnostic).
+    * rows across nSalt reducers. The salt hashes the caller-chosen
+    * `saltCols` (a cheap, hash-safe discriminator like a line number or
+    * event id), NOT rand(): retries and speculative tasks must salt
+    * identically. Rows identical across `saltCols` land in one bucket,
+    * so pick columns that vary within the hot key. Replication
+    * multiplies the right side — use the smallest factor that levels
+    * the hottest key (see `q_heavy_hitters` for the diagnostic).
     */
   def saltedJoin(facts: DataFrame, other: DataFrame,
-      factKey: String, otherKey: String, nSalt: Int): DataFrame = {
+      factKey: String, otherKey: String, nSalt: Int,
+      saltCols: Seq[String]): DataFrame = {
     val f = facts.withColumn("__salt",
-      pmod(hash(facts.columns.map(col).toIndexedSeq: _*), lit(nSalt)))
+      pmod(hash(saltCols.map(facts(_)).toIndexedSeq: _*), lit(nSalt)))
     val o = other.withColumn("__salt",
       explode(array((0 until nSalt).map(lit): _*)))
     f.join(o, f(factKey) === o(otherKey) && f("__salt") === o("__salt"))
       .drop("__salt")
   }
 
+  /** `q_salted_join_agg` surface: the salted fact⋈fact join above,
+    * aggregated — the final result provably equals the unsalted join
+    * (the oracle runs the plain join; the PropertySpec proves row
+    * identity on skewed random data). Salted on the line number, sized
+    * to the observed skew (4); a real deploy reads the factor from
+    * shuffle-partition size metrics.
+    */
   def saltedJoinRevenue(spark: SparkSession, dir: String, nSalt: Int = 4): DataFrame =
     saltedJoin(
         Tables.load(spark, dir, "lineitem"),
         Tables.load(spark, dir, "orders"),
-        "l_orderkey", "o_orderkey", nSalt)
+        "l_orderkey", "o_orderkey", nSalt, Seq("l_linenumber"))
       .groupBy(col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))

@@ -76,13 +76,16 @@ object Ingest {
     * quarantine rows instead of failing the job (FAILFAST) or silently
     * vanishing (DROPMALFORMED). At 100 TB some fraction of any real
     * feed is broken — the pipeline must count and route it, not die at
-    * hour nine. Returns (clean rows, quarantined raw lines); both come
-    * from the SAME single scan (Spark requires a cache before filtering
-    * on the corrupt column — done here, and at cluster scale the
-    * quarantine split would be one persisted pass writing two sinks).
+    * hour nine. Returns (clean rows, quarantined raw lines, release):
+    * both frames come from the SAME single cached scan (Spark requires
+    * a cache before filtering on the corrupt column); call `release()`
+    * once both sinks are written to unpersist it — at cluster scale the
+    * split is one persisted pass writing two sinks, then freed.
     */
   def loadJsonQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): (DataFrame, DataFrame, () => Unit) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already contain _corrupt_record")
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
     val raw = spark.read.schema(withCorrupt)
@@ -94,7 +97,7 @@ object Ingest {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantine = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (clean, quarantine)
+    (clean, quarantine, () => { raw.unpersist(); () })
   }
 
   /** Semi-structured property extraction: pull typed fields out of a

@@ -70,13 +70,21 @@ class IngestSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (clean, quarantine) = Ingest.loadJsonQuarantine(spark, p.toString, schema)
+    val (clean, quarantine, release) =
+      Ingest.loadJsonQuarantine(spark, p.toString, schema)
     assert(clean.count() == 2)
     assert(clean.columns.toSeq == Seq("id", "name"))
     assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     val bad = quarantine.select("raw_line").as[String].collect()
     assert(bad.length == 2)
     assert(bad.exists(_.contains("not json at all")))
+    release()
+    // a schema that already carries _corrupt_record is rejected loudly
+    intercept[IllegalArgumentException] {
+      Ingest.loadJsonQuarantine(spark, p.toString, StructType(Seq(
+        StructField("id", LongType),
+        StructField("_corrupt_record", StringType))))
+    }
   }
 
   test("loadEvolved merges additive schema versions and prunes columns") {

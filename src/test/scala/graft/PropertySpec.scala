@@ -91,7 +91,9 @@ class PropertySpec extends SparkSpec {
     val plain = f.join(d, f("fk") === d("dk")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
       .toSeq.sorted
-    val salted = Temporal.saltedJoin(f, d, "fk", "dk", nSalt = 4).collect()
+    val salted = Temporal
+      .saltedJoin(f, d, "fk", "dk", nSalt = 4, saltCols = Seq("t", "v"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
       .toSeq.sorted
     assert(salted == plain)
