@@ -82,6 +82,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_asof_native" -> ((s, d) => Temporal.purchaseAsOfClickNative(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
+    "q_range_join_native" -> ((s, d) => Temporal.eventsByRangeNative(s, d)),
     "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
     // §2.4 dedup family
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -247,6 +248,20 @@ object SparkEntry {
        |  JOIN card ca ON ca.doc_id = id_a
        |  JOIN card cb ON cb.doc_id = id_b)""".stripMargin
   }
+
+  /** Shared by q_range_join (broadcast non-equi join) and
+    * q_range_join_native (custom IntervalJoinExec) — same semantics.
+    */
+  private val duckRangeJoin: String =
+    s"""WITH ranges(wk_bucket, start_ts, end_ts) AS (VALUES ${
+      graft.operators.Temporal.weekRanges.map { case (w, s, e) =>
+        s"($w, TIMESTAMP '$s', TIMESTAMP '$e')"
+      }.mkString(", ")})
+       |SELECT r.wk_bucket, count(*) AS n_events,
+       |       round(sum(e.value), 2) AS sum_value
+       |FROM events e JOIN ranges r
+       |  ON e.ts >= r.start_ts AND e.ts < r.end_ts
+       |GROUP BY r.wk_bucket ORDER BY r.wk_bucket""".stripMargin
 
   private val duckExact: String =
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
@@ -1003,16 +1018,8 @@ object SparkEntry {
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_asof_join" -> duckAsOf,
     "q_asof_native" -> duckAsOf,
-    "q_range_join" ->
-      (s"""WITH ranges(wk_bucket, start_ts, end_ts) AS (VALUES ${
-        Temporal.weekRanges.map { case (w, s, e) =>
-          s"($w, TIMESTAMP '$s', TIMESTAMP '$e')"
-        }.mkString(", ")})
-         |SELECT r.wk_bucket, count(*) AS n_events,
-         |       round(sum(e.value), 2) AS sum_value
-         |FROM events e JOIN ranges r
-         |  ON e.ts >= r.start_ts AND e.ts < r.end_ts
-         |GROUP BY r.wk_bucket ORDER BY r.wk_bucket""".stripMargin),
+    "q_range_join" -> duckRangeJoin,
+    "q_range_join_native" -> duckRangeJoin,
     "q_salted_join_agg" ->
       """SELECT o.o_orderpriority,
         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -131,6 +131,27 @@ object Temporal {
       .orderBy(col("wk_bucket"))
   }
 
+  /** `q_range_join_native` surface: the SAME interval aggregation as
+    * `eventsByRange`, but through the custom `IntervalJoinExec` —
+    * binary-search probe of the broadcast sorted calendar instead of
+    * BroadcastNestedLoopJoin's scan of every interval per row. Same
+    * oracle; the plain variant stays as the composed-builtins baseline.
+    */
+  def eventsByRangeNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = weekRanges.toDF("wk_bucket", "start_s", "end_s")
+      .select(col("wk_bucket"),
+        to_timestamp_ntz(col("start_s")).as("start_ts"),
+        to_timestamp_ntz(col("end_s")).as("end_ts"))
+    val e = Tables.load(spark, dir, "events")
+    graft.plans.IntervalJoinOps
+      .intervalJoinNative(spark, e, ranges, "ts", "start_ts", "end_ts")
+      .groupBy(col("wk_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("wk_bucket"))
+  }
+
   /** Generic skew-salted inner equi-join: the skewed (fact) side gets a
     * deterministic salt in [0, nSalt); the other side is replicated
     * nSalt times so every salted key still meets every match. Result is

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TopKFunctions.registerSql(e)
     e.injectOptimizerRule(_ => BroadcastSmallDims)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }
 

@@ -41,6 +41,40 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("IntervalJoinExec matches the composed-builtins range join") {
+    val native = graft.operators.Temporal.eventsByRangeNative(spark, sf)
+    // SparkPlan.nodeName strips the "Exec" suffix, so the node prints
+    // as "IntervalJoin" in the physical tree.
+    assert(native.queryExecution.executedPlan.toString
+      .contains("IntervalJoin "),
+      "q_range_join_native should plan through IntervalJoinExec")
+    val builtin = graft.operators.Temporal.eventsByRange(spark, sf)
+    assert(native.collect().toSeq == builtin.collect().toSeq)
+  }
+
+  test("IntervalJoinExec drops null and out-of-range timestamps") {
+    import spark.implicits._
+    val left = Seq(
+      (1, "2020-01-05 00:00:00"), // in interval A
+      (2, "2020-02-15 00:00:00"), // in the gap between intervals
+      (3, "2020-03-01 00:00:00"), // == start of B (inclusive)
+      (4, "2020-04-01 00:00:00"), // == end of B (exclusive)
+      (5, null.asInstanceOf[String]), // null ts
+      (6, "2019-12-31 23:59:59")  // before all intervals
+    ).toDF("id", "s").select(col("id"), to_timestamp_ntz(col("s")).as("t"))
+    val iv = Seq(
+      ("A", "2020-01-01 00:00:00", "2020-02-01 00:00:00"),
+      ("B", "2020-03-01 00:00:00", "2020-04-01 00:00:00")
+    ).toDF("tag", "s0", "s1").select(col("tag"),
+      to_timestamp_ntz(col("s0")).as("start_ts"),
+      to_timestamp_ntz(col("s1")).as("end_ts"))
+    val out = graft.plans.IntervalJoinOps
+      .intervalJoinNative(spark, left, iv, "t", "start_ts", "end_ts")
+      .select(col("id"), col("tag")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "A"), (3, "B")))
+  }
+
   test("graft session defaults: AQE on, UTC, shuffle partitions sized") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
