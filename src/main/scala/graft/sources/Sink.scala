@@ -28,6 +28,23 @@ object Sink {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Clustered layout for data skipping: range-partition on the sort
+    * key, sort within each partition, and cap the parquet row-group
+    * size. Each row group's footer then covers a narrow key range, so
+    * a pushed-down point/range predicate skips all but the matching
+    * groups — at 100 TB this is the difference between scanning a
+    * table and scanning a few megabytes. The write costs one range
+    * shuffle (sampled boundaries, balanced output files), paid once at
+    * ingest like bucketing.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int = 8, rowGroupBytes: Long = 1L << 20): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+
   /** Incremental partition reload: overwrite ONLY the hive partitions
     * present in `df` (dynamic partitionOverwriteMode), leaving every
     * other partition untouched — the daily-reload pattern that replaces
