@@ -72,8 +72,11 @@ object SparkEntry {
     "q_full_outer" -> ((s, d) => Relational.fullOuterReconcile(s, d)),
     "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiff(s, d)),
     "q_collect_set" -> ((s, d) => Relational.collectTypesPerUser(s, d)),
+    "q_sequence_agg" -> ((s, d) => Relational.journeyPerUser(s, d)),
+    "q_mode_per_key" -> ((s, d) => Relational.modePerUser(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncsCustomers(s, d)),
     "q_above_avg" -> ((s, d) => graft.sql.GraftSql.aboveAvgOrders(s, d)),
+    "q_exists_sql" -> ((s, d) => graft.sql.GraftSql.existsUrgent(s, d)),
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotOrders(s, d)),
     "q_profile" -> ((s, d) => Relational.profileOrders(s, d)),
@@ -756,6 +759,30 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_exists_sql" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sequence_agg" ->
+      """SELECT user_id,
+        |       string_agg(event_type, '>'
+        |                  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |         AS journey,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_mode_per_key" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY cnt DESC, event_type DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type AS status,
         |       CAST(ts AS TIMESTAMP) AS valid_from,

@@ -262,6 +262,43 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** `q_sequence_agg`: each user's event-type journey as one ordered
+    * string — the session-path feature of behavior pipelines. One
+    * shuffle on the key; the ordering happens INSIDE the aggregated
+    * array (array_sort over (ts, event_id, type) structs), so no
+    * window sort over the whole table. Ties on the µs timestamp break
+    * deterministically on event_id.
+    */
+  def journeyPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"))
+      .agg(
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("journey"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** `q_mode_per_key`: most frequent event_type per user with a
+    * DETERMINISTIC tie-break (greatest type name wins) — mode() by
+    * ordered-struct max, two map-side-combinable aggregations and no
+    * window sort. The built-in `mode` aggregate is tie-arbitrary, so
+    * it cannot be oracle-checked; this formulation can.
+    */
+  def modePerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("mode_type"),
+        col("m.cnt").as("mode_n"))
+      .orderBy(col("user_id"))
+  }
+
   /** Null-handling policy: synthesize nulls (open orders lose their
     * priority; cheap orders lose their value), then repair them with
     * coalesce / fill defaults plus an nvl2-style presence flag — the

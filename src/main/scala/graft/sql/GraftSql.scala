@@ -64,4 +64,19 @@ object GraftSql {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)
   }
+
+  /** `q_exists_sql` surface: correlated EXISTS in the predicate —
+    * Catalyst rewrites it to a LEFT SEMI join (one shuffle, no
+    * per-row subquery execution), the SQL spelling of
+    * `Fusion.semiJoinFilter`.
+    */
+  def existsUrgent(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
 }

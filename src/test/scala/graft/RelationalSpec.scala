@@ -141,6 +141,36 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length == 5 && rows.forall(_._2 == 2))
   }
 
+  test("journey equals the window-sorted formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val naive = e
+      .withColumn("journey", concat_ws(">", collect_list(col("event_type")).over(w)))
+      .groupBy(col("user_id"))
+      .agg(first(col("journey")).as("journey"), count(lit(1)).as("n_events"))
+    val fast = graft.operators.Relational.journeyPerUser(spark, sf)
+    assert(fast.join(naive.withColumnRenamed("journey", "j2"), "user_id")
+      .filter(col("journey") =!= col("j2")).count() == 0)
+  }
+
+  test("modePerUser picks the max-count type, greatest name on ties") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),          // clear winner a
+      (2L, "x"), (2L, "y")                      // tie -> y (greater name)
+    ).toDF("user_id", "event_type")
+    val out = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("mode_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "y"))
+  }
+
   test("snapshotDiff classifies inserts, deletes, and updates") {
     val d = graft.operators.Relational.snapshotDiff(spark, sf)
     val byChange = d.groupBy("change").count()
