@@ -108,6 +108,28 @@ object EventStream {
       }
       .start()
 
+  /** Incremental file ETL with Trigger.AvailableNow: drain every file
+    * the checkpoint has not seen, apply the transform, append to the
+    * parquet target, then STOP — the batch-cadence shape of a 100 TB
+    * landing-zone pipeline (run it from a scheduler; the checkpoint
+    * source log guarantees each input file is processed exactly once
+    * across restarts, so reruns and crashes never duplicate or drop a
+    * file's rows). Schema is explicit: streaming reads never pay an
+    * inference pass.
+    */
+  def fileEtlAvailableNow(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame, outDir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Input row for the streaming as-of enrichment: `kind` is "l"
     * (a row to enrich) or "r" (a reference tick that becomes state).
     */

@@ -178,6 +178,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileEtlAvailableNow resumes from checkpoint exactly-once") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val schema = new StructType().add("id", LongType)
+    def drain(): Unit = {
+      val q = EventStream.fileEtlAvailableNow(spark, in, schema,
+        df => df.withColumn("doubled", col("id") * 2), out, ckpt)
+      q.awaitTermination()
+    }
+    spark.range(0, 5).select(col("id")).write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(out).count() == 5)
+    // New files land; a restarted drain must process ONLY them — the
+    // checkpoint's source log is what makes reruns exactly-once.
+    spark.range(5, 12).select(col("id")).write.mode("append").parquet(in)
+    drain()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == (0L until 12L).map(i => (i, i * 2)))
+  }
+
   test("foreachBatch upsert absorbs replayed keys across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
