@@ -99,6 +99,7 @@ object SparkEntry {
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansTopK(s, d)),
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
@@ -1154,6 +1155,27 @@ object SparkEntry {
         |                                ORDER BY cos DESC, vec_id) AS rk
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "sim_sq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |             list_max(list_transform(emb, x -> abs(x))) AS mx
+        |      FROM e),
+        |z AS (SELECT vec_id,
+        |             list_transform(emb, x -> CAST(floor(
+        |               x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END)
+        |               + 0.5) AS DOUBLE)) AS qv
+        |      FROM m),
+        |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM z WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, z.vec_id,
+        |             list_cosine_similarity(q.q_qv, z.qv) AS cos_q
+        |      FROM q CROSS JOIN z WHERE z.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos_q,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos_q DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, vec_id, round(cos_q, 6) AS cos_q
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "sim_ivf_topk" ->
       """WITH pos AS (

@@ -32,6 +32,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(l0 - manual) < 1e-9)
   }
 
+  test("sqTopK quantizes to [-127,127] ints and tracks the exact ranking") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val mx = array_max(transform(col("embedding"), x => abs(x))).cast("double")
+    val scale = when(mx > lit(0.0), lit(127.0) / mx).otherwise(lit(1.0))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    val bad = emb.select(explode(qv).as("v"))
+      .filter(col("v") < -127.0 || col("v") > 127.0 || col("v") =!= floor(col("v")))
+      .count()
+    assert(bad == 0, "quantized values must be integers in [-127, 127]")
+
+    val exact = graft.operators.Similarity.bruteforceTopK(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+    val approx = graft.operators.Similarity.sqTopK(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+    val k = graft.operators.Similarity.TopK
+    val nq = exact.select(col("q_id")).distinct().count()
+    val hits = approx.intersect(exact).count()
+    // int8 quantization of 8-dim vectors is coarse but must still
+    // broadly agree with the exact ranking.
+    assert(hits * 2 >= nq * k,
+      s"recall@$k too low: $hits of ${nq * k} exact neighbors retained")
+  }
+
   test("ivfTopK returns ranked results from probed cells only") {
     // The synthetic labels are weak quantizer cells (intra-label cosine
     // ≈ 0), so recall vs brute force is bounded by nprobe/ncells — the
