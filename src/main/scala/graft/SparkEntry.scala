@@ -21,6 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 ingestion & sources
     "src_schema_mapped_read" -> ((s, d) => Ingest.schemaMappedRead(s, d)),
+    "src_catalog_columns" ->
+      ((s, d) => graft.sources.SchemaAlign.catalogColumns(s, d, graft.sources.Tables.all)),
     "src_sample_ingest" -> ((s, d) => Ingest.sampleIngest(s, d)),
     "src_dynamic_projection" -> ((s, d) => Ingest.dynamicProjection(s, d)),
     "src_lineage_column" -> ((s, d) => Ingest.lineageColumn(s, d)),
@@ -390,6 +392,13 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "src_sample_ingest" ->
       "SELECT * FROM orders ORDER BY o_orderkey LIMIT 888",
+    "src_catalog_columns" ->
+      """SELECT table_name, column_name, CAST(data_type AS VARCHAR) AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |                     'part', 'orders', 'lineitem', 'events',
+        |                     'documents', 'embeddings')
+        |ORDER BY table_name, column_name""".stripMargin,
     "src_dynamic_projection" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       CAST(l_quantity AS DOUBLE) AS l_quantity,

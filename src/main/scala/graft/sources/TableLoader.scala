@@ -100,4 +100,41 @@ object SchemaAlign {
     val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     target.fold(merged)(SchemaAlign.project(merged, _))
   }
+
+  /** `src_catalog_columns`: catalog introspection as a query — the
+    * reference reads information_schema.columns to drive its schema
+    * mapping (helper_db_operation.py get_table_columns,
+    * on_demand_db_query.sql). Here the catalog IS the parquet footer:
+    * the schemas come from the planned reads (metadata only, no data
+    * scan), emitted with engine-neutral type names so any SQL engine's
+    * information_schema agrees.
+    */
+  def catalogColumns(spark: SparkSession, dir: String,
+      tables: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def canonical(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case BinaryType => "BLOB"
+      case _: TimestampType | _: TimestampNTZType => "TIMESTAMP"
+      case ArrayType(e, _) => canonical(e) + "[]"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => other.sql
+    }
+    val rows = tables.sorted.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.sortBy(_.name).map { f =>
+        (t, f.name, canonical(f.dataType))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "data_type")
+      .orderBy(col("table_name"), col("column_name"))
+  }
 }

@@ -7,6 +7,19 @@ import graft.sources.{Ingest, SchemaAlign, TypePolicy}
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
+  test("catalogColumns reports engine-neutral types for every column") {
+    val cat = graft.sources.SchemaAlign
+      .catalogColumns(spark, sf, Seq("orders", "embeddings", "events"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(cat(("orders", "o_orderkey")) == "BIGINT")
+    assert(cat(("orders", "o_orderpriority")) == "VARCHAR")
+    assert(cat(("embeddings", "embedding")) == "FLOAT[]")
+    // events.ts is normalized to timestamp on load, not surfaced as
+    // the raw epoch-nanos long.
+    assert(cat(("events", "ts")) == "TIMESTAMP")
+  }
+
   test("canonical TypePolicy widens ints and floats") {
     val df = Seq((1, 2.0f, "x")).toDF("I", "F", "S")
     val out = TypePolicy.canonical(df)
