@@ -84,6 +84,7 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.profileOrders(s, d)),
     "text_tfidf" -> ((s, d) => TextFunctions.tfidfTopTerms(s, d)),
     "text_ngram_freq" -> ((s, d) => TextFunctions.bigramFreq(s, d)),
+    "text_batch_pack" -> ((s, d) => TextFunctions.batchPack(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_asof_native" -> ((s, d) => Temporal.purchaseAsOfClickNative(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
@@ -1253,6 +1254,20 @@ object SparkEntry {
         |                                        c.centroid)), 6) AS mean_cos_to_centroid
         |FROM embeddings e JOIN cent c ON e.label = c.label
         |GROUP BY e.label ORDER BY e.label""".stripMargin,
+    "text_batch_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))
+        |              AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         sum(n_tok) OVER (ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tok,
+        |       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -414,6 +414,43 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sequence packing (`text_batch_pack`): assign each
+    * document (in doc_id order) to the training batch its running
+    * token total lands in — batch_id = floor(tokens_before / capacity).
+    * The running total is a SCALABLE two-phase prefix sum, not a
+    * single-partition window: range-partition by doc_id, local cumsum
+    * per partition, then add each partition's broadcast prefix offset
+    * (one tiny row per partition crosses the driver). The result is a
+    * pure function of doc_id order — partition boundaries cannot
+    * change it — so a single-threaded engine replays it exactly.
+    */
+  def batchPack(spark: SparkSession, dir: String,
+      capacity: Long = 512L, numParts: Int = 8): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), nWords(lower(col("text"))).as("n_tok"))
+      .repartitionByRange(numParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = d.withColumn("local_cum", sum(col("n_tok")).over(w)).cache()
+    // Partition totals are numParts rows — the only driver-side data.
+    val totals = local.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+      .zip(totals.map(_._1)).map { case (off, pid) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    local.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("cum") - col("n_tok")).cast("double") / capacity)
+          .cast("long").as("batch_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level bigram frequencies (`text_ngram_freq`): top-20 word
     * bigrams with a deterministic (count desc, bigram asc) rank — the
     * vocabulary/statistics pass of a tokenizer-training pipeline. One

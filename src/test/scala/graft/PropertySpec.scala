@@ -116,4 +116,31 @@ class PropertySpec extends SparkSpec {
     assert(got.sorted == expected.sorted)
     assert(got.map(_._1).distinct.length == got.length) // one row per key
   }
+
+  test("IntervalJoinExec matches the naive interval scan on random data") {
+    // Random NON-OVERLAPPING calendar: cut points -> [c_i, c_{i+1})
+    // intervals, keeping every other gap so coverage has holes.
+    val cutsGen = Gen.listOfN(12, Gen.choose(0L, 1000L))
+    val tsGen = Gen.listOfN(300, Gen.choose(-50L, 1100L))
+    val cuts = sample(cutsGen, 13L).distinct.sorted
+    val ivs = cuts.sliding(2).zipWithIndex.collect {
+      case (List(a, b), i) if i % 2 == 0 => (i.toLong, a, b)
+    }.toList
+    val ts = sample(tsGen, 17L)
+    val naive = for {
+      (t, row) <- ts.zipWithIndex
+      (tag, a, b) <- ivs if t >= a && t < b
+    } yield (row.toLong, tag)
+    val left = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("row_id", "t")
+      .select(col("row_id"), timestamp_seconds(col("t")).as("t"))
+    val right = ivs.toDF("tag", "a", "b")
+      .select(col("tag"), timestamp_seconds(col("a")).as("start_ts"),
+        timestamp_seconds(col("b")).as("end_ts"))
+    val got = graft.plans.IntervalJoinOps
+      .intervalJoinNative(spark, left, right, "t", "start_ts", "end_ts")
+      .select(col("row_id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted)
+  }
 }

@@ -178,6 +178,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows emit one bucket per overlapping 15-min slide") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.slidingCounts(events)
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts("2024-01-01 10:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val buckets = spark.sql(
+        "SELECT bucket FROM sliding_test WHERE bucket < TIMESTAMP '2024-01-01 12:00:00' ORDER BY bucket")
+        .collect().map(_.getTimestamp(0))
+      // A 10:20 event belongs to the four 1h windows sliding by 15min
+      // that cover it: starts 09:30, 09:45, 10:00, 10:15.
+      assert(buckets.toSeq == Seq(
+        ts("2024-01-01 09:30:00"), ts("2024-01-01 09:45:00"),
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:15:00")))
+    } finally q.stop()
+  }
+
   test("fileEtlAvailableNow resumes from checkpoint exactly-once") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, StructType}

@@ -110,4 +110,21 @@ class TextSpec extends SparkSpec {
       .as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("batchPack is partition-layout independent and monotone") {
+    val a = TextFunctions.batchPack(spark, sf, numParts = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = TextFunctions.batchPack(spark, sf, numParts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // The two-phase prefix sum is a pure function of doc_id order —
+    // partitioning must not leak into the assignment.
+    assert(a.toSeq == b.toSeq)
+    // batch ids start at 0 and never decrease in doc order; each batch
+    // holds at most capacity tokens before the doc that overflows it.
+    assert(a.head._3 == 0L)
+    assert(a.sliding(2).forall { case Array(x, y) => y._3 >= x._3 })
+    val perBatch = a.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val maxDoc = a.map(_._2).max
+    assert(perBatch.values.forall(_ <= 512L + maxDoc))
+  }
 }
