@@ -42,6 +42,7 @@ object SparkEntry {
     "q_dedup_pk" -> ((s, d) => Fusion.dedupLatestPerKey(s, d)),
     "q_sample_per_group" -> ((s, d) => Fusion.samplePerGroup(s, d)),
     "q_fusion_etl" -> ((s, d) => Fusion.fusionEtl(s, d).orderBy("o_orderkey")),
+    "q_merge" -> ((s, d) => Fusion.mergeChanges(s, d)),
     // §2.3 analytics
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_star_join_agg" -> ((s, d) => Analytics.starJoinRevenue(s, d)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
+    "q_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
     "q_ntile" -> ((s, d) => Analytics.priceQuartiles(s, d)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
     "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -121,6 +124,7 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => TextFunctions.contamination(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
+    "q_bloom_prune" -> ((s, d) => Relational.bloomPrunedRevenue(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -577,6 +581,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Sessions replayed as lag/cumsum: a >=30min gap breaks (Spark's
+    // session_window end is exclusive, so an event exactly gap-later
+    // opens a NEW session). ts is µs-cast up front to match Spark's
+    // micro-floored parquet read of the ns column.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM e),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_median" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
@@ -730,6 +758,33 @@ object SparkEntry {
         |      WHERE o_orderkey % 3 = 0) b
         |  ON a.k = b.k
         |ORDER BY k""".stripMargin,
+    "q_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |feed AS (
+        |  SELECT o_orderkey AS k,
+        |         o_totalprice + CAST(100 AS DOUBLE) AS new_price,
+        |         (o_orderkey % 11 = 0) AS is_delete
+        |  FROM o WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000 AS k, o_totalprice AS new_price,
+        |         false AS is_delete
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |kept AS (
+        |  SELECT o.o_orderkey,
+        |         round(coalesce(f.new_price, o.o_totalprice), 2) AS price,
+        |         o.o_orderstatus AS status,
+        |         CASE WHEN f.k IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+        |  FROM o LEFT JOIN feed f ON o.o_orderkey = f.k
+        |  WHERE f.is_delete IS NULL OR NOT f.is_delete),
+        |ins AS (
+        |  SELECT f.k AS o_orderkey, round(f.new_price, 2) AS price,
+        |         CAST(NULL AS VARCHAR) AS status, 'insert' AS action
+        |  FROM feed f
+        |  WHERE NOT f.is_delete
+        |    AND f.k NOT IN (SELECT o_orderkey FROM o))
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey""".stripMargin,
     "q_snapshot_diff" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_totalprice AS price_a, o_orderstatus AS status_a
@@ -1028,6 +1083,16 @@ object SparkEntry {
         |       round(CAST(n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
         |         AS share
         |FROM r CROSS JOIN tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // The bloom prune is exact after the join removes false positives,
+    // so the oracle is simply the unpruned join.
+    "q_bloom_prune" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       count(*) AS n_items,
+        |       round(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)), 2)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_knn_graph" ->
       """WITH s AS (
         |  SELECT a.vec_id, b.vec_id AS nb_id,
@@ -1218,6 +1283,53 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays BOTH rankings (brute-force + IVF probe) and intersects —
+    // the recall measurement itself is what's being verified.
+    "sim_recall_report" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |bs AS (SELECT q.q_id, e.vec_id,
+        |              list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                     CAST(e.embedding AS DOUBLE[])) AS cos
+        |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |br AS (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos DESC, vec_id) AS rk
+        |       FROM bs),
+        |exact AS (SELECT q_id, vec_id FROM br WHERE rk <= 5),
+        |pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label),
+        |cellrank AS (
+        |  SELECT q.q_id, q.q_emb, c.label,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                           c.centroid) DESC,
+        |                    c.label) AS cell_rk
+        |  FROM q CROSS JOIN cent c),
+        |probed AS (SELECT q_id, q_emb, label FROM cellrank WHERE cell_rk <= 2),
+        |ivs AS (SELECT p.q_id, e.vec_id,
+        |               list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        |        FROM probed p JOIN embeddings e ON e.label = p.label
+        |        WHERE e.vec_id <> p.q_id),
+        |ivr AS (SELECT q_id, vec_id,
+        |               row_number() OVER (PARTITION BY q_id
+        |                                  ORDER BY cos DESC, vec_id) AS rk
+        |        FROM ivs),
+        |approx AS (SELECT q_id, vec_id FROM ivr WHERE rk <= 5)
+        |SELECT e.q_id,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        |       round(CAST(count(a.vec_id) AS DOUBLE) / 5, 6) AS recall
+        |FROM exact e LEFT JOIN approx a
+        |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "mm_decode_stats" -> (s"WITH $duckMediaMeta\n" +
       """SELECT doc_id, kind, n_bytes,
         |       CAST(CASE WHEN kind = 'audio' THEN 0

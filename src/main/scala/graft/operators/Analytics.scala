@@ -227,6 +227,27 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Declarative sessions (`q_session_window`): Spark's built-in
+    * `session_window` in batch — per (user, session) span + aggregates,
+    * no manual lag/cumsum. Semantically a session is the transitive
+    * closure of events < 30min apart; the window's end is last_ts +
+    * gap, so `n_events`/`sum_value` + [start, last_ts] are emitted with
+    * last_ts derived as end - gap. Same single shuffle on the entity
+    * key as `sessionize`; this is the surface a streaming job reuses
+    * verbatim (§2.8 runs the identical expression on MemoryStream).
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr(s"INTERVAL $gapMinutes MINUTES"))
+          .as("session_last"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Tumbling 1-hour windows: count + sum(value) per bucket — the batch
     * twin of the streaming windowed aggregation.
     */

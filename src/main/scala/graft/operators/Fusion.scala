@@ -163,6 +163,54 @@ object Fusion {
     spark.read.parquet(outPath).count()
   }
 
+  /** MERGE INTO semantics (`q_merge`): apply a keyed change feed to a
+    * base table — matched+delete-flag rows drop, matched rows take the
+    * feed's values, unmatched feed rows insert. The reference only
+    * knows whole-table delete-then-insert (etl_ecollision_fusion_table_
+    * collisions.py:124-135); this is the surgical replacement.
+    *
+    * Scale shape: the base is NEVER shuffled — one broadcast LEFT join
+    * decides update/delete per base row, one broadcast LEFT ANTI finds
+    * the inserts, union. A change feed is small next to a 100 TB base;
+    * pairing this with `Sink.overwritePartitionsDynamic` rewrites only
+    * the partitions the feed touches.
+    *
+    * Both tables derive deterministically from `orders`: the feed
+    * updates key%7==0 (price+100), deletes key%11==0, and inserts a
+    * shifted copy of key%13==0 under key+1000000.
+    */
+  def mergeChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val base = o
+    val feed = o.filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") + 100.0).as("new_price"),
+        (col("o_orderkey") % 11 === 0).as("is_delete"))
+      .unionByName(
+        o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 1000000L).as("k"),
+            col("o_totalprice").as("new_price"),
+            lit(false).as("is_delete")))
+    val kept = base.join(broadcast(feed), base("o_orderkey") === feed("k"), "left")
+      .filter(col("is_delete").isNull || !col("is_delete"))
+      .select(col("o_orderkey"),
+        round(coalesce(col("new_price"), col("o_totalprice")), 2).as("price"),
+        col("o_orderstatus").as("status"),
+        when(col("k").isNotNull, "update").otherwise("keep").as("action"))
+    // Feed keys already present in the base: a broadcast INNER join —
+    // the base is scanned, never shuffled, and the output is at most
+    // |feed| rows, so the subsequent anti-join is small-vs-small.
+    val matchedKeys = base.select(col("o_orderkey"))
+      .join(broadcast(feed.select(col("k"))), col("o_orderkey") === col("k"))
+      .select(col("k"))
+    val inserts = feed.filter(!col("is_delete"))
+      .join(broadcast(matchedKeys), Seq("k"), "left_anti")
+      .select(col("k").as("o_orderkey"), round(col("new_price"), 2).as("price"),
+        lit(null).cast("string").as("status"), lit("insert").as("action"))
+    kept.unionByName(inserts).orderBy(col("o_orderkey"))
+  }
+
   /** Deterministic bounded sample per group — the reference's
     * `sample_size=888` bounded ingest (ingest_ecollision_oracle_data
     * .py:96) generalized to stratified: rank by key inside each group,

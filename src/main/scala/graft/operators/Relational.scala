@@ -90,6 +90,35 @@ object Relational {
       .orderBy(col("rk"))
   }
 
+  /** `q_bloom_prune` surface: lineitem ⋈ urgent-orders revenue with a
+    * bloom filter on the urgent order keys pruning the fact scan FIRST.
+    * The build is a distributed aggregate (`stat.bloomFilter`); the
+    * probe (`graft.functions.BloomFunctions.mightContain`) runs inside
+    * whole-stage codegen before the join. At test scale the urgent dim
+    * broadcasts anyway; at 100 TB — where both sides shuffle — the
+    * bloom cuts the fact side's shuffle volume to ~the matching rows
+    * (plus fpp), which is the difference between shuffling 100 TB and
+    * shuffling the selectivity of the predicate. False positives are
+    * removed by the join itself, so the result equals the plain join
+    * exactly (the oracle runs the unpruned join).
+    */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = graft.functions.BloomFunctions
+      .buildBytes(urgent, "o_orderkey", expectedItems = 200000L, fpp = 0.01)
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("l_orderkey")))
+    l.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("order_year"))
+  }
+
   /** Fixed-width histogram of order values: explicit floor-binning
     * (portable across engines, unlike width_bucket) with clamped edge
     * buckets; one aggregation, bucket count bounded by the bin spec

@@ -114,6 +114,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** `sim_recall_report`: recall@k of the IVF probe against the exact
+    * brute-force ranking, per query — the quality gate every ANN
+    * deployment runs before swapping an index in. Both inputs are
+    * deterministic (label-cell IVF, tie-broken rankings), so the whole
+    * report is oracle-checked — the measurement harness itself is
+    * verified, not just eyeballed. Exact side LEFT-joins the approx
+    * side on (q_id, neighbor); a missed neighbor contributes 0.
+    * Both rankings broadcast-join (k rows per query), so the report
+    * costs two corpus scans and no wide shuffle at any scale.
+    */
+  def recallReport(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val exact = bruteforceTopK(spark, dir, k).select(col("q_id"), col("vec_id"))
+    val approx = ivfTopK(spark, dir, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** IVF with a REAL coarse quantizer: k-means over the corpus builds
     * `nCells` centroids (the index build), every vector is assigned to
     * its nearest cell, and queries probe only their `nprobe` closest

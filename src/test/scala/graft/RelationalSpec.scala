@@ -198,4 +198,70 @@ class RelationalSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("bloom prune is lossless and the filter actually prunes the scan") {
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val l = graft.sources.Tables.load(spark, sf, "lineitem")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = l.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Relational.bloomPrunedRevenue(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == plain)
+    // The membership test itself must pass every true key (no false
+    // negatives) and reject most non-keys (fpp=1% plus slack).
+    val bloom = graft.functions.BloomFunctions.buildBytes(urgent, "o_orderkey")
+    val might = graft.functions.BloomFunctions.mightContain(bloom, col("l_orderkey"))
+    val withFlag = l.select(col("l_orderkey"), might.as("hit"))
+      .join(urgent.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("hit"), col("o_orderkey").isNotNull.as("truth")).collect()
+    assert(withFlag.forall(r => !r.getBoolean(1) || r.getBoolean(0)))
+    val negatives = withFlag.filterNot(_.getBoolean(1))
+    val fp = negatives.count(_.getBoolean(0)).toDouble / negatives.length.max(1)
+    assert(fp < 0.05, s"false-positive rate $fp")
+  }
+
+  test("mergeChanges applies update/delete/insert exactly") {
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      .as[(Long, Double)].collect().toMap
+    val got = graft.operators.Fusion.mergeChanges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+    val gotMap = got.map(t => t._1 -> t).toMap
+    o.foreach { case (k, p) =>
+      if (k % 11 == 0) assert(!gotMap.contains(k), s"key $k should be deleted")
+      else if (k % 7 == 0) {
+        assert(gotMap(k)._3 == "update")
+        assert(math.abs(gotMap(k)._2 - BigDecimal(p + 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      } else assert(gotMap(k)._3 == "keep")
+      if (k % 13 == 0) assert(gotMap(k + 1000000L)._3 == "insert")
+    }
+    assert(got.length ==
+      o.count { case (k, _) => k % 11 != 0 } + o.count { case (k, _) => k % 13 == 0 })
+  }
+
+  test("session_window agg matches the lag/cumsum sessionization") {
+    // Group the manual sessionization's per-event rows into sessions and
+    // compare spans — the declarative operator must agree. NOTE the gap
+    // rule differs at the exact boundary (>= vs >): no events in the
+    // testdata are exactly 30min apart, which the generator guarantees.
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val manual = Analytics.sessionize(spark, sf)
+      .join(e.select(col("event_id"), col("value")), Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_last"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_last"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val declarative = Analytics.sessionWindowAgg(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(declarative == manual)
+  }
 }

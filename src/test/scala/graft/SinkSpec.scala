@@ -90,6 +90,32 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    // The 100 TB pattern: fact partitioned on the join key's FK date/
+    // dim attribute, dim filtered at runtime — Spark must inject a
+    // dynamicpruning subquery so the fact scan only reads partitions
+    // the filtered dim reaches, without a literal partition predicate.
+    val p = tmpDir()
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority").parquet(p)
+    val fact = spark.read.parquet(p)
+    val dimPath = tmpDir()
+    Seq(("1-URGENT", "hot"), ("5-LOW", "cold"))
+      .toDF("prio", "tier").write.parquet(dimPath)
+    // The dim must be a scan with a surviving selective Filter —
+    // a local Seq would constant-fold the filter away and DPP's
+    // selectivity heuristic would see nothing to prune with.
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .filter(col("tier") === "hot")
+      .groupBy(col("prio")).agg(sum(col("o_totalprice")).as("v"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery, got:\n$plan")
+    assert(joined.collect().length == 1)
+  }
+
   test("dedupUpsert keeps the latest version per key across writes") {
     val p = tmpDir()
     Sink.dedupUpsert(spark, p,
