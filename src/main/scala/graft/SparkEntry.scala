@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Analytics, Dedup, Fusion, Relational, Similarity, Temporal, Validity}
+import graft.operators.{Analytics, Dedup, Fusion, Incremental, Relational, Similarity, Temporal, Validity}
 import graft.sources.Ingest
 
 /** Driver contract: every operator in SURVEY.md §2, one `queries` entry
@@ -111,6 +111,7 @@ object SparkEntry {
     "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_bloom_prune" -> ((s, d) => Relational.bloomPrunedRevenue(s, d)),
+    "q_incr_agg" -> ((s, d) => Incremental.incrementalAgg(s, d)),
     // §2.7 multimodal plumbing
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
@@ -1083,6 +1085,15 @@ object SparkEntry {
         |       round(CAST(n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
         |         AS share
         |FROM r CROSS JOIN tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // Merged incremental state must equal the one-pass recompute —
+    // the oracle IS the full recompute over all raw events.
+    "q_incr_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(sum(value) / count(*), 6) AS avg_value,
+        |       CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |       CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The bloom prune is exact after the join removes false positives,
     // so the oracle is simply the unpruned join.
     "q_bloom_prune" ->
@@ -1282,6 +1293,47 @@ object SparkEntry {
         |                                ORDER BY cos DESC, vec_id) AS rk
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays the full PQ pipeline: subvector split, sample codebook,
+    // argmin encode, ADC tables, fixed-order distance reassembly.
+    // Squared L2 is an explicit index-order fold (list_zip lambda) on
+    // both engines — list_distance's sqrt+square would drift ulps.
+    "sim_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, j.j, emb[j.j*16+1 : j.j*16+16] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+        |cb AS (SELECT j, CAST(vec_id AS INTEGER) AS c, sv AS cw
+        |       FROM sub WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT s.vec_id, s.j, b.c,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.j
+        |           ORDER BY list_sum(list_transform(list_zip(s.sv, b.cw),
+        |                      p -> (p[1]-p[2])*(p[1]-p[2]))), b.c) AS rn
+        |  FROM sub s JOIN cb b ON s.j = b.j),
+        |codes AS (SELECT vec_id, j, c FROM asg WHERE rn = 1),
+        |qd AS (
+        |  SELECT s.vec_id AS q_id, s.j, b.c,
+        |         list_sum(list_transform(list_zip(s.sv, b.cw),
+        |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd
+        |  FROM sub s JOIN cb b ON s.j = b.j WHERE s.vec_id < 8),
+        |agg AS (
+        |  SELECT q.q_id, codes.vec_id,
+        |         sum(CASE WHEN codes.j = 0 THEN q.qd END) AS p0,
+        |         sum(CASE WHEN codes.j = 1 THEN q.qd END) AS p1,
+        |         sum(CASE WHEN codes.j = 2 THEN q.qd END) AS p2,
+        |         sum(CASE WHEN codes.j = 3 THEN q.qd END) AS p3
+        |  FROM codes JOIN qd q ON codes.j = q.j AND codes.c = q.c
+        |  WHERE codes.vec_id <> q.q_id
+        |  GROUP BY q.q_id, codes.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adist,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
+        |  FROM agg)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+        |       round(adist, 6) AS approx_dist
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // Replays BOTH rankings (brute-force + IVF probe) and intersects —
     // the recall measurement itself is what's being verified.

@@ -89,4 +89,53 @@ object Incremental {
     newRows.unpersist(); changedParts.unpersist()
     (n, written)
   }
+
+  /** Mergeable per-key aggregate state: count / sum / min / max — the
+    * partials every distributive aggregate decomposes into. This is
+    * the unit a stored rollup table keeps per key so a new data chunk
+    * updates it WITHOUT rescanning history.
+    */
+  def aggState(df: DataFrame, key: String, valueCol: String,
+      tsCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+
+  /** Merge two state tables by key: counts/sums add, min/max fold —
+    * a full-outer join on the key, each side at rollup (not raw)
+    * cardinality. Associative and commutative, so daily states can
+    * merge up to monthly/yearly without touching raw data.
+    */
+  def mergeState(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val bb = b.columns.filterNot(_ == key)
+      .foldLeft(b)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    a.join(bb, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__b_n"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0.0)) + coalesce(col("__b_s"), lit(0.0))).as("s"),
+        least(col("first_ts"), col("__b_first_ts"))
+          .as("first_ts"), // least/greatest skip nulls
+        greatest(col("last_ts"), col("__b_last_ts")).as("last_ts"))
+  }
+
+  /** `q_incr_agg` surface: per-user rollup maintained incrementally —
+    * state from events before the cut, state from the delta after it,
+    * merged, then served (avg derived at read time from sum/count).
+    * The oracle recomputes from ALL raw events in one pass: merging
+    * partials must equal the full recompute — the associativity
+    * contract that makes stored-state rollups trustworthy at 100 TB,
+    * where "just rescan history" is not an option.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val base = aggState(e.filter(col("ts") < cut), "user_id", "value", "ts")
+    val delta = aggState(e.filter(col("ts") >= cut), "user_id", "value", "ts")
+    mergeState(base, delta, "user_id")
+      .select(col("user_id"), col("n").as("n_events"),
+        round(col("s"), 2).as("sum_value"),
+        round(col("s") / col("n"), 6).as("avg_value"),
+        col("first_ts"), col("last_ts"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.cosine
@@ -111,6 +111,66 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** `sim_pq_topk`: product-quantized ANN with asymmetric distance
+    * (ADC) — the OTHER compression lever next to scalar quantization:
+    * each vector stores only m=4 codebook indices (4 bytes vs 256),
+    * a 64× memory cut, and search is m table lookups per candidate.
+    * The codebook is deterministic sample-as-codebook (the nCode
+    * lowest vec_ids' subvectors — the seed-sample initialization of a
+    * k-means codebook, minus the iterations that would make it
+    * unreplayable), so the WHOLE pipeline — encode, distance tables,
+    * ranking — is oracle-checked, unlike classic trained PQ.
+    *
+    * Shapes: codes = corpus ⋈ broadcast codebook (argmin per
+    * subspace, window over nCode rows per vector-subspace); search =
+    * codes ⋈ broadcast per-query distance tables, then the m partial
+    * distances re-assemble in FIXED subspace order (one conditional
+    * sum per subspace — a float sum in shuffle order would wobble the
+    * last ulp across layouts and engines). Linear in corpus × m.
+    */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      m: Int = 4, subDim: Int = 16, nCode: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val subs = (0 until m).map(j => struct(lit(j).as("j"),
+      slice(col("embedding"), j * subDim + 1, subDim).as("sv")))
+    val exploded = emb.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val codebook = exploded.filter(col("vec_id") < nCode)
+      .select(col("j"), col("vec_id").cast("int").as("c"), col("sv").as("cw"))
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("c"))
+    val codes = exploded.join(broadcast(codebook), Seq("j"))
+      .withColumn("d", sqL2(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+    // Per-query ADC tables: exact distance from each query subvector to
+    // every codeword — m·nCode rows per query, broadcast to the corpus.
+    val qdist = exploded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv").as("q_sv"))
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("qd", sqL2(col("q_sv"), col("cw")))
+      .select(col("q_id"), col("j"), col("c"), col("qd"))
+    val partials = (0 until m).map(j =>
+      sum(when(col("j") === j, col("qd"))).as(s"p$j"))
+    val adist = (1 until m).foldLeft(col("p0"))((acc, j) => acc + col(s"p$j"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(qdist), Seq("j", "c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("adist", adist)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("adist"), 6).as("approx_dist"))
       .orderBy(col("q_id"), col("rk"))
   }
 

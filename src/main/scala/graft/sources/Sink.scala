@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,36 @@ object Sink {
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative integer columns,
+    * `bits` low bits each — a pure builtin-composed expression (shift/
+    * mask/or), fully codegen'd. Rows close in Z-value are close in
+    * BOTH dimensions, which is what makes two-column clustering work
+    * where a lexicographic sort only clusters its leading column.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustered layout: range-partition + sort on the Morton
+    * code of TWO filter columns, so every file (and row group) covers
+    * a narrow rectangle in both dimensions — min/max footer stats then
+    * skip on either predicate. `writeSorted` clusters one column at
+    * the cost of scattering all others; this is the two-column
+    * generalization, the same one-time shuffle at ingest. Callers
+    * normalize the columns to non-negative ints spanning ≲ 2^bits
+    * (rank or min/max scaling) — Z-values only interleave meaningfully
+    * when both inputs use the same bit budget.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 16, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Incremental partition reload: overwrite ONLY the hive partitions
     * present in `df` (dynamic partitionOverwriteMode), leaving every

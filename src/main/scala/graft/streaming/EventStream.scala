@@ -69,6 +69,23 @@ object EventStream {
         col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like `purchaseClickJoin`
+    * but purchases with NO in-window click still emit — with null
+    * click columns — once the click-side watermark passes the join
+    * window (only then can Spark prove no match will arrive). The
+    * funnel-drop-off query: "purchases without a preceding click".
+    */
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p.join(c,
+        expr("p.user_id = c.user_id AND " +
+          "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"),
+        "left_outer")
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))
+  }
+
   /** Streaming exact dedup: drop repeats of a key seen within the
     * watermark horizon — the streaming twin of `Dedup.exact` /
     * `Fusion.dedupLatestPerKey`, with state bounded by the watermark

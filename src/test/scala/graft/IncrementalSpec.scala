@@ -70,6 +70,29 @@ class IncrementalSpec extends SparkSpec {
     assert(!after.keys.exists(_.startsWith("day=d3")))
   }
 
+  test("chunked state merges equal the one-pass aggregate, any split") {
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val full = Incremental.aggState(e, "user_id", "value", "ts")
+      .select(col("user_id"), col("n"), round(col("s"), 2).as("s"),
+        col("first_ts"), col("last_ts"))
+      .collect().map(_.toSeq).toSet
+    // Three uneven chunks on an unrelated axis (event_id ranges), merged
+    // pairwise in two different association orders.
+    val chunks = Seq(
+      e.filter(col("event_id") % 7 < 2), e.filter(col("event_id") % 7 === 2),
+      e.filter(col("event_id") % 7 > 2))
+      .map(Incremental.aggState(_, "user_id", "value", "ts"))
+    def finish(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("n"), round(col("s"), 2).as("s"),
+        col("first_ts"), col("last_ts")).collect().map(_.toSeq).toSet
+    val leftFold = finish(Incremental.mergeState(
+      Incremental.mergeState(chunks(0), chunks(1), "user_id"), chunks(2), "user_id"))
+    val rightFold = finish(Incremental.mergeState(
+      chunks(0), Incremental.mergeState(chunks(1), chunks(2), "user_id"), "user_id"))
+    assert(leftFold == full)
+    assert(rightFold == full)
+  }
+
   test("no-op snapshot touches nothing") {
     val base = Files.createTempDirectory("graft-incr-noop")
     val path = base.resolve("t").toString

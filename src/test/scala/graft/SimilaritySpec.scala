@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpec {
       s"recall@$k too low: $hits of ${nq * k} exact neighbors retained")
   }
 
+  test("pqTopK codes are bounded and the ADC ranking is sane") {
+    val pq = Similarity.pqTopK(spark, sf)
+    val rows = pq.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length == Similarity.NumQueries)
+    assert(rows.groupBy(_._1).values.forall(_.length == Similarity.TopK))
+    // Approximate distances are nonnegative and nondecreasing in rank.
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.forall(_._4 >= 0.0))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4
+        case _ => true
+      })
+    }
+    // A 16-codeword sample codebook over random data is a coarse
+    // quantizer; require only that ADC beats chance by a wide margin:
+    // chance recall@5 over ~500 candidates is ~1%, require >=10%.
+    val bf = Similarity.bruteforceTopK(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = rows.map(t => (t._1, t._3)).toSet.intersect(bf).size
+    assert(hits * 10 >= bf.size,
+      s"PQ recall collapsed: $hits of ${bf.size}")
+  }
+
   test("ivfTopK returns ranked results from probed cells only") {
     // The synthetic labels are weak quantizer cells (intra-label cosine
     // ≈ 0), so recall vs brute force is bounded by nprobe/ncells — the

@@ -90,6 +90,41 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering bounds per-file ranges on BOTH dimensions") {
+    // Scale lineitem's (partkey, suppkey) to a shared 10-bit budget,
+    // write z-ordered vs sorted-by-one, and compare how much of each
+    // dimension's global range an average file spans — the footer-stat
+    // skipping a point/range predicate gets on reads.
+    val l = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val stats = l.agg(
+      min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head()
+    val (pLo, pHi) = (stats.getLong(0), stats.getLong(1))
+    val (sLo, sHi) = (stats.getLong(2), stats.getLong(3))
+    val bits = 10
+    val scaleMax = (1 << bits) - 1
+    val scaled = l.select(
+      ((col("l_partkey") - pLo) * scaleMax / (pHi - pLo).max(1L)).cast("long").as("x"),
+      ((col("l_suppkey") - sLo) * scaleMax / (sHi - sLo).max(1L)).cast("long").as("y"))
+    def avgSpan(path: String, c: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .select(avg(col("span"))).head().getDouble(0)
+      perFile / scaleMax
+    }
+    val zPath = tmpDir()
+    Sink.writeZOrdered(scaled, zPath, "x", "y", numFiles = 16, bits = bits)
+    val sortedPath = tmpDir()
+    Sink.writeSorted(scaled, sortedPath, Seq("x"), numFiles = 16)
+    // One-column sort: files are narrow in x but span nearly all of y.
+    assert(avgSpan(sortedPath, "y") > 0.8)
+    // Z-order: BOTH dimensions bounded well below the global range.
+    assert(avgSpan(zPath, "x") < 0.6, s"x span ${avgSpan(zPath, "x")}")
+    assert(avgSpan(zPath, "y") < 0.6, s"y span ${avgSpan(zPath, "y")}")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     // The 100 TB pattern: fact partitioned on the join key's FK date/
     // dim attribute, dim filtered at runtime — Spark must inject a

@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Double)]
+    val cIn = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pIn.toDF().toDF("user_id", "ts", "value")
+    val clicks = cIn.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.purchaseClickLeftJoin(purchases, clicks)
+      .writeStream.format("memory").queryName("ssleft_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cIn.addData((1L, ts("2024-01-01 09:30:00"), 0.0))
+      pIn.addData(
+        (1L, ts("2024-01-01 10:00:00"), 42.0), // has a click
+        (2L, ts("2024-01-01 10:00:00"), 7.0))  // no click: null row later
+      q.processAllAvailable()
+      // The matched row emits immediately; the unmatched one only once
+      // the click watermark (2h) passes its window — advance both sides.
+      cIn.addData((9L, ts("2024-01-01 23:00:00"), 0.0))
+      pIn.addData((9L, ts("2024-01-01 23:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, click_ts FROM ssleft_test WHERE user_id IN (1, 2)")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+      assert(rows == Set(
+        (1L, Some(ts("2024-01-01 09:30:00"))), (2L, None)))
+    } finally q.stop()
+  }
+
   test("session_window builtin aggregates on batch frames") {
     val batch = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
