@@ -23,6 +23,8 @@ object SparkEntry {
     "src_schema_mapped_read" -> ((s, d) => Ingest.schemaMappedRead(s, d)),
     "src_catalog_columns" ->
       ((s, d) => graft.sources.SchemaAlign.catalogColumns(s, d, graft.sources.Tables.all)),
+    "src_file_stats" ->
+      ((s, d) => graft.sources.SchemaAlign.fileStats(s, d, graft.sources.Tables.all)),
     "src_sample_ingest" -> ((s, d) => Ingest.sampleIngest(s, d)),
     "src_dynamic_projection" -> ((s, d) => Ingest.dynamicProjection(s, d)),
     "src_lineage_column" -> ((s, d) => Ingest.lineageColumn(s, d)),
@@ -57,6 +59,8 @@ object SparkEntry {
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
+    "q_approx_quantile" -> ((s, d) => Analytics.approxQuantiles(s, d)),
+    "q_cms_topk" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
     "q_ntile" -> ((s, d) => Analytics.priceQuartiles(s, d)),
     "text_editdist" -> ((s, d) => TextFunctions.editDistanceChain(s, d)),
@@ -101,6 +105,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_span" -> ((s, d) => Dedup.spanDups(s, d)),
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
+    "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -406,6 +411,30 @@ object SparkEntry {
         |                     'part', 'orders', 'lineitem', 'events',
         |                     'documents', 'embeddings')
         |ORDER BY table_name, column_name""".stripMargin,
+    // Spark reports num_rows from footers alone; the oracle COUNTS the
+    // rows — footer truthfulness is the property under test.
+    "src_file_stats" ->
+      """WITH counts AS (
+        |  SELECT 'region' AS table_name, count(*) AS num_rows FROM region
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'customer', count(*) FROM customer
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings),
+        |cols AS (
+        |  SELECT table_name, count(*) AS n_columns
+        |  FROM information_schema.columns
+        |  WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |                       'part', 'orders', 'lineitem', 'events',
+        |                       'documents', 'embeddings')
+        |  GROUP BY table_name)
+        |SELECT counts.table_name, counts.num_rows, cols.n_columns
+        |FROM counts JOIN cols USING (table_name)
+        |ORDER BY table_name""".stripMargin,
     "src_dynamic_projection" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       CAST(l_quantity AS DOUBLE) AS l_quantity,
@@ -1146,6 +1175,15 @@ object SparkEntry {
     "dedup_minhash" -> duckMinhash,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
+    // Survivors of BOTH detectors, applied to the corpus.
+    "dedup_apply" ->
+      s"""WITH ck AS ($duckClusters),
+         |ex AS (SELECT keep_id AS doc_id FROM ($duckExact))
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+         |FROM documents d
+         |JOIN ck ON d.doc_id = ck.doc_id AND ck.keep = 1
+         |JOIN ex ON d.doc_id = ex.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_report" ->
       s"""SELECT method, n FROM (
          |  SELECT 'exact_dup_groups' AS method, count(*) AS n

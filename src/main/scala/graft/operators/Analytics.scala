@@ -206,6 +206,25 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `q_approx_quantile` surface: one-pass approximate percentiles
+    * (Greenwald-Khanna via `percentile_approx`) per group — the scale
+    * path next to `q_median`'s exact interpolation, which buffers each
+    * group's values. GK summaries are bounded-size and merge in partial
+    * aggregation, so this runs at any cardinality. Approximation ≠
+    * DuckDB's exact quantile → rows-only; the spec bounds the rank
+    * error against the exact answer.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("p50_est"),
+        expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)").as("p90_est"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Gap-based sessionization in batch: a session break is a >30min gap
     * since the previous event of the same user; session id = running
     * count of breaks. lag + cumsum over one (user, time) window — the

