@@ -11,7 +11,8 @@ object Bench {
     "q_asof_join", "q_salted_join_agg",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "sim_bruteforce_topk", "text_quality", "mm_payload_stats",
-    "q_fusion_etl", "dedup_span", "text_contamination")
+    "q_fusion_etl", "dedup_span", "text_contamination",
+    "q_merge", "q_bloom_prune", "sim_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

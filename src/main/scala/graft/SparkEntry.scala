@@ -58,6 +58,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
+    "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantiles(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_batch_pack" -> ((s, d) => TextFunctions.batchPack(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_asof_native" -> ((s, d) => Temporal.purchaseAsOfClickNative(s, d)),
+    "q_asof_forward" -> ((s, d) => Temporal.purchaseNextClick(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
     "q_range_join_native" -> ((s, d) => Temporal.eventsByRangeNative(s, d)),
     "q_salted_join_agg" -> ((s, d) => Temporal.saltedJoinRevenue(s, d)),
@@ -117,6 +119,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -204,6 +207,18 @@ object SparkEntry {
       |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin
+
+  /** Forward twin of duckAsOf: earliest click at-or-after, min id. */
+  private val duckAsOfForward: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, min(event_id) AS event_id FROM events
+      |      WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |       c.event_id AS click_event_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts >= p.ts
       |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin
 
   private val duckShingles: String =
@@ -1114,12 +1129,32 @@ object SparkEntry {
         |       round(CAST(n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
         |         AS share
         |FROM r CROSS JOIN tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value
+        |  FROM events WHERE user_id < 10),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n, sum(value) AS s
+        |  FROM e GROUP BY user_id, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM b),
+        |grid AS (
+        |  SELECT u.user_id, spine.day
+        |  FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN spine)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |       coalesce(d.n, 0) AS n_events,
+        |       round(coalesce(d.s, CAST(0 AS DOUBLE)), 2) AS sum_value
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day""".stripMargin,
     // Merged incremental state must equal the one-pass recompute —
     // the oracle IS the full recompute over all raw events.
     "q_incr_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value,
-        |       round(sum(value) / count(*), 6) AS avg_value,
         |       CAST(min(ts) AS TIMESTAMP) AS first_ts,
         |       CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -1161,6 +1196,7 @@ object SparkEntry {
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_asof_join" -> duckAsOf,
     "q_asof_native" -> duckAsOf,
+    "q_asof_forward" -> duckAsOfForward,
     "q_range_join" -> duckRangeJoin,
     "q_range_join_native" -> duckRangeJoin,
     "q_salted_join_agg" ->
@@ -1267,6 +1303,21 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // Same oracle as sim_bruteforce_topk: the SQL surface must return
+    // the identical ranking through the registered native expression.
+    "sim_sql_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 8),

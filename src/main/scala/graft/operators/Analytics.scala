@@ -206,6 +206,32 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `q_gap_fill` surface: per-user daily activity with MISSING DAYS
+    * zero-filled — reports and training-curriculum schedules need the
+    * dense grid, not the sparse fact table. The date spine is GENERATED
+    * (`sequence` + explode — rows Spark creates, not reads), cross-
+    * joined with the user set, then left-joined to the sparse daily
+    * aggregate; the spine and user list are broadcast-sized while the
+    * fact side aggregates before joining, so the grid never inflates
+    * the shuffle. Days render as strings so both engines agree on
+    * formatting.
+    */
+  def gapFillDaily(spark: SparkSession, dir: String, maxUser: Int = 10): DataFrame = {
+    val e = Tables.load(spark, dir, "events").filter(col("user_id") < maxUser)
+    val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("s"))
+    val spine = e.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val users = e.select(col("user_id")).distinct()
+    users.crossJoin(broadcast(spine))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("s"), lit(0.0)), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** `q_approx_quantile` surface: one-pass approximate percentiles
     * (Greenwald-Khanna via `percentile_approx`) per group — the scale
     * path next to `q_median`'s exact interpolation, which buffers each

@@ -99,6 +99,59 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Forward as-of join (`q_asof_forward`): for every left row, attach
+    * the EARLIEST right row with the same key at-or-after the left
+    * timestamp — purchase → next click, the attribution twin of the
+    * backward as-of. Same single-shuffle union+window shape, with the
+    * window running from the FUTURE side (descending time, right rows
+    * after left rows on ties so an exactly-simultaneous right row
+    * matches inclusively); ties on (key, ts) break on max tieBreak,
+    * mirroring `asOfJoin`.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Option[String] = None): DataFrame = {
+    val lTagged = left
+      .withColumn("__t", col(leftTs)).withColumn("__is_l", lit(1))
+    val rTagged = right
+      .select((key +: rightTs +: payload).map(col): _*)
+      .withColumnsRenamed(payload.map(p => p -> s"asof_$p").toMap)
+      .withColumn("__t", col(rightTs)).withColumn("__is_l", lit(0))
+      .drop(rightTs)
+    val tieCols = tieBreak.map(t => col(s"asof_$t").asc_nulls_first).toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc +: col("__is_l").asc +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(
+      lTagged.unionByName(rTagged, allowMissingColumns = true)) {
+      case (df, p) =>
+        df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_l") === 1).drop("__t", "__is_l")
+  }
+
+  /** `q_asof_forward` surface: each purchase joined to the user's next
+    * (or simultaneous) click — funnel continuation attribution. The
+    * click side is deduplicated to one row per (user_id, ts) keeping
+    * MIN event_id (the forward mirror of the backward query's max
+    * rule), so both engines see a tie-free right side.
+    */
+  def purchaseNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts", col("ts"))
+    asOfJoinForward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_event_id", "click_ts"), tieBreak = Some("click_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_event_id").as("click_event_id"),
+        col("asof_click_ts").as("click_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Inline interval calendar for the range join (wk → [start, end)). */
   val weekRanges: Seq[(Int, String, String)] = Seq(
     (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),

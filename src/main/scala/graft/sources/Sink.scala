@@ -102,6 +102,31 @@ object Sink {
     }
   }
 
+  /** Small-file compaction: rewrite a parquet table into
+    * ceil(bytes/targetFileBytes) files via staging + atomic swap.
+    * Streaming sinks and per-partition incremental writes accrete
+    * small files; at 100 TB the file count itself becomes the
+    * bottleneck (driver listing time, task-per-file scheduling, row
+    * groups too small to skip within). Coalesce — not repartition —
+    * so compaction is shuffle-free: existing partitions concatenate.
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staging = new Path(path + "__compact")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(path)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+    (files.length, nOut)
+  }
+
   /** Bucketed managed table: co-locates rows by join key at write time
     * so later equi-joins/aggregations on that key need NO shuffle —
     * both sides arrive hash-partitioned from disk. This is the

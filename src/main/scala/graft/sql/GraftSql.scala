@@ -65,6 +65,30 @@ object GraftSql {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** `sim_sql_topk` surface: the brute-force ANN expressed ENTIRELY in
+    * SQL through the extension-registered `graft_cosine` function —
+    * proof that the custom codegen Expression is a first-class SQL
+    * citizen (a BI tool or notebook user gets the same native kernel
+    * the Scala API uses). Same plan shape and oracle as
+    * `sim_bruteforce_topk`.
+    */
+  def sqlTopK(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id,
+        |             graft_cosine(q.q_emb, e.embedding) AS cos
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+        |       round(cos, 6) AS cos
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+  }
+
   /** `q_exists_sql` surface: correlated EXISTS in the predicate —
     * Catalyst rewrites it to a LEFT SEMI join (one shuffle, no
     * per-row subquery execution), the SQL spelling of

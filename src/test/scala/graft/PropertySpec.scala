@@ -57,6 +57,31 @@ class PropertySpec extends SparkSpec {
     assert(got.sorted == naiveAsOf(lrows, rrows).sorted)
   }
 
+  test("asOfJoinForward matches the naive forward reference on random data") {
+    val lrows = sample(triplesGen, 19L)
+    val rrows = sample(triplesGen, 23L)
+    val got = Temporal.asOfJoinForward(
+        lrows.toDF("k", "lts", "lv"), rrows.toDF("k", "rts", "rv"),
+        "k", "lts", "rts", Seq("rv"), tieBreak = Some("rv"))
+      .select(col("k"), col("lts"), col("lv"), col("asof_rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSeq
+    // Naive forward: earliest right (ts >= lts), ties on ts → max value.
+    val naive = lrows.map { case (k, lts, lv) =>
+      val cands = rrows.filter(r => r._1 == k && r._2 >= lts)
+      val v =
+        if (cands.isEmpty) -1L
+        else {
+          val mts = cands.map(_._2).min
+          cands.filter(_._2 == mts).map(_._3).max
+        }
+      (k, lts, lv, v)
+    }
+    assert(got.sorted == naive.sorted)
+  }
+
   test("native AsOfJoinExec agrees with the window formulation") {
     val lrows = sample(triplesGen, 13L)
     // both formulations require/assume a tie-free right side

@@ -90,6 +90,22 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("compact merges small files losslessly") {
+    val p = tmpDir()
+    val df = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    df.repartition(24).write.parquet(p) // simulate small-file accretion
+    def snapshot(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    val before = snapshot(df)
+    val (nBefore, nAfter) = Sink.compact(spark, p, targetFileBytes = 1L << 30)
+    assert(nBefore == 24 && nAfter == 1)
+    val files = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    val after = snapshot(spark.read.parquet(p))
+    assert(after == before)
+  }
+
   test("z-order clustering bounds per-file ranges on BOTH dimensions") {
     // Scale lineitem's (partkey, suppkey) to a shared 10-bit budget,
     // write z-ordered vs sorted-by-one, and compare how much of each
