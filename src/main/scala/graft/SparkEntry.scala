@@ -59,6 +59,7 @@ object SparkEntry {
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantiles(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize_stats" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d))
   )
 
@@ -1129,6 +1131,31 @@ object SparkEntry {
         |       round(CAST(n_rows AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
         |         AS share
         |FROM r CROSS JOIN tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // Stage timestamps compared at µs (CAST up front) to match Spark's
+    // micro-floored reader; share = n/stage1 rounded at the edge.
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'signup'
+        |         AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 6 HOUR
+        |       GROUP BY e.user_id),
+        |c AS (
+        |  SELECT '1_click' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_purchase', count(*) FROM s2
+        |  UNION ALL SELECT '3_signup', count(*) FROM s3),
+        |b AS (SELECT greatest(n_users, 1) AS base FROM c WHERE stage = '1_click')
+        |SELECT stage, n_users,
+        |       round(CAST(n_users AS DOUBLE) / base, 6) AS share
+        |FROM c CROSS JOIN b ORDER BY stage""".stripMargin,
     "q_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, value
@@ -1483,6 +1510,26 @@ object SparkEntry {
         |       CAST(CASE WHEN kind = 'audio' THEN 8000 + (b0 % 5) * 8000
         |                 ELSE 0 END AS INTEGER) AS sample_rate
         |FROM m ORDER BY doc_id""".stripMargin),
+    // Same byte-derived dims as mm_decode_stats; resize math in exact
+    // small-int double space (floor of products ≤ 2^24) both engines.
+    "mm_resize_stats" -> (s"WITH $duckMediaMeta,\n" +
+      """d AS (
+        |  SELECT doc_id, kind,
+        |         CAST(16 + b0 % 64 AS INTEGER) AS width,
+        |         CAST(16 + b1 % 64 AS INTEGER) AS height,
+        |         CAST(CASE WHEN kind = 'image' THEN 1
+        |                   ELSE 1 + b1 % 240 END AS INTEGER) AS n_frames
+        |  FROM m WHERE kind <> 'audio'),
+        |r AS (
+        |  SELECT doc_id, kind, width, height, n_frames,
+        |         CAST(floor(CAST(width * 224 AS DOUBLE) /
+        |                    greatest(width, height)) AS INTEGER) AS out_w,
+        |         CAST(floor(CAST(height * 224 AS DOUBLE) /
+        |                    greatest(width, height)) AS INTEGER) AS out_h
+        |  FROM d)
+        |SELECT doc_id, kind, width, height, out_w, out_h,
+        |       CAST(n_frames AS BIGINT) * out_w * out_h * 3 AS out_bytes
+        |FROM r ORDER BY doc_id""".stripMargin),
     "mm_frame_sample" -> (s"WITH $duckMediaMeta,\n" +
       """v AS (SELECT doc_id, 1 + b1 % 240 AS n_frames FROM m
         |      WHERE kind = 'video'),

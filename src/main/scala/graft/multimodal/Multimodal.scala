@@ -144,6 +144,28 @@ object Multimodal {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** `mm_resize_stats`: resize planning for the visual modalities —
+    * fit each image/video frame into a `box`×`box` square preserving
+    * aspect ratio, and cost out the decoded output volume
+    * (frames × out_w × out_h × 3 bytes). This is the sizing pass run
+    * BEFORE committing a 100 TB corpus to a GPU preprocessing fleet;
+    * the arithmetic stays in exact small-int double space (floor of
+    * products ≤ 2^24) so every engine agrees bit-for-bit. The actual
+    * pixel resample stays behind the Decoder seam like decode itself.
+    */
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 224,
+      decoder: Decoder = FakeDecoder): DataFrame = {
+    val d = decodeStats(spark, dir, decoder).filter(col("kind") =!= "audio")
+    val mx = greatest(col("width"), col("height")).cast("double")
+    def fit(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * box / mx).cast("int")
+    d.select(col("doc_id"), col("kind"), col("width"), col("height"),
+        fit(col("width")).as("out_w"), fit(col("height")).as("out_h"),
+        (col("n_frames").cast("long") * fit(col("width")).cast("long") *
+          fit(col("height")).cast("long") * 3L).as("out_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   def decodeStats(spark: SparkSession, dir: String,
       decoder: Decoder = FakeDecoder): DataFrame = {
     import spark.implicits._

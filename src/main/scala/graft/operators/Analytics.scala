@@ -206,6 +206,42 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `q_funnel` surface: time-bounded ordered funnel — users who
+    * clicked, then purchased WITHIN SIX HOURS of their first click, then
+    * signed up within six hours of that first qualifying purchase (an
+    * unbounded ordered funnel is vacuous on a month of dense activity —
+    * everyone eventually does everything; the window is what makes the
+    * stages discriminate). Each stage is one conditional-min
+    * aggregation joined back broadcast (per-user stage timestamps are
+    * entity-cardinality, tiny next to events); the event table is
+    * scanned once per stage and never shuffled on anything but the
+    * entity key. Emits stage name + user count + conversion share.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val hour = expr("INTERVAL 6 HOUR")
+    val s1 = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "purchase")
+      .join(broadcast(s1), Seq("user_id"))
+      .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + hour)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "signup")
+      .join(broadcast(s2), Seq("user_id"))
+      .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + hour)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    import spark.implicits._
+    val counts = Seq(
+      ("1_click", s1.count()), ("2_purchase", s2.count()),
+      ("3_signup", s3.count()))
+    val base = counts.head._2.max(1L)
+    counts.map { case (stage, n) =>
+      (stage, n, BigDecimal(n.toDouble / base)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("stage", "n_users", "share")
+  }
+
   /** `q_gap_fill` surface: per-user daily activity with MISSING DAYS
     * zero-filled — reports and training-curriculum schedules need the
     * dense grid, not the sparse fact table. The date spine is GENERATED
