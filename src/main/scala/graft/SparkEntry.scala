@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_span" -> ((s, d) => Dedup.spanDups(s, d)),
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize_stats" -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "mm_audio_chunks" -> ((s, d) => Multimodal.audioChunks(s, d)),
     "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d))
   )
 
@@ -1530,6 +1532,24 @@ object SparkEntry {
         |SELECT doc_id, kind, width, height, out_w, out_h,
         |       CAST(n_frames AS BIGINT) * out_w * out_h * 3 AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin),
+    // 16-bit PCM chunking in pure integer math; audio kind + rate come
+    // from the same byte-derived metadata as mm_decode_stats.
+    "mm_audio_chunks" -> (s"WITH $duckMediaMeta,\n" +
+      """a AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (b0 % 5) * 8000 AS INTEGER) AS sample_rate,
+        |         n_bytes // 2 AS n_samples
+        |  FROM m WHERE kind = 'audio' AND n_bytes // 2 >= 1),
+        |c AS (
+        |  SELECT doc_id, sample_rate, n_samples,
+        |         (n_samples + sample_rate - 1) // sample_rate AS n_chunks
+        |  FROM a)
+        |SELECT doc_id, sample_rate, i.i AS chunk_i,
+        |       i.i * sample_rate AS start_sample,
+        |       least(CAST(sample_rate AS BIGINT),
+        |             n_samples - i.i * sample_rate) AS chunk_samples
+        |FROM c CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) i
+        |ORDER BY doc_id, chunk_i""".stripMargin),
     "mm_frame_sample" -> (s"WITH $duckMediaMeta,\n" +
       """v AS (SELECT doc_id, 1 + b1 % 240 AS n_frames FROM m
         |      WHERE kind = 'video'),

@@ -106,6 +106,27 @@ object Multimodal {
         col("n_frames").cast("long").as("n_frames"))
       .orderBy(col("doc_id"), col("sample_i"))
 
+  /** `mm_audio_chunks`: the audio twin of frame sampling — treat each
+    * audio payload as 16-bit mono PCM and fan it out to one row per
+    * 1-second window (the unit an ASR/feature extractor consumes):
+    * chunk start sample + chunk length, last chunk ragged. Pure
+    * integer math on decoded metadata (floor divisions), so the
+    * oracle replays it exactly; payload bytes stay in the scan stage.
+    */
+  def audioChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = decodeStats(spark, dir).filter(col("kind") === "audio")
+      .withColumn("n_samples", floor(col("n_bytes") / 2.0).cast("long"))
+      .filter(col("n_samples") >= 1)
+    val rate = col("sample_rate").cast("long")
+    d.withColumn("n_chunks",
+        floor((col("n_samples") + rate - 1L).cast("double") / rate).cast("long"))
+      .withColumn("chunk_i", explode(sequence(lit(0L), col("n_chunks") - 1L)))
+      .select(col("doc_id"), col("sample_rate"), col("chunk_i"),
+        (col("chunk_i") * rate).as("start_sample"),
+        least(rate, col("n_samples") - col("chunk_i") * rate).as("chunk_samples"))
+      .orderBy(col("doc_id"), col("chunk_i"))
+  }
+
   /** Embed stage: payload bytes → fixed-dim vector, one embedder per
     * partition (model init is expensive), payloads never shuffled —
     * only the small (doc_id, kind, 8-dim) frame leaves the scan stage.

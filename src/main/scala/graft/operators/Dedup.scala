@@ -233,6 +233,38 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** `dedup_lsh_sweep`: candidate-pair volume for several LSH banding
+    * configs over the SAME signature table — the s-curve tuning run
+    * that picks (bands, rows/band) before committing a corpus-wide
+    * dedup pass: more bands → lower per-band match bar → more
+    * candidates (recall ↑, verify cost ↑). One signature build is
+    * shared (cached) across configs; each config costs one linear
+    * band-table self-join, so the sweep is |configs| × the banding
+    * stage, not × the whole pipeline. Oracle replays every config.
+    */
+  def lshSweep(spark: SparkSession, dir: String,
+      bandConfigs: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sigs = minhashSignatures(docs).cache()
+    val frames = bandConfigs.map { b =>
+      val rpb = MinhashK / b
+      val bandArr = array((0 until b).map { bIdx =>
+        val comps = (0 until rpb)
+          .map(r => col(s"sig_${bIdx * rpb + r}").cast("string"))
+        md5(concat_ws("_", (lit(bIdx.toString) +: comps): _*).cast("binary"))
+      }: _*)
+      val bands = sigs.select(col("doc_id"), explode(bandArr).as("band_hash"))
+      bands.alias("x").join(bands.alias("y"), Seq("band_hash"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+        .select(lit(b).as("n_bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"))
+    }
+    frames.reduce(_ unionByName _).orderBy(col("n_bands"))
+  }
+
   /** Whole-pipeline dedup report (`dedup_report`): one frame with the
     * headline count of every dedup method — the summary a data team
     * reads after the nightly dedup pass (how much of the corpus is

@@ -41,6 +41,36 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.graft.broadcastDimThreshold" -> "0",
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // One pathological key holding half the rows: the classic layout
+      // that strands a single reducer without AQE's runtime split.
+      val left = spark.range(200000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k").groupBy($"k" % 10).count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join, got:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IntervalJoinExec matches the composed-builtins range join") {
     val native = graft.operators.Temporal.eventsByRangeNative(spark, sf)
     // SparkPlan.nodeName strips the "Exec" suffix, so the node prints
