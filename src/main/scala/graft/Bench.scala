@@ -15,6 +15,10 @@ object Bench {
     "q_merge", "q_bloom_prune", "sim_pq_topk")
 
   def main(args: Array[String]): Unit = {
+    // Optional arg: comma-separated query subset (dev-only A/B timing);
+    // the driver invokes with no args and times the full headline.
+    val picked = args.headOption
+      .map(_.split(",").toSeq.filter(headline.contains)).getOrElse(headline)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession
@@ -31,7 +35,7 @@ object Bench {
     // A run that throws contributes NO timing — a fast failure must not
     // make the benchmark look faster; failed queries are reported and
     // fail the process.
-    val results = headline.flatMap { name =>
+    val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()

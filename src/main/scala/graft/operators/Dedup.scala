@@ -427,11 +427,14 @@ object Dedup {
     */
   def spanDups(spark: SparkSession, dir: String, window: Int = 10): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val wins = transform(TextFunctions.tokenWindows(col("toks"), window),
-      s => md5Bits(s, 1, 15))
+    // md5 AFTER the posexplode: an expensive expression under a
+    // Generate runs interpreted; in the following projection it stays
+    // in whole-stage codegen (same fix as text_contamination).
     docs
       .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "h")))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenWindows(col("toks"), window)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5Bits(col("s"), 1, 15).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -249,8 +249,11 @@ object Relational {
     */
   def collectTypesPerUser(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
+    // The sorted set is emitted joined to one string: the harness's
+    // row-sort + hash compare needs hashable (scalar) cells, and a
+    // canonical delimiter-joined form is engine-neutral anyway.
     e.groupBy(col("user_id"))
-      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
         countDistinct(col("event_type")).as("n_types"))
       .orderBy(col("user_id"))
   }
