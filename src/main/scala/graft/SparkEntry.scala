@@ -135,6 +135,12 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => TextFunctions.contamination(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
+    "q_retention_cohort" -> ((s, d) => Analytics.retentionCohort(s, d)),
+    "q_throttle" -> ((s, d) => Analytics.throttleEvents(s, d)),
+    "q_entropy" -> ((s, d) => Analytics.hourlyEntropy(s, d)),
+    "q_skyline" -> ((s, d) => Relational.paretoOrders(s, d)),
+    "q_array_funcs" -> ((s, d) => Relational.arrayFuncsOrders(s, d)),
+    "text_weighted_sample" -> ((s, d) => TextFunctions.weightedSample(s, d)),
     "q_bloom_prune" -> ((s, d) => Relational.bloomPrunedRevenue(s, d)),
     "q_incr_agg" -> ((s, d) => Incremental.incrementalAgg(s, d)),
     // §2.7 multimodal plumbing
@@ -862,6 +868,76 @@ object SparkEntry {
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |       count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', CAST(min(ts) AS TIMESTAMP)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id)
+        |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(floor(date_diff('day', f.cw,
+        |                  CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) / 7.0) AS BIGINT) AS wk_n,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_throttle" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT event_id, user_id, event_type, ts,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS prev_us
+        |      FROM c)
+        |SELECT event_id, user_id, event_type, ts FROM x
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 3600000000
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_entropy" ->
+      """WITH cells AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(sum(c) AS BIGINT) AS n,
+        |       count(*) AS n_hours,
+        |       round(ln(CAST(sum(c) AS DOUBLE)) -
+        |             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+        |               CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Independent O(n²) dominance check — the Spark side never
+    // compares pairs (distinct-price prefix-min), so agreement is a
+    // real cross-check of the frontier, not a replay.
+    "q_skyline" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders a
+        |  WHERE a.o_orderpriority = o.o_orderpriority
+        |    AND a.o_totalprice <= o.o_totalprice
+        |    AND a.o_orderdate <= o.o_orderdate
+        |    AND (a.o_totalprice < o.o_totalprice
+        |         OR a.o_orderdate < o.o_orderdate))
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    // Plain grouped aggregates here vs the HOF array pipeline on the
+    // Spark side — an independent formulation, not a list replay.
+    "q_array_funcs" ->
+      """SELECT l_orderkey,
+        |       count(*) AS n_items,
+        |       sum(l_quantity) AS qty_total,
+        |       CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |       CAST(round(max(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS max_net_cents,
+        |       CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS any_return
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "text_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source, n_chars,
+         |         (ln(CAST(${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 15)} + 1 AS DOUBLE))
+         |          - 60 * ln(CAST(2 AS DOUBLE))) / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY es_key DESC, doc_id) AS rk
+         |  FROM k)
+         |SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |       upper(c_name) AS name_upper,

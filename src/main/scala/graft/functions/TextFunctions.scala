@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -301,6 +302,33 @@ object TextFunctions {
       .filter(col("bucket") < col("rate_pct").cast("long"))
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic weighted sampling (`text_weighted_sample`):
+    * Efraimidis–Spirakis reservoir keys — each doc gets
+    * key = ln(u)/w with u an md5-derived uniform in (0,1] and
+    * w = n_chars, and the top-k keys per source are the sample; longer
+    * docs win proportionally more often, yet the survivor set is a
+    * pure function of doc ids (no RNG, engine/layout independent —
+    * the same determinism contract as text_subsample). One scan, one
+    * top-k-per-group window over a tiny key tuple; at corpus scale the
+    * window swaps for the bounded-heap graft_topk aggregate.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    // u = (h+1)/2^60 with h the 60-bit md5 of the doc id; key in ln
+    // space: ln(u)/w = (ln(h+1) - 60·ln 2) / w, monotone in u^(1/w).
+    val h = graft.operators.Dedup.md5Bits(col("doc_id").cast("string"), 1, 15)
+    val key = (log(h.cast("double") + 1.0) - lit(60.0) * log(lit(2.0))) /
+      col("n_chars").cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"), key.as("es_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
   }
 
   /** Repetition signals (`text_repetition`): the n-gram repetition

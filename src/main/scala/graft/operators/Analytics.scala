@@ -417,6 +417,72 @@ object Analytics {
     * partial-aggregation-friendly (merged moment sketches, one
     * shuffle).
     */
+  /** Weekly cohort retention matrix (`q_retention_cohort`): users are
+    * cohorted by the week of their first event; each later event lands
+    * in a (cohort_week, weeks_since) cell counted by distinct users —
+    * the standard retention triangle. Two shuffles, both shrunk by
+    * partial aggregation: the first-event min per user, then the
+    * cell-level distinct count. The per-user first-event frame joins
+    * back on user_id — co-partitioned with the event shuffle, and at
+    * 100 TB the user dimension is orders of magnitude smaller than the
+    * event log.
+    */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_wk"))
+    e.select(col("user_id"), col("ts"))
+      .join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_wk"),
+        floor(datediff(to_date(col("ts")), col("cohort_wk")) / 7).cast("long").as("wk_n"))
+      .groupBy(col("cohort_wk"), col("wk_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("wk_n"), col("n_users"))
+      .orderBy(col("cohort_week"), col("wk_n"))
+  }
+
+  /** Rate-limit / debounce pass (`q_throttle`): keep an event only if
+    * the previous event with the same (user, type) is at least an hour
+    * older — the batch twin of streaming dropDuplicatesWithinWatermark
+    * with a time bound instead of exact equality. One lag window over
+    * the natural (user, type) partitioning; the gap is compared in
+    * integral microseconds so the predicate is exact.
+    */
+  def throttleEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+        unix_micros(col("ts").cast("timestamp")) - col("prev_us") >= 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Shannon entropy of each event type's hour-of-day profile
+    * (`q_entropy`): H = ln(n) - (1/n)·Σ c·ln(c) over the 24 hourly
+    * counts — a uniformity diagnostic (bots spike one hour, organic
+    * traffic spreads). All counting is integral and map-side
+    * combinable; the only floating math is the ≤24-term Σ c·ln(c),
+    * rounded at the edge.
+    */
+  def hourlyEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val cells = e.groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_hours"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("event_type"), col("n"), col("n_hours"),
+        round(log(col("n").cast("double")) - col("clnc") / col("n").cast("double"), 6)
+          .as("entropy"))
+      .orderBy(col("event_type"))
+  }
+
   def statsPerPriority(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val days = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -377,5 +378,66 @@ object Relational {
         when(prio.isNull, 0L).otherwise(1L).as("priority_present"),
         round(coalesce(price, lit(0.0)), 2).as("price_filled"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Per-group 2-D Pareto frontier (`q_skyline`): within each order
+    * priority, keep orders no other order dominates on (lower price,
+    * earlier date) — the multi-objective filter behind "cheapest AND
+    * freshest" candidate selection. Not O(n²): orders collapse to one
+    * row per (group, price) carrying the min date, a prefix-min window
+    * over that distinct-price table gives the best date among strictly
+    * cheaper rows, and a row survives iff it ties its price's min date
+    * and beats every cheaper price's date. One small shuffle on
+    * (group, price), one window over the collapsed table, one join
+    * back on the same key. Huge single groups would turn the window's
+    * prefix-min into the two-phase scan used by text_batch_pack.
+    */
+  def paretoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val perPrice = o.groupBy(col("o_orderpriority"), col("o_totalprice"))
+      .agg(min(col("o_orderdate")).as("min_d"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice.withColumn("pre_min_d", min(col("min_d")).over(w))
+    o.join(frontier, Seq("o_orderpriority", "o_totalprice"))
+      // dominated ⇔ a strictly cheaper order is no later (pre_min_d
+      // <= date), or a same-price order is strictly earlier (date >
+      // min_d); identical (price, date) pairs never dominate each
+      // other, and both survive via date == min_d.
+      .filter(col("o_orderdate") <= col("min_d") &&
+        (col("pre_min_d").isNull || col("pre_min_d") > col("o_orderdate")))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Higher-order array-function suite (`q_array_funcs`): per-order
+    * line items collected to sorted arrays, then reduced entirely with
+    * codegen-friendly builtins — aggregate (fold), filter + size,
+    * exists, array_max — the array-column toolkit for feature
+    * engineering without a single UDF. Per-element rounding precedes
+    * the max so every float op is order-independent.
+    */
+  def arrayFuncsOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_quantity"))).as("qtys"),
+        sort_array(collect_list(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("nets"),
+        sort_array(collect_list(col("l_returnflag"))).as("flags"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        aggregate(col("qtys"), lit(0.0), (acc, x) => acc + x).as("qty_total"),
+        size(filter(col("qtys"), x => x >= 25)).cast("long").as("n_big"),
+        // integer cents at the edge: round(max·100) to a long agrees
+        // bit-for-bit across engines (2dp-rounding a 4-decimal product
+        // does not — HALF_UP on the exact binary vs std::round diverge
+        // on knife-edge doubles)
+        round(array_max(col("nets")) * 100, 0).cast("long").as("max_net_cents"),
+        exists(col("flags"), f => f === "R").cast("long").as("any_return"))
+      .orderBy(col("l_orderkey"))
   }
 }

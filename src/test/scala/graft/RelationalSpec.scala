@@ -295,4 +295,59 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(declarative == manual)
   }
+
+  test("skyline equals the naive O(n^2) dominance filter") {
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      .as[(String, Long, Double, java.sql.Timestamp)].collect()
+    val naive = o.filter { case (g, _, p, d) =>
+      !o.exists { case (g2, _, p2, d2) =>
+        g2 == g && p2 <= p && !d2.after(d) && (p2 < p || d2.before(d))
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = Relational.paretoOrders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .as[(String, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+    // a frontier must be mutually non-dominating within each group
+    assert(got.size < o.length)
+  }
+
+  test("throttle keeps exactly the events with no same-key event in the prior hour") {
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val naive = e.filter { case (id, u, t, us) =>
+      val prev = e.filter(x => x._2 == u && x._3 == t &&
+        (x._4 < us || (x._4 == us && x._1 < id)))
+      prev.isEmpty || us - prev.map(_._4).max >= 3600L * 1000000L
+    }.map(_._1).toSet
+    val got = Analytics.throttleEvents(spark, sf)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == naive)
+    assert(got.nonEmpty && got.size < e.length)
+  }
+
+  test("weighted sample is deterministic and favors long documents") {
+    val a = TextFunctions.weightedSample(spark, sf)
+      .collect().map(_.toSeq)
+    val b = TextFunctions.weightedSample(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq) // engine/layout-independent survivor set
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val perSource = d.groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    val sampled = TextFunctions.weightedSample(spark, sf)
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    // exactly min(3, group size) rows per source
+    sampled.foreach { case (s, n) => assert(n == math.min(3L, perSource(s))) }
+    // E-S with w = n_chars must skew the sample long: sampled docs'
+    // mean length exceeds the corpus mean
+    val corpusMean = d.agg(avg(col("n_chars"))).as[Double].head()
+    val sampleMean = TextFunctions.weightedSample(spark, sf)
+      .agg(avg(col("n_chars"))).as[Double].head()
+    assert(sampleMean > corpusMean)
+  }
 }
