@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
     "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
@@ -149,7 +150,9 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize_stats" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_audio_chunks" -> ((s, d) => Multimodal.audioChunks(s, d)),
-    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d))
+    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)),
+    "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
+    "text_curriculum" -> ((s, d) => TextFunctions.curriculumBuckets(s, d))
   )
 
   private val cutoffValues =
@@ -1178,6 +1181,25 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, CAST(rk AS BIGINT) AS rk, nb_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    "text_curriculum" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+         |p AS (SELECT o.doc_id, count(*) AS n_toks, sum(v.cnt) AS sum_cnt
+         |      FROM occ o JOIN vocab v ON o.tok = v.tok GROUP BY o.doc_id),
+         |s AS (SELECT d.doc_id, d.source,
+         |             CAST(coalesce(p.n_toks, 0) AS BIGINT) AS n_toks,
+         |             CASE WHEN coalesce(p.n_toks, 0) = 0 THEN 0.0
+         |                  ELSE CAST(p.sum_cnt AS DOUBLE) / CAST(p.n_toks AS DOUBLE)
+         |                  END AS mean_cnt
+         |      FROM documents d LEFT JOIN p USING (doc_id)),
+         |b AS (SELECT doc_id, source, n_toks,
+         |             ntile(4) OVER (PARTITION BY source
+         |                            ORDER BY mean_cnt DESC, doc_id) AS bucket
+         |      FROM s)
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS tok_volume
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     "text_rarity" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),
@@ -1436,6 +1458,15 @@ object SparkEntry {
         |      FROM s)
         |SELECT q_id, rk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "sim_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, round(cos, 6) AS cos FROM s
+        |WHERE cos >= 0.3 ORDER BY q_id, vec_id""".stripMargin,
     "sim_sq_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
@@ -1588,6 +1619,19 @@ object SparkEntry {
         |       CAST(CASE WHEN kind = 'audio' THEN 8000 + (b0 % 5) * 8000
         |                 ELSE 0 END AS INTEGER) AS sample_rate
         |FROM m ORDER BY doc_id""".stripMargin),
+    "mm_modality_route" -> (s"WITH $duckMediaMeta,\n" +
+      """r AS (
+        |  SELECT kind, n_bytes,
+        |         CASE WHEN kind = 'image'
+        |              THEN (16 + b0 % 64) * (16 + b1 % 64) * 3
+        |              WHEN kind = 'video'
+        |              THEN (1 + b1 % 240) * (16 + b0 % 64) * (16 + b1 % 64) * 3
+        |              ELSE (n_bytes // 2) * 2 END AS est_out
+        |  FROM m)
+        |SELECT kind, count(*) AS n_items,
+        |       CAST(sum(n_bytes) AS BIGINT) AS in_bytes,
+        |       CAST(sum(est_out) AS BIGINT) AS out_bytes
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin),
     // Same byte-derived dims as mm_decode_stats; resize math in exact
     // small-int double space (floor of products ≤ 2^24) both engines.
     "mm_resize_stats" -> (s"WITH $duckMediaMeta,\n" +

@@ -454,6 +454,40 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum buckets (`text_curriculum`): quartile the corpus per
+    * source by vocabulary commonness — ntile over mean corpus token
+    * frequency (the integer ratio behind text_rarity), bucket 1 =
+    * most boilerplate, 4 = rarest vocabulary — the difficulty axis a
+    * data curriculum samples along. The ntile sort key is a single
+    * IEEE division of two integers (identical in every engine) with a
+    * doc_id tie-break, and the emitted stats are all integral, so the
+    * bucketing is bit-stable. The per-source ntile is a per-group
+    * sort; a source too large to sort would swap in the two-phase
+    * rank used by text_batch_pack.
+    */
+  def curriculumBuckets(spark: SparkSession, dir: String,
+      nBuckets: Int = 4): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val occ = d.select(col("doc_id"), explode(words(lower(col("text")))).as("tok"))
+    val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val perDoc = occ.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_cnt"))
+    val scored = d.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        when(coalesce(col("n_toks"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("sum_cnt").cast("double") / col("n_toks").cast("double"))
+          .as("mean_cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mean_cnt").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_volume"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Token-budget sequence packing (`text_batch_pack`): assign each
     * document (in doc_id order) to the training batch its running
     * token total lands in — batch_id = floor(tokens_before / capacity).

@@ -174,6 +174,31 @@ object Multimodal {
     * products ≤ 2^24) so every engine agrees bit-for-bit. The actual
     * pixel resample stays behind the Decoder seam like decode itself.
     */
+  /** Modality dispatch report (`mm_modality_route`): one decode pass
+    * routes every item to its modality's work estimator — image →
+    * one RGB frame, video → frames × RGB frame, audio → 16-bit PCM —
+    * and the per-modality rollup (item count, input bytes, estimated
+    * decoded bytes) is what a scheduler uses to size the per-modality
+    * processing fleets before launching them. The routing is a CASE
+    * projection fused into the metadata scan; the rollup is one
+    * 3-group aggregation — payloads themselves never move.
+    */
+  def modalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val d = decodeStats(spark, dir)
+    val estOut = when(col("kind") === "image",
+        col("width").cast("long") * col("height").cast("long") * 3L)
+      .when(col("kind") === "video",
+        col("n_frames").cast("long") * col("width").cast("long") *
+          col("height").cast("long") * 3L)
+      .otherwise(floor(col("n_bytes") / 2.0).cast("long") * 2L)
+    d.withColumn("est_out_bytes", estOut)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("in_bytes"),
+        sum(col("est_out_bytes")).as("out_bytes"))
+      .orderBy(col("kind"))
+  }
+
   def resizePlan(spark: SparkSession, dir: String, box: Int = 224,
       decoder: Decoder = FakeDecoder): DataFrame = {
     val d = decodeStats(spark, dir, decoder).filter(col("kind") =!= "audio")

@@ -40,6 +40,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Threshold (radius) search (`sim_range_search`): every corpus
+    * vector within cosine ≥ τ of each query — the range-query twin of
+    * top-k, used when the caller wants "all near-duplicates of X"
+    * rather than a fixed k. Same broadcast-query single-scan shape as
+    * the brute-force baseline; the result volume is bounded by the
+    * radius, and at corpus scale the scan side would first prune to
+    * LSH/IVF candidate cells exactly as the top-k variants do.
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   /** `sim_sq_topk`: int8 scalar-quantized ANN — per-vector symmetric
     * quantization q_i = floor(x_i * 127/max|x| + 0.5), then the whole
     * search (dot products, norms, ranking) runs on the quantized
