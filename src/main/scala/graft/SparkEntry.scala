@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, length, lit, sum}
 
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
@@ -152,6 +153,15 @@ object SparkEntry {
     "mm_audio_chunks" -> ((s, d) => Multimodal.audioChunks(s, d)),
     "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)),
     "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
+    // custom DataSourceV2 generator — (doc_id, source) projection is
+    // pruned at the source, text is never built for it
+    "src_docgen" -> ((s, _) => s.read.format("graft-docgen")
+      .option("rows", 5000L).option("partitions", 8).load()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy(col("source"))),
     "text_curriculum" -> ((s, d) => TextFunctions.curriculumBuckets(s, d))
   )
 
@@ -871,6 +881,23 @@ object SparkEntry {
         |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |       count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The oracle REBUILDS the generated corpus from range(N) with the
+    // same closed-form id arithmetic — checking the DSv2 reader's
+    // partition planning and row synthesis against pure SQL.
+    "src_docgen" ->
+      """WITH ids AS (SELECT range AS id FROM range(5000)),
+        |d AS (SELECT id,
+        |             'gen' || CAST(id % 10 AS VARCHAR) AS source,
+        |             5 + id % 20 AS n_words,
+        |             array_to_string(
+        |               list_transform(range(CAST(5 + id % 20 AS BIGINT)),
+        |                 i -> 'w' || CAST((id * 2654435761 + i * 40503) % 1000
+        |                                  AS VARCHAR)), ' ') AS text
+        |      FROM ids)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_retention_cohort" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -1,0 +1,120 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSourceV2 batch source (`graft-docgen`): a deterministic
+  * distributed document generator —
+  * `spark.read.format("graft-docgen").option("rows", N)
+  * .option("partitions", P)` — the synthetic-corpus twin of the
+  * reference's bounded sample ingest, and the load-generation tool a
+  * 100 TB pipeline uses to soak-test itself before real data arrives.
+  *
+  * The V2 surface is exercised end to end: `TableProvider` →
+  * `SupportsRead` table → `ScanBuilder` with
+  * `SupportsPushDownRequiredColumns` (a projection of (doc_id, source)
+  * never materializes text — the generator consults the PRUNED schema
+  * per row) → `Batch.planInputPartitions` splitting the id range into
+  * P independent splits → a `PartitionReader` streaming rows with no
+  * per-partition buffering. Every generated value is a closed-form
+  * function of the row id, so the whole source replays in SQL (the
+  * DuckDB oracle rebuilds the corpus from range(N)) and any two scans
+  * — different partition counts included — agree bit-for-bit.
+  */
+class DocGenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-docgen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGen.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DocGenTable
+}
+
+object DocGen {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  def nWords(id: Long): Int = (5 + id % 20).toInt
+  def sourceOf(id: Long): String = "gen" + (id % 10)
+
+  /** Token i of doc id is `w<(id·2654435761 + i·40503) mod 1000>` —
+    * Knuth multiplicative hash arithmetic, exactly reproducible as
+    * BIGINT math in any SQL engine.
+    */
+  def text(id: Long): String = {
+    val n = nWords(id)
+    val sb = new StringBuilder
+    var i = 0L
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append('w').append((id * 2654435761L + i * 40503L) % 1000L)
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+class DocGenTable extends Table with SupportsRead {
+  override def name(): String = "graft_docgen"
+  override def schema(): StructType = DocGen.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocGenScanBuilder(options.getLong("rows", 1000L),
+      options.getInt("partitions", 4))
+}
+
+class DocGenScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocGen.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DocGenScan(rows, parts, required)
+}
+
+class DocGenScan(rows: Long, parts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + parts - 1) / parts.toLong
+    (0 until parts).map { p =>
+      DocGenPartition(p * per, math.min(rows, (p + 1) * per)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required)
+}
+
+case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+class DocGenReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        required.fields.toSeq.map(_.name match {
+          case "doc_id"  => id
+          case "source"  => UTF8String.fromString(DocGen.sourceOf(id))
+          case "n_words" => DocGen.nWords(id)
+          case "text"    => UTF8String.fromString(DocGen.text(id))
+        }))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class DocGenSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(rows: Long, parts: Int) =
+    spark.read.format("graft-docgen")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("docgen emits exactly N rows across exactly P planned splits") {
+    val df = gen(1000, 7)
+    assert(df.count() == 1000L)
+    assert(df.rdd.getNumPartitions == 7)
+    // ids are a dense range, no dupes across splits
+    assert(df.agg(countDistinct(col("doc_id"))).as[Long].head() == 1000L)
+    assert(df.agg(min(col("doc_id")), max(col("doc_id")))
+      .as[(Long, Long)].head() == ((0L, 999L)))
+  }
+
+  test("docgen content is partition-layout independent") {
+    val a = gen(500, 3).orderBy("doc_id").collect().map(_.toSeq)
+    val b = gen(500, 11).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("docgen column pruning reaches the source scan") {
+    val plan = gen(100, 2).select(col("source")).queryExecution.executedPlan
+    val scans = plan.collect { case s: BatchScanExec => s }
+    assert(scans.nonEmpty)
+    // the pruned schema must be what the reader generates — text never built
+    assert(scans.head.output.map(_.name) == Seq("source"))
+  }
+
+  test("docgen text matches the closed-form id arithmetic") {
+    val row = gen(100, 2).filter(col("doc_id") === 7L)
+      .select(col("n_words"), col("text")).as[(Int, String)].head()
+    assert(row._1 == (5 + 7 % 20))
+    val toks = row._2.split(" ")
+    assert(toks.length == row._1)
+    assert(toks(0) == "w" + ((7L * 2654435761L) % 1000L))
+    assert(toks(3) == "w" + ((7L * 2654435761L + 3L * 40503L) % 1000L))
+  }
+}
