@@ -138,6 +138,8 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_retention_cohort" -> ((s, d) => Analytics.retentionCohort(s, d)),
+    "q_hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_throttle" -> ((s, d) => Analytics.throttleEvents(s, d)),
     "q_entropy" -> ((s, d) => Analytics.hourlyEntropy(s, d)),
     "q_skyline" -> ((s, d) => Relational.paretoOrders(s, d)),
@@ -1159,6 +1161,28 @@ object SparkEntry {
          |                  CAST(p.n_bigrams AS DOUBLE) END, 6) AS top_frac
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 8
+         |         THEN list_transform(range(len(w) - 7),
+         |                i -> array_to_string(w[i+1:i+8], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS s
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM win),
+         |n AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |       round(CAST(n_shared AS DOUBLE) / na.n_g, 6) AS contain_a,
+         |       round(CAST(n_shared AS DOUBLE) / nb.n_g, 6) AS contain_b
+         |FROM p JOIN n na ON p.id_a = na.doc_id
+         |       JOIN n nb ON p.id_b = nb.doc_id
+         |WHERE round(CAST(n_shared AS DOUBLE) / na.n_g, 6) >= 0.2
+         |   OR round(CAST(n_shared AS DOUBLE) / nb.n_g, 6) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
          |win AS (

@@ -483,6 +483,33 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable distinct-count rollup (`q_hll_rollup`, rows-only): the
+    * per-(priority, month) HLL sketches are built once, STORED-shaped
+    * (binary, re-aggregable), and the per-priority total comes from
+    * hll_union_agg over the monthly sketches — never re-scanning the
+    * raw rows. This is the 100 TB pattern approx_count_distinct can't
+    * express: its estimate is terminal, while sketches compose —
+    * daily → monthly → yearly rollups each reuse the previous layer.
+    * The exact distinct runs beside it only to report the error.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val monthly = o.groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_custs"),
+        count(lit(1)).as("n_months"))
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    merged.join(exact, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_months"),
+        col("est_custs").cast("long").as("est_custs"), col("exact_custs"),
+        round(abs(col("est_custs") - col("exact_custs")).cast("double") /
+          col("exact_custs").cast("double"), 4).as("rel_err"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def statsPerPriority(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val days = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double")

@@ -445,6 +445,49 @@ object Dedup {
       .orderBy(col("h"))
   }
 
+  /** Asymmetric containment pairs (`dedup_containment`): fraction of
+    * one document's distinct 8-token windows that appear in another —
+    * containment(A→B) = |g(A)∩g(B)| / |g(A)| — the quote-inclusion
+    * detector Jaccard misses (a short doc fully embedded in a long one
+    * has high containment but low Jaccard, so MinHash LSH never pairs
+    * them). Blocking is the gram equi-join itself: only pairs sharing
+    * at least one 8-gram meet, and 8-token windows are rare enough
+    * that the pair table stays near-linear (stopword 1-grams would
+    * explode; window length IS the blocking knob). Same gram pipeline
+    * as text_contamination: per-doc array_distinct before the explode,
+    * md5 after it.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      window: Int = 8, tau: Double = 0.2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val g = docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokenWindows(col("toks"), window))).as("s"))
+      .select(col("doc_id"), md5Bits(col("s"), 1, 15).as("h"))
+      .cache()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val shared = g.select(col("doc_id").as("id_a"), col("h"))
+      .join(g.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    // sizes is corpus-cardinality (NOT broadcastable at scale); the
+    // pair table is the small side, so AQE turns these into broadcast
+    // joins from the shared side on its own.
+    shared
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "id_a", "n_g" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "id_b", "n_g" -> "n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 6)
+          .as("contain_a"),
+        round(col("n_shared").cast("double") / col("n_b").cast("double"), 6)
+          .as("contain_b"))
+      .filter(col("contain_a") >= tau || col("contain_b") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, label-blocked (IVF-style: the
     * label is the coarse quantizer cell; only same-cell pairs are
     * scored). Cosine runs in the native codegen expression.

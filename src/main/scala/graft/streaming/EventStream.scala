@@ -205,6 +205,41 @@ object EventStream {
   }
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class ThrottleState(lastKeptMs: Long)
+
+  /** Streaming rate-limit (the streaming twin of `q_throttle`, with
+    * the STRONGER last-kept semantics batch lag cannot express): an
+    * event is emitted only if at least `minGapMs` has passed since the
+    * last EMITTED event of the same key — so a burst chain
+    * t, t+40min, t+80min emits t and t+80min, where lag-vs-previous
+    * would drop everything after t. Keyed state is one Long per key;
+    * within a microbatch rows are replayed in event-time order so the
+    * decision sequence matches a sequential replay of the stream.
+    */
+  def throttleStateful(events: Dataset[Ev],
+      minGapMs: Long = 60L * 60 * 1000): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ThrottleState, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[ThrottleState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var lastKept = state.getOption.map(_.lastKeptMs)
+          val out = Seq.newBuilder[Ev]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (lastKept.forall(lk => t - lk >= minGapMs)) {
+              out += e
+              lastKept = Some(t)
+            }
+          }
+          lastKept.foreach(lk => state.update(ThrottleState(lk)))
+          out.result().iterator
+      }
+  }
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, sum_value: Double)

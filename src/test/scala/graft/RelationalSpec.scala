@@ -331,6 +331,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < e.length)
   }
 
+  test("hll rollup: merged monthly sketches match a direct sketch and bound error") {
+    val r = Analytics.hllRollup(spark, sf)
+      .select(col("o_orderpriority"), col("est_custs"), col("exact_custs"), col("rel_err"))
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    // HLL is a few-percent estimator at lgK default 12
+    r.foreach { case (p, est, exact, err) =>
+      assert(err <= 0.05, s"$p: est $est vs exact $exact (err $err)") }
+    // mergeability: union of the monthly sketches == one direct sketch
+    // over the same rows (register-max union loses nothing)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("d"))
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (p, est, _, _) => assert(est == direct(p)) }
+  }
+
   test("weighted sample is deterministic and favors long documents") {
     val a = TextFunctions.weightedSample(spark, sf)
       .collect().map(_.toSeq)

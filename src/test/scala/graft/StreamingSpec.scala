@@ -270,4 +270,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, "new"), (2L, "two"), (3L, "three")))
     } finally q.stop()
   }
+
+  test("throttleStateful keeps last-KEPT gap semantics across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.throttleStateful(input.toDS())
+      .writeStream.format("memory").queryName("throttle_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      import EventStream.Ev
+      // burst chain 40 min apart: t0 kept, t0+40m dropped (40m < 1h
+      // from kept t0), t0+80m kept (80m >= 1h from kept t0) — the
+      // case where lag-vs-previous would drop BOTH later events.
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-01 10:40:00"), 2.0))
+      q.processAllAvailable()
+      // state must carry across microbatches: 10:40 was dropped, so
+      // the reference instant is still 10:00
+      input.addData(Ev(1L, ts("2024-01-01 11:20:00"), 3.0))
+      q.processAllAvailable()
+      // exactly at the 1h boundary from the last kept (11:20) → kept
+      input.addData(Ev(1L, ts("2024-01-01 12:20:00"), 4.0))
+      q.processAllAvailable()
+      val kept = spark.sql(
+        "SELECT value FROM throttle_test WHERE user_id = 1 ORDER BY ts")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(kept == Seq(1.0, 3.0, 4.0))
+    } finally q.stop()
+  }
 }
