@@ -121,6 +121,8 @@ object SparkEntry {
     "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "sim_mrl_topk" -> ((s, d) => Similarity.mrlTopK(s, d)),
+    "q_cogroup_profile" -> ((s, d) => Relational.cogroupProfile(s, d)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
@@ -1518,6 +1520,40 @@ object SparkEntry {
         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
         |SELECT q_id, vec_id, round(cos, 6) AS cos FROM s
         |WHERE cos >= 0.3 ORDER BY q_id, vec_id""".stripMargin,
+    "sim_mrl_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT q.q_id, e.vec_id, q.q_emb, e.emb,
+        |             list_cosine_similarity(q.q_emb[1:8], e.emb[1:8]) AS cos_c
+        |      FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY cos_c DESC, vec_id) AS crk
+        |      FROM s),
+        |r AS (SELECT q_id, vec_id,
+        |             list_cosine_similarity(q_emb, emb) AS cos
+        |      FROM c WHERE crk <= 25),
+        |f AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM r)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(cos, 6) AS cos
+        |FROM f WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q_cogroup_profile" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+        |                  min(epoch_us(o_orderdate)) AS first_o
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS k, count(*) AS n_events,
+        |             min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_e
+        |      FROM events GROUP BY 1)
+        |SELECT coalesce(o.k, e.k) AS key,
+        |       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+        |       CASE WHEN o.k IS NULL OR e.k IS NULL THEN NULL
+        |            ELSE CAST(floor((o.first_o - e.first_e) / 86400000000.0)
+        |                 AS BIGINT) END AS delta_days
+        |FROM o FULL OUTER JOIN e ON o.k = e.k
+        |ORDER BY key""".stripMargin,
     "sim_sq_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),

@@ -413,6 +413,42 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Typed cogroup profile (`q_cogroup_profile`): the Dataset[T]
+    * typed-API surface — orders and events co-partitioned on the
+    * entity key in ONE shuffle each, then a per-key fold over BOTH
+    * iterators (counts + first-activity delta) without materializing
+    * either group. cogroup is the escape hatch when per-key logic
+    * needs simultaneous streaming access to two inputs (full-outer
+    * semantics included: keys present on one side only still emit);
+    * here the fold is O(1) state, so a key's data never sits in
+    * memory — the property that keeps it safe under key skew at
+    * 100 TB. Equivalent SQL (two pre-aggregations + FULL OUTER join)
+    * is the oracle — an independent formulation, not a replay.
+    */
+  def cogroupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+    orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+      var nO = 0L; var minO = Long.MaxValue
+      os.foreach { o => nO += 1; if (o._2 < minO) minO = o._2 }
+      var nE = 0L; var minE = Long.MaxValue
+      es.foreach { e => nE += 1; if (e._2 < minE) minE = e._2 }
+      val delta: Option[Long] =
+        if (nO > 0 && nE > 0)
+          Some(math.floor((minO - minE) / 86400000000.0).toLong)
+        else None
+      Iterator((k, nO, nE, delta))
+    }.toDF("key", "n_orders", "n_events", "delta_days")
+      .orderBy(col("key"))
+  }
+
   /** Higher-order array-function suite (`q_array_funcs`): per-order
     * line items collected to sorted arrays, then reduced entirely with
     * codegen-friendly builtins — aggregate (fold), filter + size,

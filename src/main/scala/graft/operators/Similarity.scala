@@ -60,6 +60,38 @@ object Similarity {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  /** Matryoshka-style two-stage ANN (`sim_mrl_topk`): rank on the
+    * FIRST `dPrefix` dimensions only (MRL-trained embeddings front-load
+    * information, so the prefix is a usable coarse score), keep the
+    * top `cand` candidates per query, then rerank just those with the
+    * full vector. At scale the prefix is stored as its own (8×
+    * smaller) column so the coarse scan reads an eighth of the bytes,
+    * and the full vectors are fetched for `cand` rows per query, not
+    * the corpus. Both stages are deterministic (prefix slice + fixed
+    * tie-break), so the whole cascade is oracle-checked — unlike
+    * trained coarse quantizers.
+    */
+  def mrlTopK(spark: SparkSession, dir: String, dPrefix: Int = 8,
+      cand: Int = 25, k: Int = TopK): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("vec_id").asc)
+    val cands = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_c",
+        cosine(slice(col("q_emb"), 1, dPrefix), slice(col("embedding"), 1, dPrefix)))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= cand)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** `sim_sq_topk`: int8 scalar-quantized ANN — per-vector symmetric
     * quantization q_i = floor(x_i * 127/max|x| + 0.5), then the whole
     * search (dot products, norms, ranking) runs on the quantized
