@@ -12,7 +12,9 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "sim_bruteforce_topk", "text_quality", "mm_payload_stats",
     "q_fusion_etl", "dedup_span", "text_contamination",
-    "q_merge", "q_bloom_prune", "sim_pq_topk")
+    "q_merge", "q_bloom_prune", "sim_pq_topk",
+    "dedup_containment", "sim_mrl_topk", "text_curriculum",
+    "q_retention_cohort")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
