@@ -166,7 +166,8 @@ object SparkEntry {
         sum(col("n_words").cast("long")).as("sum_words"),
         sum(length(col("text")).cast("long")).as("sum_chars"))
       .orderBy(col("source"))),
-    "text_curriculum" -> ((s, d) => TextFunctions.curriculumBuckets(s, d))
+    "text_curriculum" -> ((s, d) => TextFunctions.curriculumBuckets(s, d)),
+    "text_filter_verdict" -> ((s, d) => TextFunctions.filterVerdict(s, d))
   )
 
   private val cutoffValues =
@@ -439,7 +440,35 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // The composite filter verdict reuses the component oracles as
+    // CTEs — the SAME SQL the components are individually gated on.
+    m + ("text_filter_verdict" ->
+      s"""WITH go AS (${m("text_gopher")}),
+         |re AS (${m("text_repetition")}),
+         |la AS (${m("text_langid")}),
+         |co AS (${m("text_contamination")})
+         |SELECT co.doc_id,
+         |       CAST(go.pass_word_count * go.pass_mean_len *
+         |            go.pass_stopwords * go.pass_alpha AS BIGINT) AS gopher_ok,
+         |       CASE WHEN re.dup_frac <= 0.2 AND re.top_frac <= 0.3
+         |            THEN 1 ELSE 0 END AS rep_ok,
+         |       CASE WHEN la.lang_guess = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |       CASE WHEN co.contam_frac < 0.05 THEN 1 ELSE 0 END AS contam_ok,
+         |       CAST(go.pass_word_count * go.pass_mean_len *
+         |            go.pass_stopwords * go.pass_alpha AS BIGINT) *
+         |       (CASE WHEN re.dup_frac <= 0.2 AND re.top_frac <= 0.3
+         |             THEN 1 ELSE 0 END) *
+         |       (CASE WHEN la.lang_guess = 'en' THEN 1 ELSE 0 END) *
+         |       (CASE WHEN co.contam_frac < 0.05 THEN 1 ELSE 0 END) AS keep
+         |FROM co JOIN go ON co.doc_id = go.doc_id
+         |        JOIN re ON co.doc_id = re.doc_id
+         |        JOIN la ON co.doc_id = la.doc_id
+         |ORDER BY co.doc_id""".stripMargin)
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "src_schema_mapped_read" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       c_acctbal, c_mktsegment

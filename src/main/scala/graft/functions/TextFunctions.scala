@@ -418,6 +418,35 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Whole-stack filter verdict (`text_filter_verdict`): the composed
+    * quality pipeline as ONE job — Gopher structural rules ∧ low
+    * repetition ∧ English ∧ uncontaminated — per-document component
+    * verdicts plus the conjunctive keep, over the training slice. This
+    * is the frame a production run materializes once and every
+    * downstream consumer filters on; Catalyst fuses the four component
+    * pipelines into a single DAG over shared scans. The oracle reuses
+    * the four component oracles verbatim as CTEs, so the composite is
+    * gated by exactly the SQL each part is gated by.
+    */
+  def filterVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val g = gopherRules(spark, dir).select(col("doc_id"),
+      (col("pass_word_count") * col("pass_mean_len") *
+        col("pass_stopwords") * col("pass_alpha")).cast("long").as("gopher_ok"))
+    val r = repetitionStats(spark, dir).select(col("doc_id"),
+      when(col("dup_frac") <= 0.2 && col("top_frac") <= 0.3, 1L)
+        .otherwise(0L).as("rep_ok"))
+    val l = langId(spark, dir).select(col("doc_id"),
+      when(col("lang_guess") === "en", 1L).otherwise(0L).as("lang_ok"))
+    val c = contamination(spark, dir).select(col("doc_id"),
+      when(col("contam_frac") < 0.05, 1L).otherwise(0L).as("contam_ok"))
+    c.join(g, Seq("doc_id")).join(r, Seq("doc_id")).join(l, Seq("doc_id"))
+      .select(col("doc_id"), col("gopher_ok"), col("rep_ok"),
+        col("lang_ok"), col("contam_ok"),
+        (col("gopher_ok") * col("rep_ok") * col("lang_ok") * col("contam_ok"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-frequency rarity score (`text_rarity`): a deterministic
     * stand-in for LM-perplexity quality filtering — each document is
     * scored by the mean corpus frequency of its token occurrences,

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.JaccardFunctions.registerSql(e)
     graft.functions.TopKFunctions.registerSql(e)
     e.injectOptimizerRule(_ => BroadcastSmallDims)
+    e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
