@@ -123,6 +123,14 @@ object SparkEntry {
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_mrl_topk" -> ((s, d) => Similarity.mrlTopK(s, d)),
     "q_cogroup_profile" -> ((s, d) => Relational.cogroupProfile(s, d)),
+    "q_asof_nearest" -> ((s, d) => Temporal.purchaseNearestClick(s, d)),
+    // the TVF surface of the DSv2 generator — same aggregate, same oracle
+    "src_docgen_sql" -> ((s, _) => s.sql(
+      """SELECT source, count(*) AS n_docs,
+        |       sum(CAST(n_words AS BIGINT)) AS sum_words,
+        |       sum(CAST(length(text) AS BIGINT)) AS sum_chars
+        |FROM graft_docgen(5000)
+        |GROUP BY source ORDER BY source""".stripMargin)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
@@ -441,7 +449,9 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = {
-    val m = baseOracleSql
+    val m0 = baseOracleSql
+    // The TVF spelling of the generator is gated by the same replay.
+    val m = m0 + ("src_docgen_sql" -> m0("src_docgen"))
     // The composite filter verdict reuses the component oracles as
     // CTEs — the SAME SQL the components are individually gated on.
     m + ("text_filter_verdict" ->
@@ -931,6 +941,35 @@ object SparkEntry {
         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
         |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, min(event_id) AS click_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT p.event_id, p.user_id, p.ts,
+        |             c.click_event_id AS b_id, c.ts AS b_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (SELECT p.event_id, c.click_event_id AS f_id, c.ts AS f_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts >= p.ts),
+        |j AS (SELECT b.event_id, b.user_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+        |             epoch_us(CAST(b.ts AS TIMESTAMP)) -
+        |               epoch_us(CAST(b.b_ts AS TIMESTAMP)) AS db,
+        |             epoch_us(CAST(f.f_ts AS TIMESTAMP)) -
+        |               epoch_us(CAST(b.ts AS TIMESTAMP)) AS df,
+        |             (f.f_id IS NULL OR (b.b_id IS NOT NULL AND
+        |              epoch_us(CAST(b.ts AS TIMESTAMP)) -
+        |                epoch_us(CAST(b.b_ts AS TIMESTAMP)) <=
+        |              epoch_us(CAST(f.f_ts AS TIMESTAMP)) -
+        |                epoch_us(CAST(b.ts AS TIMESTAMP)))) AS pick_b
+        |      FROM b JOIN f ON b.event_id = f.event_id)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CASE WHEN pick_b THEN b_id ELSE f_id END AS near_event_id,
+        |       CAST(CASE WHEN pick_b THEN b_ts ELSE f_ts END
+        |            AS TIMESTAMP) AS near_ts,
+        |       CASE WHEN pick_b THEN db ELSE df END AS delta_us
+        |FROM j ORDER BY user_id, ts, event_id""".stripMargin,
     "q_retention_cohort" ->
       """WITH f AS (
         |  SELECT user_id,

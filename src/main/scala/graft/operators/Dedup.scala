@@ -79,18 +79,24 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxDf: Option[Int] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // Shingles are collapsed to 60-bit md5-derived ids BEFORE the
-    // set-distinct, so the corpus-wide dedup shuffle and the equality
-    // self-join move (long, long) rows instead of ~25-byte strings —
-    // measured 1.5× end-to-end at sf0.1, and at cluster scale the
-    // shuffle-volume saving is what keeps the pairwise stage network-
-    // bound rather than I/O-bound. DuckDB replays the identical hash,
-    // so the oracle comparison is still bit-for-bit (a colliding
-    // shingle pair would merge in both engines alike; widen to the
-    // full 128-bit md5 as two longs if a corpus outgrows 60 bits).
-    val hashed = shinglesRaw(docs)
+    // Set semantics per doc need no data movement: array_distinct on
+    // the in-row shingle array replaces the corpus-wide distinct
+    // shuffle, so the FIRST shuffle in the whole plan is the pairwise
+    // self-join. Shingles collapse to 60-bit md5-derived ids in their
+    // own projection AFTER the Generate (expressions under a generator
+    // run interpreted), so the self-join moves (long, long) rows
+    // instead of ~25-byte strings. DuckDB replays the identical hash,
+    // keeping the oracle bit-for-bit (widen to the full 128-bit md5 as
+    // two longs if a corpus outgrows 60 bits).
+    val toks = col("toks")
+    val idx = when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+      .otherwise(array().cast("array<int>"))
+    val shArr = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    val hashed = docs
+      .select(col("doc_id"),
+        TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shArr)).as("shingle"))
       .select(col("doc_id"), md5Bits(col("shingle"), 1, 15).as("h"))
-      .distinct()
     val sh = maxDf.fold(hashed) { df =>
       val hot = hashed.groupBy(col("h"))
         .agg(count(lit(1)).as("df"))

@@ -152,6 +152,43 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Nearest-event join (`q_asof_nearest`): each purchase joined to the
+    * click CLOSEST in time in either direction — the "match to the
+    * nearest reading" join sensor pipelines need, which neither as-of
+    * direction alone gives. Composed from the two as-of operators
+    * (backward + forward, each one shuffle over the same key) and an
+    * equi-join to pick the closer side; |Δ| compared in integral µs,
+    * ties prefer the earlier (backward) click. Both directions see the
+    * same tie-free click side (min event_id per (user, ts)).
+    */
+  def purchaseNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("click_event_id"))
+      .withColumn("click_ts", col("ts"))
+    val back = asOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_event_id", "click_ts"), tieBreak = Some("click_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_event_id").as("b_id"), col("asof_click_ts").as("b_ts"))
+    val fwd = asOfJoinForward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_event_id", "click_ts"), tieBreak = Some("click_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_click_event_id").as("f_id"), col("asof_click_ts").as("f_ts"))
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    val dB = us(col("ts")) - us(col("b_ts"))
+    val dF = us(col("f_ts")) - us(col("ts"))
+    val pickB = col("f_id").isNull || (col("b_id").isNotNull && dB <= dF)
+    back.join(fwd, Seq("event_id", "user_id", "ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pickB, col("b_id")).otherwise(col("f_id")).as("near_event_id"),
+        when(pickB, col("b_ts")).otherwise(col("f_ts")).as("near_ts"),
+        when(pickB, dB).otherwise(dF).as("delta_us"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Inline interval calendar for the range join (wk → [start, end)). */
   val weekRanges: Seq[(Int, String, String)] = Seq(
     (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),

@@ -34,6 +34,13 @@ class DocGenSourceSpec extends SparkSpec {
     assert(scans.head.output.map(_.name) == Seq("source"))
   }
 
+  test("graft_docgen TVF emits exactly the DSv2 source's rows") {
+    val viaSql = spark.sql("SELECT * FROM graft_docgen(300)")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaSource = gen(300, 5).orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaSql.toSeq == viaSource.toSeq)
+  }
+
   test("docgen text matches the closed-form id arithmetic") {
     val row = gen(100, 2).filter(col("doc_id") === 7L)
       .select(col("n_words"), col("text")).as[(Int, String)].head()
