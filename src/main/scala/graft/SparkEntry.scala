@@ -124,6 +124,7 @@ object SparkEntry {
     "sim_mrl_topk" -> ((s, d) => Similarity.mrlTopK(s, d)),
     "q_cogroup_profile" -> ((s, d) => Relational.cogroupProfile(s, d)),
     "q_asof_nearest" -> ((s, d) => Temporal.purchaseNearestClick(s, d)),
+    "q_scd2_lookup" -> ((s, d) => Temporal.scd2Lookup(s, d)),
     // the TVF surface of the DSv2 generator — same aggregate, same oracle
     "src_docgen_sql" -> ((s, _) => s.sql(
       """SELECT source, count(*) AS n_docs,
@@ -941,6 +942,20 @@ object SparkEntry {
         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
         |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH d AS (SELECT user_id, event_id AS status_event_id,
+        |                  CAST(ts AS TIMESTAMP) AS valid_from,
+        |                  CAST(lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to
+        |           FROM events WHERE event_type = 'click' AND user_id < 20),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 20)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       d.status_event_id, d.valid_from AS status_from
+        |FROM p LEFT JOIN d ON p.user_id = d.user_id
+        |  AND p.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
     "q_asof_nearest" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),

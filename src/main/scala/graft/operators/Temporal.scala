@@ -189,6 +189,37 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** SCD2 point-in-time lookup (`q_scd2_lookup`): each fact row joined
+    * to the dimension VERSION valid at the fact's timestamp —
+    * fact.ts ∈ [valid_from, valid_to) — the warehouse pattern behind
+    * every "status as of the order date" question (and the reference's
+    * status-at-cutoff chain re-expressed as a dimension join). The
+    * version intervals come from one lead() window over the change
+    * feed; the lookup is a broadcast non-equi join (SCD dimensions are
+    * dim-sized), so the fact side is never shuffled. Interval
+    * boundaries are half-open, so a fact exactly at a change instant
+    * deterministically takes the NEW version, and zero-length
+    * intervals (same-timestamp changes) match nothing.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = e.filter(col("event_type") === "click" && col("user_id") < 20)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("event_id").as("status_event_id"),
+        col("ts").as("valid_from"), col("valid_to"))
+    val facts = e.filter(col("event_type") === "purchase" && col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    facts.join(broadcast(dim),
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("status_event_id"), col("valid_from").as("status_from"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Inline interval calendar for the range join (wk → [start, end)). */
   val weekRanges: Seq[(Int, String, String)] = Seq(
     (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),

@@ -206,6 +206,35 @@ object EventStream {
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
+  final case class TopKState(items: List[(Double, Long)])
+  final case class TopOut(user_id: Long, top_values: Seq[Double])
+
+  /** Streaming bounded top-k per key (the streaming twin of the
+    * `graft_topk` aggregate): k-row state per key, updated per
+    * microbatch, emitting only when the key's top-k actually changes
+    * (Update mode). The state is the same k-bounded structure the
+    * batch aggregate ships through its shuffle — here it just lives
+    * in the state store instead.
+    */
+  def topkStateful(events: Dataset[Ev], k: Int = 3): Dataset[TopOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TopKState, TopOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[TopKState]) =>
+          val cur = state.getOption.map(_.items).getOrElse(Nil)
+          val merged = (cur ++ evs.map(e => (e.value, e.ts.getTime)))
+            .sortBy { case (v, t) => (-v, t) }.take(k)
+          if (merged == cur) Iterator.empty
+          else {
+            state.update(TopKState(merged))
+            Iterator(TopOut(userId, merged.map(_._1)))
+          }
+      }
+  }
+
   final case class ThrottleState(lastKeptMs: Long)
 
   /** Streaming rate-limit (the streaming twin of `q_throttle`, with

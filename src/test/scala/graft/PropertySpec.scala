@@ -168,4 +168,35 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.sorted == naive.sorted)
   }
+
+  test("property: TopKRewrite matches the unrewritten window on random data") {
+    // deliberately small ranges → heavy key collisions and rank-key
+    // ties; (v, tie) is made total by a unique tie column so window
+    // and heap must agree exactly
+    (1L to 5L).foreach { seed =>
+      val rows = sample(triplesGen, 7000 + seed).zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+      val df = rows.toDF("k", "t", "v", "tie")
+      def topn(enabled: Boolean) = {
+        spark.conf.set("spark.graft.topkRewrite.enabled", enabled.toString)
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("v").desc, col("tie").asc)
+          val r = df.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .collect().map(_.toSeq).toSet
+          val plan = df.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("k")).orderBy(col("v").desc, col("tie").asc)))
+            .filter(col("rk") <= 3).queryExecution.optimizedPlan.toString
+          (r, plan)
+        } finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+      }
+      val (on, planOn) = topn(enabled = true)
+      val (off, planOff) = topn(enabled = false)
+      assert(planOn.contains("graft_topk"), s"seed $seed: rule did not fire")
+      assert(!planOff.contains("graft_topk"))
+      assert(on == off, s"seed $seed")
+    }
+  }
 }

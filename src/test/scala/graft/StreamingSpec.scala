@@ -271,6 +271,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topkStateful tracks the running top-k and emits only on change") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.topkStateful(input.toDS())
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      import EventStream.Ev
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 5.0),
+        Ev(1L, ts("2024-01-01 10:01:00"), 9.0),
+        Ev(1L, ts("2024-01-01 10:02:00"), 1.0))
+      q.processAllAvailable()
+      // 2.0 does not enter the top-3 {9,5,1}? It does: beats 1.0
+      input.addData(Ev(1L, ts("2024-01-01 10:03:00"), 2.0))
+      q.processAllAvailable()
+      // 0.5 cannot enter {9,5,2} → no new emission
+      input.addData(Ev(1L, ts("2024-01-01 10:04:00"), 0.5))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT top_values FROM topk_test")
+        .collect().map(_.getSeq[Double](0).toList).toList
+      assert(rows.length == 2, rows.toString)
+      assert(rows(0) == List(9.0, 5.0, 1.0))
+      assert(rows(1) == List(9.0, 5.0, 2.0))
+    } finally q.stop()
+  }
+
   test("throttleStateful keeps last-KEPT gap semantics across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]
