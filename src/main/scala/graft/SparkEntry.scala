@@ -96,6 +96,7 @@ object SparkEntry {
     "text_batch_pack" -> ((s, d) => TextFunctions.batchPack(s, d)),
     "q_asof_join" -> ((s, d) => Temporal.purchaseAsOfClick(s, d)),
     "q_asof_native" -> ((s, d) => Temporal.purchaseAsOfClickNative(s, d)),
+    "q_asof_broadcast" -> ((s, d) => Temporal.purchaseAsOfClickBroadcast(s, d)),
     "q_asof_forward" -> ((s, d) => Temporal.purchaseNextClick(s, d)),
     "q_range_join" -> ((s, d) => Temporal.eventsByRange(s, d)),
     "q_range_join_native" -> ((s, d) => Temporal.eventsByRangeNative(s, d)),
@@ -1459,6 +1460,7 @@ object SparkEntry {
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_asof_join" -> duckAsOf,
     "q_asof_native" -> duckAsOf,
+    "q_asof_broadcast" -> duckAsOf,
     "q_asof_forward" -> duckAsOfForward,
     "q_range_join" -> duckRangeJoin,
     "q_range_join_native" -> duckRangeJoin,

@@ -99,6 +99,28 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** `q_asof_broadcast` surface: the SAME purchase↔click as-of join
+    * through the BROADCAST exec — clicks are dim-sized relative to a
+    * fact table, so the purchase side flows from scan to output with
+    * zero shuffles (the strategy's other arm; same oracle again).
+    */
+  def purchaseAsOfClickBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("click_event_id"))
+    graft.plans.AsOfJoinOps
+      .asOfJoinBroadcastNative(spark, purchases, clicks,
+        "user_id", "c_user_id", "ts", "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_event_id"), col("click_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Forward as-of join (`q_asof_forward`): for every left row, attach
     * the EARLIEST right row with the same key at-or-after the left
     * timestamp — purchase → next click, the attribution twin of the

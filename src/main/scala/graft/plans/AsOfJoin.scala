@@ -31,7 +31,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+    leftTs: Attribute, rightTs: Attribute,
+    // Some(true) = force broadcast, Some(false) = force the
+    // co-partitioned merge, None = let the strategy pick from stats.
+    strategyHint: Option[Boolean] = None) extends BinaryNode {
   // Right-side columns become nullable: unmatched left rows emit nulls.
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -40,11 +43,107 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Strategy = the operator's own JoinSelection: a dim-sized (or
+  * hinted) right side plans as the BROADCAST exec — the fact side is
+  * never shuffled at all — while a fact-sized right side plans as the
+  * co-partitioned streaming merge. Mirrors how Spark itself picks
+  * broadcast-hash vs sort-merge, threshold-configurable via
+  * `spark.graft.asofBroadcastThreshold`.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, hint) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "spark.graft.asofBroadcastThreshold",
+        (32L * 1024 * 1024).toString).toLong
+      val small = threshold > 0 && r.stats.sizeInBytes >= 0 &&
+        r.stats.sizeInBytes <= threshold
+      if (hint.getOrElse(small))
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
+  }
+}
+
+/** Broadcast as-of join: collect the (dim-sized) right side once,
+  * group it per key into ts-sorted arrays, broadcast, and probe with a
+  * hash lookup + binary search per left row — the feature-store
+  * point-in-time lookup shape. The left (fact) side declares NO
+  * distribution requirement: at 100 TB the fact table flows straight
+  * from the scan through this operator with zero shuffles, which the
+  * co-partitioned merge can't offer.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTs = BindReferences.bindReference(rightTs, right.output)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
+    // Build the broadcast index once on the driver: key → rows sorted
+    // by ts (stable sort keeps insertion order on ties, matching the
+    // merge exec on tie-free inputs), ts values pre-evaluated.
+    val byKey = new scala.collection.mutable.HashMap[Any,
+      scala.collection.mutable.ArrayBuffer[InternalRow]]
+    right.executeCollect().foreach { row =>
+      val k = rKey.eval(row)
+      if (k != null)
+        byKey.getOrElseUpdate(k,
+          new scala.collection.mutable.ArrayBuffer[InternalRow]) += row
+    }
+    val index: Map[Any, (Array[InternalRow], Array[Any])] = byKey.iterator.map {
+      case (k, rows) =>
+        val sorted = rows.sortWith((a, b) => tsOrd.compare(rTs.eval(a), rTs.eval(b)) < 0).toArray
+        (k, (sorted, sorted.map(rTs.eval)))
+    }.toMap
+    val bc = sparkContext.broadcast(index)
+    val nRight = right.output.size
+    val outputAttrs = output
+    val leftOutput = left.output
+    val lKeyExpr = leftKey
+    val lTsExpr = leftTs
+    left.execute().mapPartitions { iter =>
+      val idx = bc.value
+      val lKeyB = BindReferences.bindReference(lKeyExpr, leftOutput)
+      val lTsB = BindReferences.bindReference(lTsExpr, leftOutput)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      iter.map { lRow =>
+        val k = lKeyB.eval(lRow)
+        val t = lTsB.eval(lRow)
+        val matched: InternalRow =
+          if (k == null || t == null) null
+          else idx.get(k) match {
+            case Some((rows, tss)) =>
+              // binary search: last right row with ts <= t
+              var lo = 0; var hi = rows.length - 1; var found = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (tss(mid) != null && tsOrd.compare(tss(mid), t) <= 0) {
+                  found = mid; lo = mid + 1
+                } else hi = mid - 1
+              }
+              if (found >= 0) rows(found) else null
+            case None => null
+          }
+        proj(joined(lRow, if (matched != null) matched else nullRight))
+      }
+    }
   }
 }
 
@@ -138,6 +237,26 @@ object AsOfJoinOps {
     DatasetBridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, leftKey), attr(rPlan, rightKey),
-        attr(lPlan, leftTs), attr(rPlan, rightTs)))
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        strategyHint = Some(false)))
+  }
+
+  /** The broadcast variant: identical semantics, right side collected
+    * + indexed + broadcast, fact side never shuffled.
+    */
+  def asOfJoinBroadcastNative(spark: SparkSession, left: DataFrame,
+      right: DataFrame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    DatasetBridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        strategyHint = Some(true)))
   }
 }

@@ -110,4 +110,37 @@ class PlansSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
   }
+
+  test("broadcast as-of join matches the merge exec and never shuffles the fact side") {
+    val merge = graft.operators.Temporal.purchaseAsOfClickNative(spark, sf)
+      .collect().map(_.toSeq)
+    val bcast = graft.operators.Temporal.purchaseAsOfClickBroadcast(spark, sf)
+    assert(bcast.collect().map(_.toSeq).toSeq == merge.toSeq)
+    // AQE wraps stages whose children lists are empty — walk through
+    // AdaptiveSparkPlanExec/QueryStageExec explicitly
+    def deep(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(deep)
+    }
+    val plan = bcast.queryExecution.executedPlan
+    val execs = deep(plan).collect {
+      case b: graft.plans.BroadcastAsOfJoinExec => b }
+    assert(execs.nonEmpty, plan.toString.take(1500))
+    // zero exchanges anywhere under the fact (left) subtree
+    val leftShuffles = deep(execs.head.left).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(leftShuffles.isEmpty, execs.head.left.toString)
+    // while the merge exec's fact side IS hash-distributed
+    val mergePlan = graft.operators.Temporal.purchaseAsOfClickNative(spark, sf)
+      .queryExecution.executedPlan
+    assert(deep(mergePlan).collect {
+      case m: graft.plans.AsOfJoinExec => m }.nonEmpty, mergePlan.toString.take(1500))
+  }
 }
