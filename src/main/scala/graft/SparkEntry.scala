@@ -177,7 +177,28 @@ object SparkEntry {
         sum(length(col("text")).cast("long")).as("sum_chars"))
       .orderBy(col("source"))),
     "text_curriculum" -> ((s, d) => TextFunctions.curriculumBuckets(s, d)),
-    "text_filter_verdict" -> ((s, d) => TextFunctions.filterVerdict(s, d))
+    "text_filter_verdict" -> ((s, d) => TextFunctions.filterVerdict(s, d)),
+    // round-3 session 2: time-series pack, exact-decimal money,
+    // semantic survivorship, PMI collocations, pushdown-pruned docgen
+    "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
+    "q_time_weighted" -> ((s, d) => Analytics.timeWeightedAvg(s, d)),
+    "q_locf" -> ((s, d) => Analytics.locfFill(s, d)),
+    "q_streaks" -> ((s, d) => Analytics.dayStreaks(s, d)),
+    "q_decimal_agg" -> ((s, d) => Relational.decimalRevenue(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
+    "text_pmi" -> ((s, d) => TextFunctions.pmiCollocations(s, d)),
+    // a 100M-row logical table behind a 1000-row doc_id slice: without
+    // the source-side range pushdown this query would synthesize 1e8
+    // documents — finishing at interactive speed IS the pruning proof
+    // (and the spec asserts the scan's clamped range explicitly)
+    "src_docgen_pushdown" -> ((s, _) => s.read.format("graft-docgen")
+      .option("rows", 100000000L).option("partitions", 8).load()
+      .filter(col("doc_id") >= 99990000L && col("doc_id") < 99991000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy(col("source")))
   )
 
   private val cutoffValues =
@@ -1935,6 +1956,139 @@ object SparkEntry {
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Open/high/low/close are pass-through parquet doubles (no
+    // arithmetic on either side), so no rounding is needed for
+    // agreement; only the turnover sum rounds at the edge.
+    "q_ohlc" ->
+      """WITH b AS (SELECT user_id,
+        |                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_ts,
+        |                  CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, bar_ts
+        |                           ORDER BY ts, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY user_id, bar_ts
+        |                           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT user_id, bar_ts,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS volume,
+        |       round(sum(value), 2) AS turnover
+        |FROM r GROUP BY user_id, bar_ts ORDER BY user_id, bar_ts""".stripMargin,
+    "q_time_weighted" ->
+      """WITH e AS (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT user_id, value,
+        |             lead(us) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) - us AS dt_us
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |       round(sum(value * CAST(dt_us AS DOUBLE)) /
+        |             CAST(sum(dt_us) AS DOUBLE), 6) AS twa_value
+        |FROM x WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The carried value is a pass-through parquet double — unrounded.
+    "q_locf" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |isl AS (SELECT user_id, d,
+        |               d - CAST(row_number() OVER (PARTITION BY user_id
+        |                                           ORDER BY d) AS INTEGER) AS anchor
+        |        FROM days),
+        |g AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |       count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // All aggregation happens in exact decimal on both engines; the
+    // integral cents columns are the bit-exact check, the doubles are
+    // for readability (a 2dp decimal converts to double exactly the
+    // same way everywhere). DuckDB's decimal→decimal downscale CAST
+    // truncates, so the scale change goes through round() (half-away,
+    // = Spark's HALF_UP cast for positive money).
+    "q_decimal_agg" ->
+      """WITH d AS (SELECT l_returnflag,
+        |                  CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+        |                  CAST(l_discount AS DECIMAL(9,4)) AS dsc
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |             CAST(round(sum(p), 2) AS DECIMAL(18,2)) AS g2,
+        |             CAST(round(sum(p * (CAST(1 AS DECIMAL(9,4)) - dsc)), 2)
+        |                  AS DECIMAL(18,2)) AS n2,
+        |             count(*) AS n_items
+        |      FROM d GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       CAST(g2 * 100 AS BIGINT) AS gross_cents,
+        |       CAST(n2 * 100 AS BIGINT) AS net_cents,
+        |       CAST(g2 AS DOUBLE) AS gross,
+        |       CAST(n2 AS DOUBLE) AS net,
+        |       n_items
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "dedup_semantic" ->
+      """WITH dom AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.3)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dom)
+        |ORDER BY e.vec_id""".stripMargin,
+    // Selection is integral (top-K by pair count); the single float
+    // expression is written with the same association order as the
+    // Spark side so IEEE multiplication agrees bit-for-bit and only
+    // the final ln carries libm noise, absorbed by the 6dp rounding.
+    "text_pmi" ->
+      s"""WITH t AS (SELECT ${textWords()} AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS word FROM t),
+         |u AS (SELECT word, count(*) AS c1 FROM uni GROUP BY word),
+         |b AS (SELECT unnest(
+         |        CASE WHEN len(w) >= 2
+         |             THEN list_transform(range(len(w) - 1),
+         |                    i -> w[i+1] || ' ' || w[i+2])
+         |             ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM t),
+         |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+         |tot AS (SELECT (SELECT count(*) FROM uni) AS t_uni,
+         |               (SELECT count(*) FROM b) AS t_bi),
+         |r AS (SELECT bigram, n,
+         |             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rk
+         |      FROM c WHERE n >= 5)
+         |SELECT CAST(r.rk AS BIGINT) AS rk, r.bigram, r.n AS n_pair,
+         |       u1.c1 AS cx, u2.c1 AS cy,
+         |       round(ln((CAST(r.n AS DOUBLE) * CAST(tot.t_uni AS DOUBLE)
+         |                 * CAST(tot.t_uni AS DOUBLE)) /
+         |                (CAST(tot.t_bi AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
+         |                 * CAST(u2.c1 AS DOUBLE))), 6) AS pmi
+         |FROM r CROSS JOIN tot
+         |JOIN u u1 ON u1.word = split_part(r.bigram, ' ', 1)
+         |JOIN u u2 ON u2.word = split_part(r.bigram, ' ', 2)
+         |WHERE r.rk <= 20 ORDER BY rk""".stripMargin,
+    // Same corpus rebuild as src_docgen, restricted to the pushed-down
+    // id slice — DuckDB only ever generates the 1000 surviving rows,
+    // exactly like the pruned DSv2 scan.
+    "src_docgen_pushdown" ->
+      """WITH ids AS (SELECT range AS id FROM range(99990000, 99991000)),
+        |d AS (SELECT id,
+        |             'gen' || CAST(id % 10 AS VARCHAR) AS source,
+        |             5 + id % 20 AS n_words,
+        |             array_to_string(
+        |               list_transform(range(CAST(5 + id % 20 AS BIGINT)),
+        |                 i -> 'w' || CAST((id * 2654435761 + i * 40503) % 1000
+        |                                  AS VARCHAR)), ' ') AS text
+        |      FROM ids)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -576,4 +576,48 @@ object TextFunctions {
       .select(col("rk"), col("bigram"), col("n"))
       .orderBy(col("rk"))
   }
+
+  /** PMI collocations (`text_pmi`): pointwise mutual information
+    * ln(p(xy) / (p(x)·p(y))) for the corpus's top bigrams — the phrase-
+    * mining pass a tokenizer-training pipeline runs to decide merge
+    * candidates. Selection is INTEGRAL (top-K by pair count, tie →
+    * bigram asc) so which rows appear never depends on float noise; the
+    * one floating expression ln(c_xy·T²/(B·c_x·c_y)) is written
+    * identically in the oracle and rounded at the edge. Unigram and
+    * bigram counts are two map-side-combinable aggregates over the same
+    * token scan; the K selected rows join their component-word counts
+    * via two joins against the vocabulary table (tiny probe side — at
+    * corpus scale the vocab table is itself distributed, and K rows
+    * broadcast INTO it).
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      topK: Int = 20, minCount: Int = 5): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = d.select(words(lower(col("text"))).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = toks.select(explode(tokenWindows(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val totals = toks.agg(
+      sum(size(col("toks")).cast("long")).as("t_uni"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("t_bi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c2").desc, col("bigram").asc)
+    val top = bi.filter(col("c2") >= minCount)
+      .orderBy(col("c2").desc, col("bigram").asc).limit(topK)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    top
+      .join(uni.select(col("w").as("w1"), col("c1").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("rk"), col("bigram"), col("c2").as("n_pair"),
+        col("cx"), col("cy"),
+        round(log(
+          (col("c2").cast("double") * col("t_uni").cast("double") * col("t_uni").cast("double")) /
+          (col("t_bi").cast("double") * col("cx").cast("double") * col("cy").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("rk"))
+  }
 }

@@ -526,4 +526,93 @@ object Analytics {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Hourly OHLC bars per user (`q_ohlc`): open/close via `min_by`/
+    * `max_by` on the unique (ts, event_id) struct — two combinable
+    * aggregates instead of a rank window, so the whole bar table is
+    * ONE shuffle on (user, hour) with map-side partials. Open/close
+    * are pass-through parquet doubles (no arithmetic → no rounding
+    * needed for cross-engine agreement); only the volume sum rounds.
+    * Reference analog: the per-key latest-row idiom of
+    * create_view_vw_valid_collision_from_oracle.sql:59-107, densified
+    * into a time-bucketed market-data shape.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.select(col("user_id"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("bar_ts"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        round(sum(col("value")), 2).as("turnover"))
+      .orderBy(col("user_id"), col("bar_ts"))
+  }
+
+  /** Per-user time-weighted average value (`q_time_weighted`): each
+    * event's value is weighted by the µs gap to the NEXT event (lead
+    * window), so irregular sampling doesn't bias toward bursts. Gaps
+    * are integral µs longs (exact sum); the single division + round
+    * happens at the edge. One window + one aggregate = two shuffles on
+    * the same user_id key — Catalyst reuses the partitioning, so the
+    * events table physically shuffles once.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        round(sum(col("value") * col("dt_us").cast("double")) /
+          sum(col("dt_us")).cast("double"), 6).as("twa_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Last-observation-carried-forward (`q_locf`): every event carries
+    * the most recent purchase value at-or-before it for the same user
+    * — `last(…, ignoreNulls)` over a running rows frame, the
+    * imputation twin of the as-of join (no second table needed when
+    * the observations live in the same stream). The carried value is
+    * a pass-through parquet double — no rounding. Deterministic: the
+    * (ts, event_id) ordering is unique.
+    */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("last_purchase_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Gaps-and-islands day streaks (`q_streaks`): consecutive active
+    * days collapse to islands via the classic `day − row_number()`
+    * anchor (constant within a run of consecutive dates), then one
+    * aggregate per user reports streak count / longest / total active
+    * days. All integral/date math — bit-stable everywhere. The window
+    * runs over per-user DISTINCT days (≤ a few hundred rows per
+    * partition at any corpus size), never raw events.
+    */
+  def dayStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val days = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -511,4 +511,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** SemDeDup-style semantic survivorship (`dedup_semantic`, Abbas et
+    * al. 2023): within each label cell (the stand-in for a k-means
+    * cluster), a vector is DROPPED iff some lower-id vector in the same
+    * cell is ≥ τ cosine-similar — a deterministic keep-lowest rule that
+    * needs no transitive closure (unlike graph survivorship, the
+    * dominance test is per-pair). The pair scan is label-blocked, so
+    * candidate volume is Σ cell² not corpus²; survivors come from one
+    * LEFT ANTI against the distinct dominated-id set, so the embedding
+    * table itself is never shuffled by the pair join. Reference analog:
+    * the keep-one-per-PK rule of reference.py:1-12 lifted to semantic
+    * keys.
+    */
+  def semanticSurvivors(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val dominated = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
 }

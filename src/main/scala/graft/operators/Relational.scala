@@ -476,4 +476,38 @@ object Relational {
         exists(col("flags"), f => f === "R").cast("long").as("any_return"))
       .orderBy(col("l_orderkey"))
   }
+
+  /** Exact decimal money aggregation (`q_decimal_agg`): the whole
+    * revenue computation in DECIMAL — cast once at the scan (the
+    * parquet doubles hold 2dp money, so the scale-4 cast is exact far
+    * beyond the double's ulp), multiply/sum in exact decimal, one
+    * decimal(18,2) cast at the edge. Unlike double sums, decimal
+    * aggregation is ASSOCIATIVE — bit-identical across engines,
+    * partition layouts, and executor counts — which is why money
+    * columns at 100 TB should be decimal end to end (the double
+    * queries here stabilize by edge-rounding instead; this operator is
+    * the layout-independent alternative). No rounding epsilon anywhere.
+    */
+  def decimalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,4)").as("p"),
+        col("l_discount").cast("decimal(9,4)").as("dsc"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p")).cast("decimal(18,2)").as("g2"),
+        sum(col("p") * (lit(1).cast("decimal(9,4)") - col("dsc")))
+          .cast("decimal(18,2)").as("n2"),
+        count(lit(1)).as("n_items"))
+      // integral cents are the bit-exact cross-engine check; the
+      // doubles exist for readability (2dp decimal → double is exact
+      // and identical everywhere)
+      .select(col("l_returnflag"),
+        (col("g2") * 100).cast("long").as("gross_cents"),
+        (col("n2") * 100).cast("long").as("net_cents"),
+        col("g2").cast("double").as("gross"),
+        col("n2").cast("double").as("net"),
+        col("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -77,22 +77,56 @@ class DocGenTable extends Table with SupportsRead {
       options.getInt("partitions", 4))
 }
 
+/** `doc_id` range predicates are pushed INTO the generator
+  * (`SupportsPushDownFilters`): >=, >, <, <=, = clamp the id range
+  * before `planInputPartitions`, so a tight filter over a huge logical
+  * table generates only the surviving slice — the DSv2 analog of
+  * parquet row-group pruning. Consumed filters are exact (integral
+  * bounds on the row id itself), so they are NOT re-evaluated post-scan.
+  */
 class DocGenScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = DocGen.fullSchema
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocGenScan(rows, parts, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("doc_id", v: Long)             => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("doc_id", v: Long)         => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long)  => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long)            => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long)     => hi = math.min(hi, v + 1); true
+      case _                                      => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocGenScan(lo, math.max(lo, hi), parts, required)
 }
 
-class DocGenScan(rows: Long, parts: Int, required: StructType)
+class DocGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docgen range=[$lo,$hi) parts=$parts cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + parts - 1) / parts.toLong
-    (0 until parts).map { p =>
-      DocGenPartition(p * per, math.min(rows, (p + 1) * per)): InputPartition
+    val span = hi - lo
+    val per = math.max(1L, (span + parts - 1) / parts.toLong)
+    (0 until parts).flatMap { p =>
+      val s = lo + p * per
+      val e = math.min(hi, lo + (p + 1) * per)
+      if (s < e) Some(DocGenPartition(s, e): InputPartition) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Dedup, Relational}
+import graft.functions.TextFunctions
+
+/** Time-series pack + exact-decimal money + semantic survivorship +
+  * PMI collocations (round-3 session-2 operators).
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ohlc open/close equal the window-ranked first/last rows") {
+    val bars = Analytics.ohlcBars(spark, sf)
+    // independent window formulation over the same events
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts"), col("event_id"), col("value"))
+    val wa = Window.partitionBy(col("user_id"), col("bar_ts"))
+      .orderBy(col("ts"), col("event_id"))
+    val wd = Window.partitionBy(col("user_id"), col("bar_ts"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ref = e.withColumn("rna", row_number().over(wa))
+      .withColumn("rnd", row_number().over(wd))
+      .groupBy(col("user_id"), col("bar_ts"))
+      .agg(max(when(col("rna") === 1, col("value"))).as("open"),
+        max(when(col("rnd") === 1, col("value"))).as("close"))
+    val joined = bars.join(ref, Seq("user_id", "bar_ts"))
+    assert(joined.filter(bars("open") =!= ref("open") ||
+      bars("close") =!= ref("close")).isEmpty)
+    assert(bars.filter(col("high") < col("low")).isEmpty)
+    assert(bars.filter(col("volume") < 1).isEmpty)
+  }
+
+  test("time-weighted average is bounded by per-user min/max and spans the gaps") {
+    val twa = Analytics.timeWeightedAvg(spark, sf)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val bounds = e.groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        (unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))).as("full_span"),
+        count(lit(1)).as("n"))
+    val j = twa.join(bounds, Seq("user_id"))
+    assert(j.filter(col("twa_value") < col("lo") - 1e-9 ||
+      col("twa_value") > col("hi") + 1e-9).isEmpty)
+    // intervals = events − 1 per user; their µs gaps sum to the full span
+    assert(j.filter(col("n_intervals") =!= col("n") - 1).isEmpty)
+    assert(j.filter(col("span_us") =!= col("full_span")).isEmpty)
+  }
+
+  test("locf carries the purchase value itself on purchase rows and only forward") {
+    val f = Analytics.locfFill(spark, sf)
+    // on a purchase row the carried value IS that row's value
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+    val p = f.filter(col("event_type") === "purchase")
+      .join(e, Seq("event_id"))
+    assert(p.filter(col("last_purchase_value") =!= col("value")).isEmpty)
+    // before a user's first purchase the fill is null; never after
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seen = f.withColumn("n_purch",
+      sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w))
+    assert(seen.filter(col("n_purch") === 0 && col("last_purchase_value").isNotNull).isEmpty)
+    assert(seen.filter(col("n_purch") > 0 && col("last_purchase_value").isNull).isEmpty)
+  }
+
+  test("streaks partition the active days and bound the longest run") {
+    val s = Analytics.dayStreaks(spark, sf)
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_distinct_days"))
+    val j = s.join(days, Seq("user_id"))
+    assert(j.filter(col("n_days") =!= col("n_distinct_days")).isEmpty)
+    assert(j.filter(col("longest") > col("n_days") ||
+      col("n_streaks") > col("n_days") || col("longest") < 1).isEmpty)
+  }
+
+  test("decimal aggregation is identical across partition layouts") {
+    val a = Relational.decimalRevenue(spark, sf).collect().map(_.toSeq)
+    // decimal sums are associative: any repartitioning gives the same bits
+    val li = graft.sources.Tables.load(spark, sf, "lineitem").repartition(13)
+    val dir2 = java.nio.file.Files.createTempDirectory("decimal13").toString
+    li.write.mode("overwrite").parquet(dir2 + "/lineitem")
+    val spark2 = spark
+    val b = {
+      val d = spark2.read.parquet(dir2 + "/lineitem")
+      d.select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,4)").as("p"),
+          col("l_discount").cast("decimal(9,4)").as("dsc"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p")).cast("decimal(18,2)").as("g2"),
+          sum(col("p") * (lit(1).cast("decimal(9,4)") - col("dsc")))
+            .cast("decimal(18,2)").as("n2"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"),
+          (col("g2") * 100).cast("long").as("gross_cents"),
+          (col("n2") * 100).cast("long").as("net_cents"),
+          col("g2").cast("double").as("gross"),
+          col("n2").cast("double").as("net"),
+          col("n_items"))
+        .orderBy(col("l_returnflag")).collect().map(_.toSeq)
+    }
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("semantic survivors: dropped vectors have a lower-id near-neighbor, survivors don't") {
+    val surv = Dedup.semanticSurvivors(spark, sf).select(col("vec_id"))
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val dropped = emb.select(col("vec_id")).except(surv)
+    // rebuild the dominance pairs independently
+    val pairs = Dedup.embeddingPairs(spark, sf, threshold = 0.3)
+      .select(col("id_b").as("vec_id")).distinct()
+    assert(dropped.except(pairs).isEmpty)        // every drop is justified
+    assert(surv.intersect(pairs).isEmpty)        // no survivor is dominated
+    assert(surv.count() + dropped.count() == emb.count())
+  }
+
+  test("pmi top bigrams are count-ordered and component counts dominate pair counts") {
+    val p = TextFunctions.pmiCollocations(spark, sf).collect()
+    assert(p.nonEmpty && p.length <= 20)
+    val ns = p.map(r => r.getAs[Long]("n_pair"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    p.foreach { r =>
+      assert(r.getAs[Long]("cx") >= r.getAs[Long]("n_pair"))
+      assert(r.getAs[Long]("cy") >= r.getAs[Long]("n_pair"))
+      assert(!r.getAs[Double]("pmi").isNaN)
+    }
+  }
+}
