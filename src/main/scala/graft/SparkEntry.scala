@@ -181,6 +181,9 @@ object SparkEntry {
     // round-3 session 2: time-series pack, exact-decimal money,
     // semantic survivorship, PMI collocations, pushdown-pruned docgen
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
+    "q_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
+    "q_hour_bitmap" -> ((s, d) => Analytics.hourBitmap(s, d)),
+    "mm_shard_pack" -> ((s, d) => Multimodal.shardPack(s, d)),
     "q_time_weighted" -> ((s, d) => Analytics.timeWeightedAvg(s, d)),
     "q_locf" -> ((s, d) => Analytics.locfFill(s, d)),
     "q_streaks" -> ((s, d) => Analytics.dayStreaks(s, d)),
@@ -1977,6 +1980,39 @@ object SparkEntry {
         |       count(*) AS volume,
         |       round(sum(value), 2) AS turnover
         |FROM r GROUP BY user_id, bar_ts ORDER BY user_id, bar_ts""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, CAST(f.n_from AS BIGINT) AS n_from,
+        |       round(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_hour_bitmap" ->
+      """WITH b AS (SELECT user_id,
+        |                  (CAST(1 AS BIGINT) << hour(CAST(ts AS TIMESTAMP))) AS bit
+        |           FROM events),
+        |m AS (SELECT user_id, bit_or(bit) AS hour_mask FROM b GROUP BY user_id)
+        |SELECT user_id, hour_mask,
+        |       CAST(bit_count(hour_mask) AS BIGINT) AS n_active_hours
+        |FROM m ORDER BY user_id""".stripMargin,
+    // The two-phase prefix sum must equal a plain per-kind running
+    // cumsum in doc_id order — that equality IS the check.
+    "mm_shard_pack" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |                       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |                  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |           FROM documents),
+        |c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY kind ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+        |SELECT doc_id, kind, n_bytes,
+        |       CAST(floor(CAST(cum - n_bytes AS DOUBLE) / 4096) AS BIGINT) AS shard_id
+        |FROM c ORDER BY kind, doc_id""".stripMargin,
     "q_time_weighted" ->
       """WITH e AS (SELECT user_id, value, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -594,6 +594,47 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Event-type transition matrix (`q_transition_matrix`): Markov
+    * counts and probabilities over consecutive same-user events (lag
+    * via lead window, one shuffle), then count per (from, to) with the
+    * per-from normalizer computed as an aggregate-of-aggregates JOIN —
+    * the matrix is |types|² rows, so the second regroup is free at any
+    * corpus size. All counting integral; the single probability
+    * division rounds at the edge.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    cnt.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
+    * hours as a 24-bit mask via `bit_or(1 << hour)` — the
+    * roaring-bitmap idiom in miniature: presence over a small dense
+    * domain packed into ONE long per key, mergeable map-side (bit_or
+    * is associative), and set cardinality read back with `bit_count`.
+    * At 100 TB this replaces a count-distinct shuffle of (user, hour)
+    * pairs with a single 8-byte partial per user.
+    */
+  def hourBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), hour(ts))").as("bit"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(bit)").as("hour_mask"))
+      .select(col("user_id"), col("hour_mask"),
+        bit_count(col("hour_mask")).cast("long").as("n_active_hours"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gaps-and-islands day streaks (`q_streaks`): consecutive active
     * days collapse to islands via the classic `day − row_number()`
     * anchor (constant within a run of consecutive dates), then one

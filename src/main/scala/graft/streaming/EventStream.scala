@@ -32,6 +32,27 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming hourly OHLC bars (the streaming twin of
+    * `Analytics.ohlcBars`): `min_by`/`max_by` on the unique
+    * (ts, event_id) struct inside a watermarked tumbling window —
+    * combinable aggregates, so state per (user, hour) is O(1) and the
+    * bar finalizes (append mode) once the watermark passes the window.
+    */
+  def ohlcBars(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("window.start").as("bar_ts"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   /** Sliding-window counts (1h window every 15min). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars finalize once the watermark passes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "user_id", "value")
+    val q = EventStream.ohlcBars(events)
+      .writeStream.format("memory").queryName("ohlc_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L, 7L, 5.0),   // open
+        (ts("2024-01-01 10:20:00"), 2L, 7L, 9.0),   // high
+        (ts("2024-01-01 10:40:00"), 3L, 7L, 2.0),   // low
+        (ts("2024-01-01 10:50:00"), 4L, 7L, 6.0))   // close
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 9L, 7L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val r = spark.sql(
+        "SELECT * FROM ohlc_test WHERE bar_ts = TIMESTAMP'2024-01-01 10:00:00'")
+        .collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getAs[Double]("open") == 5.0 && row.getAs[Double]("high") == 9.0 &&
+        row.getAs[Double]("low") == 2.0 && row.getAs[Double]("close") == 6.0 &&
+        row.getAs[Long]("volume") == 4L)
+      // matches the batch twin's aggregate semantics on the same rows
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]

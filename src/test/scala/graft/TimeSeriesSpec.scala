@@ -119,6 +119,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(surv.count() + dropped.count() == emb.count())
   }
 
+  test("transition matrix probabilities sum to 1 per source type") {
+    val t = Analytics.transitionMatrix(spark, sf)
+    val perFrom = t.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("sn"), max(col("n_from")).as("nf"),
+        sum(col("p")).as("sp"))
+    assert(perFrom.filter(col("sn") =!= col("nf")).isEmpty)
+    assert(perFrom.filter(abs(col("sp") - 1.0) > 1e-4).isEmpty)
+    // total transitions = total events − one per user (last has no successor)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(t.agg(sum(col("n"))).head().getLong(0) == expected)
+  }
+
+  test("hour bitmap cardinality equals the distinct active hours") {
+    val b = Analytics.hourBitmap(spark, sf)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(hour(col("ts"))).as("nh"))
+    val j = b.join(e, Seq("user_id"))
+    assert(j.filter(col("n_active_hours") =!= col("nh")).isEmpty)
+    // a 24-hour domain: the mask never sets bit 24+
+    assert(b.filter(col("hour_mask") >= (1L << 24) || col("hour_mask") <= 0L).isEmpty)
+  }
+
+  test("shard pack equals a single-partition per-kind cumsum and is monotone") {
+    val s = graft.multimodal.Multimodal.shardPack(spark, sf)
+    // reference: plain window cumsum (the thing the two-phase sum replaces)
+    val m = graft.multimodal.Multimodal.mediaTable(spark, sf)
+      .select(col("doc_id"), col("kind"), length(col("payload")).cast("long").as("n_bytes"))
+    val w = Window.partitionBy(col("kind")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = m.withColumn("cum", sum(col("n_bytes")).over(w))
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        floor((col("cum") - col("n_bytes")).cast("double") / 4096L)
+          .cast("long").as("shard_id"))
+    assert(s.select("doc_id", "kind", "n_bytes", "shard_id")
+      .except(ref).isEmpty)
+    assert(ref.except(s.select("doc_id", "kind", "n_bytes", "shard_id")).isEmpty)
+    // shard ids start at 0 per kind and never skip
+    val ids = s.groupBy(col("kind")).agg(min(col("shard_id")).as("lo"),
+      max(col("shard_id")).as("hi"), countDistinct(col("shard_id")).as("nd"))
+    assert(ids.filter(col("lo") =!= 0L || col("nd") =!= col("hi") + 1).isEmpty)
+  }
+
   test("pmi top bigrams are count-ordered and component counts dominate pair counts") {
     val p = TextFunctions.pmiCollocations(spark, sf).collect()
     assert(p.nonEmpty && p.length <= 20)
