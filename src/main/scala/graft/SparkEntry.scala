@@ -182,6 +182,10 @@ object SparkEntry {
     // semantic survivorship, PMI collocations, pushdown-pruned docgen
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     "q_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
+    "q_pct_of_total" -> ((s, d) => Analytics.pctOfTotal(s, d)),
+    "q_cume_users" -> ((s, d) => Analytics.cumeUsers(s, d)),
+    "q_mad" -> ((s, d) => Analytics.madPerPriority(s, d)),
+    "q_asof_tolerance" -> ((s, d) => Temporal.purchaseAsOfClickTolerance(s, d)),
     "q_hour_bitmap" -> ((s, d) => Analytics.hourBitmap(s, d)),
     "mm_shard_pack" -> ((s, d) => Multimodal.shardPack(s, d)),
     "q_time_weighted" -> ((s, d) => Analytics.timeWeightedAvg(s, d)),
@@ -1980,6 +1984,53 @@ object SparkEntry {
         |       count(*) AS volume,
         |       round(sum(value), 2) AS turnover
         |FROM r GROUP BY user_id, bar_ts ORDER BY user_id, bar_ts""".stripMargin,
+    "q_pct_of_total" ->
+      """WITH cell AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         round(sum(o_totalprice), 2) AS sum_price,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, sum_price, n_orders,
+        |       round(sum_price / sum(sum_price) OVER (PARTITION BY o_orderstatus), 6)
+        |         AS share
+        |FROM cell ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_cume_users" ->
+      """WITH fd AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+        |            FROM events GROUP BY user_id),
+        |pd AS (SELECT d, count(*) AS new_users FROM fd GROUP BY d)
+        |SELECT strftime(d, '%Y-%m-%d') AS d, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY d
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+        |FROM pd ORDER BY d""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (SELECT o_orderpriority,
+        |                    quantile_cont(o_totalprice, 0.5) AS m
+        |             FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority,
+        |       round(max(med.m), 4) AS median_price,
+        |       round(quantile_cont(abs(o.o_totalprice - med.m), 0.5), 4) AS mad_price,
+        |       count(*) AS n_orders
+        |FROM orders o JOIN med USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // pandas merge_asof(tolerance=1h) semantics: the backward match,
+    // voided when stale.
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, p.user_id, p.ts,
+        |             c.event_id AS click_event_id, c.ts AS click_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |                 epoch_us(CAST(click_ts AS TIMESTAMP)) <= 3600000000
+        |            THEN click_event_id END AS click_event_id,
+        |       CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |                 epoch_us(CAST(click_ts AS TIMESTAMP)) <= 3600000000
+        |            THEN CAST(click_ts AS TIMESTAMP) END AS click_ts
+        |FROM j ORDER BY user_id, ts, event_id""".stripMargin,
     "q_transition_matrix" ->
       """WITH t AS (SELECT user_id, event_type,
         |                  lead(event_type) OVER (PARTITION BY user_id

@@ -594,6 +594,66 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Ratio-to-report (`q_pct_of_total`): each (status, priority)
+    * cell's share of its status total — the percent-of-total window
+    * runs over the ALREADY-AGGREGATED frame (|status|×|priority|
+    * rows), so the window sort is free at any fact size; the fact
+    * table contributes one partial-agg shuffle only. Share rounds at
+    * the edge.
+    */
+  def pctOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val cell = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+    cell.withColumn("status_total", sum(col("sum_price")).over(w))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("sum_price"), col("n_orders"),
+        round(col("sum_price") / col("status_total"), 6).as("share"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Cumulative distinct users by day (`q_cume_users`): running
+    * count-distinct rewritten as first-seen-day + running sum — each
+    * user contributes once (min event day, one agg shuffle), the
+    * cumsum window then runs over the per-DAY frame (≤ a few thousand
+    * rows at any corpus size). The naive form — count(DISTINCT user)
+    * OVER (ORDER BY day) — holds a growing distinct set per row and
+    * cannot distribute.
+    */
+  def cumeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val perDay = firstDay.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cume_users", sum(col("new_users")).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("new_users"), col("cume_users"))
+      .orderBy(col("d"))
+  }
+
+  /** Median absolute deviation per group (`q_mad`): the robust spread
+    * statistic — median of |x − median(x)|, two exact-percentile
+    * aggregations with the per-group medians joined back broadcast
+    * (group count is tiny; the fact table shuffles twice on the same
+    * key). The scale path swaps `percentile` for `percentile_approx`
+    * exactly as q_median ↔ q_approx_quantile.
+    */
+  def madPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"))
+    o.join(broadcast(med), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(max(col("m")), 4).as("median_price"),
+        round(expr("percentile(abs(o_totalprice - m), 0.5)"), 4).as("mad_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Event-type transition matrix (`q_transition_matrix`): Markov
     * counts and probabilities over consecutive same-user events (lag
     * via lead window, one shuffle), then count per (from, to) with the

@@ -334,4 +334,24 @@ object Temporal {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
+
+  /** Tolerance-bounded as-of join (`q_asof_tolerance`): the standard
+    * backward as-of, but a match older than `toleranceUs` is treated
+    * as NO match (both attached columns nulled) — pandas
+    * merge_asof(tolerance=…) semantics. Real feeds go quiet (sensor
+    * drop-outs, market halts); carrying an hours-stale tick forward is
+    * worse than admitting absence. Same single-shuffle plan as
+    * q_asof_join; the staleness test is an integral-µs projection on
+    * top.
+    */
+  def purchaseAsOfClickTolerance(spark: SparkSession, dir: String,
+      toleranceUs: Long = 3600L * 1000000L): DataFrame = {
+    val base = purchaseAsOfClick(spark, dir)
+    val fresh = unix_micros(col("ts").cast("timestamp")) -
+      unix_micros(col("click_ts").cast("timestamp")) <= toleranceUs
+    base.select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("click_event_id")).as("click_event_id"),
+        when(fresh, col("click_ts")).as("click_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
 }

@@ -163,6 +163,54 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ids.filter(col("lo") =!= 0L || col("nd") =!= col("hi") + 1).isEmpty)
   }
 
+  test("percent-of-total shares sum to 1 within each status") {
+    val p = Analytics.pctOfTotal(spark, sf)
+    val sums = p.groupBy(col("o_orderstatus")).agg(sum(col("share")).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-4).isEmpty)
+    assert(p.filter(col("share") < 0 || col("share") > 1).isEmpty)
+  }
+
+  test("cumulative users: final cume equals the distinct user count") {
+    val c = Analytics.cumeUsers(spark, sf).orderBy(col("d")).collect()
+    val total = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(c.last.getAs[Long]("cume_users") == total)
+    // monotone, and increments match the per-day news
+    val cum = c.map(_.getAs[Long]("cume_users"))
+    val news = c.map(_.getAs[Long]("new_users"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b || a == b })
+    assert(news.sum == total)
+  }
+
+  test("mad is non-negative and below the full range") {
+    val m = Analytics.madPerPriority(spark, sf)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val rng = o.groupBy(col("o_orderpriority"))
+      .agg((max(col("o_totalprice")) - min(col("o_totalprice"))).as("range"))
+    val j = m.join(rng, Seq("o_orderpriority"))
+    assert(j.filter(col("mad_price") < 0 || col("mad_price") > col("range")).isEmpty)
+    // at least half the rows sit within one MAD of the median is NOT
+    // guaranteed in general, but |x-median| <= MAD holds for >= half:
+    val withM = o.join(m, Seq("o_orderpriority"))
+    val within = withM.filter(
+      abs(col("o_totalprice") - col("median_price")) <= col("mad_price") + 1e-6)
+    assert(within.count() * 2 >= o.count())
+  }
+
+  test("asof tolerance voids only stale matches, keeping fresh ones bit-identical") {
+    val base = graft.operators.Temporal.purchaseAsOfClick(spark, sf)
+    val tol = graft.operators.Temporal.purchaseAsOfClickTolerance(spark, sf)
+    val j = base.alias("b").join(tol.alias("t"), Seq("event_id"))
+    val gapUs = unix_micros(col("b.ts").cast("timestamp")) -
+      unix_micros(col("b.click_ts").cast("timestamp"))
+    // fresh rows carry the identical match
+    assert(j.filter(gapUs <= 3600000000L &&
+      (col("t.click_event_id") =!= col("b.click_event_id"))).isEmpty)
+    // stale rows are voided
+    assert(j.filter(gapUs > 3600000000L && col("t.click_event_id").isNotNull).isEmpty)
+    assert(tol.count() == base.count())
+  }
+
   test("pmi top bigrams are count-ordered and component counts dominate pair counts") {
     val p = TextFunctions.pmiCollocations(spark, sf).collect()
     assert(p.nonEmpty && p.length <= 20)
