@@ -14,7 +14,10 @@ object Bench {
     "q_fusion_etl", "dedup_span", "text_contamination",
     "q_merge", "q_bloom_prune", "sim_pq_topk",
     "dedup_containment", "sim_mrl_topk", "text_curriculum",
-    "q_retention_cohort")
+    "q_retention_cohort",
+    // round-3 session-2 additions
+    "q_ohlc", "q_decimal_agg", "dedup_semantic", "text_pmi",
+    "mm_shard_pack", "q_concurrency")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);

@@ -183,6 +183,7 @@ object SparkEntry {
     "q_ohlc" -> ((s, d) => Analytics.ohlcBars(s, d)),
     "q_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
     "q_pct_of_total" -> ((s, d) => Analytics.pctOfTotal(s, d)),
+    "q_concurrency" -> ((s, d) => Analytics.peakConcurrency(s, d)),
     "q_cume_users" -> ((s, d) => Analytics.cumeUsers(s, d)),
     "q_mad" -> ((s, d) => Analytics.madPerPriority(s, d)),
     "q_asof_tolerance" -> ((s, d) => Temporal.purchaseAsOfClickTolerance(s, d)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_decimal_agg" -> ((s, d) => Relational.decimalRevenue(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticSurvivors(s, d)),
     "text_pmi" -> ((s, d) => TextFunctions.pmiCollocations(s, d)),
+    "text_split" -> ((s, d) => TextFunctions.trainValTestSplit(s, d)),
     // a 100M-row logical table behind a 1000-row doc_id slice: without
     // the source-side range pushdown this query would synthesize 1e8
     // documents — finishing at interactive speed IS the pruning proof
@@ -1250,6 +1252,15 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
          |FROM r WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
     },
+    "text_split" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+         |       CASE WHEN bucket < 10 THEN 'test'
+         |            WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
          |bg AS (
@@ -1984,6 +1995,28 @@ object SparkEntry {
         |       count(*) AS volume,
         |       round(sum(value), 2) AS turnover
         |FROM r GROUP BY user_id, bar_ts ORDER BY user_id, bar_ts""".stripMargin,
+    // Sweep-line replayed on the same minute grid; the argmax tie
+    // breaks to the earliest minute in both engines.
+    "q_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+        |         1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |         date_trunc('minute', CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE),
+        |         -1 FROM events),
+        |g AS (SELECT event_type, m, sum(delta) AS d FROM b GROUP BY 1, 2),
+        |o AS (SELECT event_type, m,
+        |             sum(d) OVER (PARTITION BY event_type ORDER BY m
+        |                          ROWS UNBOUNDED PRECEDING) AS open
+        |      FROM g),
+        |r AS (SELECT event_type, m, open,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY open DESC, m ASC) AS rk
+        |      FROM o)
+        |SELECT event_type, CAST(open AS BIGINT) AS peak,
+        |       strftime(m, '%Y-%m-%d %H:%M') AS peak_at
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q_pct_of_total" ->
       """WITH cell AS (
         |  SELECT o_orderstatus, o_orderpriority,

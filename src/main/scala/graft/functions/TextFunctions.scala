@@ -304,6 +304,28 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (`text_split`): every document
+    * is assigned by its md5(doc_id) bucket — test = buckets 0–9,
+    * val = 10–19, train = the rest — so the split is a pure function
+    * of the id: reproducible across engines, partition layouts, and
+    * reruns, and STABLE UNDER CORPUS GROWTH (new docs never move old
+    * docs between splits, unlike any percentile- or shuffle-based
+    * scheme). The same contract as text_subsample, extended to a
+    * partition of the corpus instead of a filter.
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7),
+        16, 10).cast("long"), lit(100L))
+    d.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 10, "test")
+          .when(col("bucket") < 20, "val").otherwise("train"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic weighted sampling (`text_weighted_sample`):
     * Efraimidis–Spirakis reservoir keys — each doc gets
     * key = ln(u)/w with u an md5-derived uniform in (0,1] and

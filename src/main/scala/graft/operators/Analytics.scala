@@ -594,6 +594,38 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Peak concurrency via sweep-line (`q_concurrency`): treat each
+    * event as a 30-minute session and find, per event type, the peak
+    * number of simultaneously-open sessions and when it first occurs.
+    * The scalable shape: boundaries are AGGREGATED to a minute grid
+    * first (one combinable shuffle: +starts, −ends per minute), and
+    * the running sum then scans the bounded grid (minutes in the time
+    * range — thousands of rows regardless of event volume), never the
+    * raw boundary stream. Peak selection is an integral argmax with an
+    * earliest-minute tie-break.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String,
+      sessionMin: Int = 30): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val starts = e.select(col("event_type"),
+      date_trunc("minute", col("ts")).as("m"), lit(1L).as("delta"))
+    val ends = e.select(col("event_type"),
+      date_trunc("minute", col("ts") + expr(s"INTERVAL $sessionMin MINUTES")).as("m"),
+      lit(-1L).as("delta"))
+    val grid = starts.unionAll(ends)
+      .groupBy(col("event_type"), col("m"))
+      .agg(sum(col("delta")).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("open", sum(col("d")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("peak"),
+        min_by(col("m"), struct((-col("open")).as("neg"), col("m"))).as("peak_at"))
+      .select(col("event_type"), col("peak"),
+        date_format(col("peak_at"), "yyyy-MM-dd HH:mm").as("peak_at"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ratio-to-report (`q_pct_of_total`): each (status, priority)
     * cell's share of its status total — the percent-of-total window
     * runs over the ALREADY-AGGREGATED frame (|status|×|priority|

@@ -127,4 +127,20 @@ class TextSpec extends SparkSpec {
     val maxDoc = a.map(_._2).max
     assert(perBatch.values.forall(_ <= 512L + maxDoc))
   }
+
+  test("train/val/test split partitions the corpus deterministically") {
+    val s = TextFunctions.trainValTestSplit(spark, sf)
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    // exactly one split per doc, nothing dropped
+    assert(s.count() == n)
+    assert(s.select(col("split")).distinct().count() <= 3)
+    // the split is the bucket's image — bucket ranges never cross labels
+    assert(s.filter(col("bucket") < 10 && col("split") =!= "test").isEmpty)
+    assert(s.filter(col("bucket") >= 10 && col("bucket") < 20 &&
+      col("split") =!= "val").isEmpty)
+    assert(s.filter(col("bucket") >= 20 && col("split") =!= "train").isEmpty)
+    // md5 buckets spread: train holds the large majority
+    val frac = s.filter(col("split") === "train").count().toDouble / n
+    assert(frac > 0.6 && frac < 0.95)
+  }
 }

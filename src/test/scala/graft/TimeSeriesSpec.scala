@@ -163,6 +163,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ids.filter(col("lo") =!= 0L || col("nd") =!= col("hi") + 1).isEmpty)
   }
 
+  test("peak concurrency matches a naive per-instant count on a sample") {
+    val p = Analytics.peakConcurrency(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("peak"), r.getAs[String]("peak_at"))).toMap
+    // naive check for one type: count sessions open at the reported peak minute
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    p.foreach { case (tpe, (peak, at)) =>
+      val atTs = java.sql.Timestamp.valueOf(at + ":00")
+      // the grid counts a session open at minute m iff
+      // trunc(start) <= m < trunc(start + 30min) — minute granularity
+      val open = e.filter(col("event_type") === tpe)
+        .filter(date_trunc("minute", col("ts")) <= lit(atTs) &&
+          date_trunc("minute", col("ts") + expr("INTERVAL 30 MINUTES")) > lit(atTs))
+        .count()
+      assert(open == peak, s"type=$tpe naive=$open grid=$peak at=$at")
+    }
+  }
+
   test("percent-of-total shares sum to 1 within each status") {
     val p = Analytics.pctOfTotal(spark, sf)
     val sums = p.groupBy(col("o_orderstatus")).agg(sum(col("share")).as("s"))
