@@ -207,7 +207,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("sum_words"),
         sum(length(col("text")).cast("long")).as("sum_chars"))
-      .orderBy(col("source")))
+      .orderBy(col("source"))),
+    // round-3 session-3 additions: robust stats, apportionment,
+    // sequence mining, interval coverage, media near-dup
+    "q_percentile_disc" -> ((s, d) => Analytics.percentileDisc(s, d)),
+    "q_outlier_iqr" -> ((s, d) => Analytics.outlierIqr(s, d)),
+    "q_chi2" -> ((s, d) => Analytics.chi2Cells(s, d)),
+    "q_interval_union" -> ((s, d) => Temporal.intervalUnion(s, d)),
+    "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "q_allocation" -> ((s, d) => Relational.largestRemainder(s, d)),
+    "q_seq_ngrams" -> ((s, d) => Relational.journeyTrigrams(s, d)),
+    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d))
   )
 
   private val cutoffValues =
@@ -2209,6 +2219,171 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
         |       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
-        |FROM d GROUP BY source ORDER BY source""".stripMargin
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // quantile_disc = element at 1-based position floor((n-1)p)+1 —
+    // the Spark side reproduces exactly that index rule; p ∈ {¼,½,¾}
+    // only (exact binary fractions, so the float index product agrees).
+    "q_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.25) AS p25_disc,
+        |       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        |       quantile_disc(o_totalprice, 0.75) AS p75_disc,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Fences from DISCRETE quartiles (stored values): the fence
+    // arithmetic is the same three IEEE ops on identical doubles in
+    // both engines, so classification can't flip on float noise.
+    "q_outlier_iqr" ->
+      """WITH f AS (SELECT o_orderpriority,
+        |                  quantile_disc(o_totalprice, 0.25) AS q1,
+        |                  quantile_disc(o_totalprice, 0.75) AS q3
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, max(f.q1) AS q1, max(f.q3) AS q3,
+        |       CAST(sum(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+        |                       OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       max(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+        |                THEN o.o_totalprice END) AS max_outlier,
+        |       count(*) AS n_orders
+        |FROM orders o JOIN f USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // Per-cell emission: expected and contribution are each ONE float
+    // expression (identical association order both sides) — no
+    // cross-cell summation whose order could differ.
+    "q_chi2" ->
+      """WITH cell AS (SELECT o_orderstatus, o_orderpriority,
+        |                     count(*) AS observed
+        |              FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, sum(observed) AS row_total FROM cell GROUP BY 1),
+        |c AS (SELECT o_orderpriority, sum(observed) AS col_total FROM cell GROUP BY 1),
+        |n AS (SELECT sum(observed) AS grand_total FROM cell)
+        |SELECT cell.o_orderstatus, cell.o_orderpriority, cell.observed,
+        |       round(CAST(r.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+        |             / CAST(n.grand_total AS DOUBLE), 4) AS expected,
+        |       round(pow(CAST(cell.observed AS DOUBLE)
+        |                 - CAST(r.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+        |                   / CAST(n.grand_total AS DOUBLE), 2)
+        |             / (CAST(r.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+        |                / CAST(n.grand_total AS DOUBLE)), 6) AS contribution
+        |FROM cell JOIN r USING (o_orderstatus) JOIN c USING (o_orderpriority)
+        |CROSS JOIN n
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // Sweep-line union: integral-µs window arithmetic, identical
+    // formulation both sides.
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS en
+        |            FROM events),
+        |x AS (SELECT user_id, s, en,
+        |             max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prev_end
+        |      FROM iv)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(CASE WHEN prev_end IS NULL OR s > prev_end
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |       CAST(sum(greatest(0, en - greatest(s, coalesce(prev_end, s))))
+        |            AS BIGINT) AS covered_us
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Every metric and cut point is integral (cents / days / counts),
+    // so scores compare exactly; quantile_disc mirrors discCuts.
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey,
+        |                    max(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS last_d,
+        |                    count(*) AS frequency,
+        |                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                         AS BIGINT) AS monetary_cents
+        |             FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(last_d) AS corpus_max FROM per),
+        |cust AS (SELECT o_custkey,
+        |                CAST(datediff('day', last_d, corpus_max) AS BIGINT)
+        |                  AS recency_days,
+        |                frequency, monetary_cents
+        |         FROM per CROSS JOIN mx),
+        |q AS (SELECT quantile_disc(recency_days, 0.25) AS r25,
+        |             quantile_disc(recency_days, 0.5) AS r50,
+        |             quantile_disc(recency_days, 0.75) AS r75,
+        |             quantile_disc(frequency, 0.25) AS f25,
+        |             quantile_disc(frequency, 0.5) AS f50,
+        |             quantile_disc(frequency, 0.75) AS f75,
+        |             quantile_disc(monetary_cents, 0.25) AS m25,
+        |             quantile_disc(monetary_cents, 0.5) AS m50,
+        |             quantile_disc(monetary_cents, 0.75) AS m75
+        |      FROM cust),
+        |sc AS (SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
+        |              4 - ((CASE WHEN c.recency_days > q.r25 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN c.recency_days > q.r50 THEN 1 ELSE 0 END)
+        |                 + (CASE WHEN c.recency_days > q.r75 THEN 1 ELSE 0 END))
+        |                AS r_score,
+        |              1 + (CASE WHEN c.frequency > q.f25 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN c.frequency > q.f50 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN c.frequency > q.f75 THEN 1 ELSE 0 END)
+        |                AS f_score,
+        |              1 + (CASE WHEN c.monetary_cents > q.m25 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN c.monetary_cents > q.m50 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN c.monetary_cents > q.m75 THEN 1 ELSE 0 END)
+        |                AS m_score
+        |       FROM cust c CROSS JOIN q)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |         || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    // Integer arithmetic end to end: quotas are exactly reproducible.
+    "q_allocation" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT source, n_docs, sum(n_docs) OVER () AS total FROM n),
+        |c AS (SELECT source, n_docs,
+        |             (n_docs * 1000) // total AS base,
+        |             (n_docs * 1000) % total AS remainder FROM b),
+        |d AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+        |             row_number() OVER (ORDER BY remainder DESC, source) AS pos
+        |      FROM c)
+        |SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+        |       CAST(remainder AS BIGINT) AS remainder,
+        |       CAST(CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |       CAST(base + CASE WHEN pos <= leftover THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM d ORDER BY source""".stripMargin,
+    "q_seq_ngrams" ->
+      """WITH t AS (SELECT event_type AS t1,
+        |                  lead(event_type, 1) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS t2,
+        |                  lead(event_type, 2) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS t3
+        |           FROM events)
+        |SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    // Byte-exact replay of the sampled-nibble fingerprint: offsets via
+    // integer division, nibbles read from hex(encode(text)) so
+    // non-ASCII documents stay byte-addressed (not char-addressed).
+    "mm_phash_pairs" -> {
+      val sampleCols = (0 until 8).map(i =>
+        s"substr(hx, CAST(($i * n) // 8 AS INTEGER) * 2 + 1, 1) AS s$i").mkString(",\n             ")
+      val aCols = (0 until 8).map(i => s"a.s$i AS a$i").mkString(", ")
+      val bCols = (0 until 8).map(i => s"c.s$i AS b$i").mkString(", ")
+      val diff = (0 until 8).map(i =>
+        s"(CASE WHEN a$i <> b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH img AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |                    octet_length(encode(text)) AS n
+         |             FROM documents WHERE doc_id % 3 = 0),
+         |s AS (SELECT doc_id,
+         |             $sampleCols
+         |      FROM img),
+         |bands AS (SELECT doc_id, b.band,
+         |                 CASE b.band WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+         |                      WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bval,
+         |                 s0, s1, s2, s3, s4, s5, s6, s7
+         |          FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |                $aCols, $bCols
+         |         FROM bands a JOIN bands c
+         |           ON a.band = c.band AND a.bval = c.bval
+         |          AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, CAST($diff AS BIGINT) AS n_diff
+         |FROM cand WHERE $diff <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

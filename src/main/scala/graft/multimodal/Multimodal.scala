@@ -269,4 +269,51 @@ object Multimodal {
           .cast("long").as("shard_id"))
       .orderBy(col("kind"), col("doc_id"))
   }
+
+  /** Perceptual-hash near-dup pairs over image payloads
+    * (`mm_phash_pairs`): a real pHash samples pixels after a DCT; the
+    * deterministic stand-in samples 8 bytes at evenly-spaced payload
+    * offsets (i·n DIV 8), quantized to their high nibble — the
+    * stand-in for a real pHash's per-cell 1-bit threshold — the Spark-side shape (signature extraction
+    * in the scan stage, band blocking, verify join) is the production
+    * part, and only the `sig_i` extraction swaps for a codec-backed
+    * hash. Blocking: the 8 samples split into 4 two-byte bands; a
+    * candidate pair shares at least one band (pairs with ≤2 of 8
+    * samples differing always survive unless the differing samples
+    * land in distinct bands — approximate recall, like any LSH);
+    * verify counts differing samples exactly and keeps pairs with ≤2. Pair
+    * volume is bounded by band-bucket sizes, never O(n²); everything
+    * is integral/string equality — bit-stable.
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxDiff: Int = 2): DataFrame = {
+    val imgs = mediaTable(spark, dir).filter(col("kind") === "image")
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        length(col("payload")).cast("long").as("n"))
+    // 8 sampled bytes as hex pairs; offsets are 0-based bytes → 1-based
+    // hex chars. Integer division keeps the offsets engine-exact.
+    val withSamples = (0 until 8).foldLeft(imgs) { (df, i) =>
+      df.withColumn(s"s$i",
+        expr(s"substr(hx, CAST(($i * n) DIV 8 AS INT) * 2 + 1, 1)"))
+    }.drop("hx", "n")
+    val bands = (0 until 4).map { b =>
+      val cols = Seq(col("doc_id"), lit(b).as("band"),
+        concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bval")) ++
+        (0 until 8).map(i => col(s"s$i"))
+      withSamples.select(cols: _*)
+    }.reduce(_.union(_))
+    val l = bands
+    val r = bands.columns.foldLeft(bands)((df, c) => df.withColumnRenamed(c, c + "_b"))
+    val cand = l.join(r,
+        col("band") === col("band_b") && col("bval") === col("bval_b") &&
+          col("doc_id") < col("doc_id_b"))
+      .select((col("doc_id").as("doc_a") +: col("doc_id_b").as("doc_b") +:
+        ((0 until 8).map(i => col(s"s$i")) ++ (0 until 8).map(i => col(s"s${i}_b")))): _*)
+      .distinct()
+    val nDiff = (0 until 8).map(i =>
+      when(col(s"s$i") =!= col(s"s${i}_b"), 1).otherwise(0)).reduce(_ + _)
+    cand.withColumn("n_diff", nDiff.cast("long"))
+      .filter(col("n_diff") <= maxDiff)
+      .select(col("doc_a"), col("doc_b"), col("n_diff"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

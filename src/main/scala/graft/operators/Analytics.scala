@@ -727,6 +727,97 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Discrete percentiles per group (`q_percentile_disc`): the value
+    * AT the quantile position — an actual row value, never an
+    * interpolation — via one rank window + conditional aggregate.
+    * The index rule mirrors DuckDB's quantile_disc exactly:
+    * element at 1-based position ceil(n·p) of the sorted column
+    * (probed empirically — the floor((n−1)p)+1 rule coincides on
+    * most inputs but diverges at p=¾ fractional boundaries). Only p ∈ {¼, ½, ¾} are exposed: those are exact binary
+    * fractions, so the (n−1)·p product is bit-identical across
+    * engines (p=0.9 is NOT exact and the floor can disagree at
+    * integer boundaries). Because the output is a stored value, the
+    * result is bit-stable with no edge rounding at all — the property
+    * interpolated percentiles (q_median) can't give.
+    */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    val ranked = o.select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(col("n").cast("double") * lit(p)).cast("int"),
+      col("o_totalprice")))
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(pick(0.25).as("p25_disc"), pick(0.5).as("p50_disc"),
+        pick(0.75).as("p75_disc"), count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** IQR-fence outlier report per group (`q_outlier_iqr`): Tukey
+    * fences [q1 − 1.5·IQR, q3 + 1.5·IQR] built from DISCRETE
+    * quartiles (stored values — see percentileDisc), so the fence
+    * arithmetic is three IEEE ops on identical inputs and every
+    * outlier classification is bit-deterministic across engines;
+    * interpolated quartiles would make rows near the fence flip on
+    * float noise. The tiny per-group fence frame joins back broadcast;
+    * the fact table is scanned twice but shuffled on the group key
+    * only once per pass (both aggregations are map-side combinable).
+    */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    val ranked = o.select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(col("n").cast("double") * lit(p)).cast("int"),
+      col("o_totalprice")))
+    val fences = ranked.groupBy(col("o_orderpriority"))
+      .agg(pick(0.25).as("q1"), pick(0.75).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    o.join(broadcast(fences), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(when(col("o_totalprice") > col("hi"), col("o_totalprice"))).as("max_outlier"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Chi-squared independence cells (`q_chi2`): observed vs expected
+    * counts for the status × priority contingency table. Counting is
+    * integral (three map-side-combinable aggregations over the same
+    * scan, regrouped on a |S|×|P| frame, so the re-joins are free);
+    * expected = row_total·col_total/N and the contribution
+    * (o−e)²/e are each ONE independent float expression per cell,
+    * rounded at the edge — no cross-cell float summation whose order
+    * could differ between engines, which is why the statistic is
+    * emitted per cell rather than as a single total.
+    */
+  def chi2Cells(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val cell = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cell.groupBy(col("o_orderstatus")).agg(sum(col("observed")).as("row_total"))
+    val colT = cell.groupBy(col("o_orderpriority")).agg(sum(col("observed")).as("col_total"))
+    val n = cell.agg(sum(col("observed")).as("grand_total"))
+    cell.join(rowT, Seq("o_orderstatus"))
+      .join(colT, Seq("o_orderpriority"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        col("row_total").cast("double") * col("col_total").cast("double") /
+          col("grand_total").cast("double"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("observed"),
+        round(col("expected"), 4).as("expected"),
+        round(pow(col("observed").cast("double") - col("expected"), 2) / col("expected"), 6)
+          .as("contribution"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** Gaps-and-islands day streaks (`q_streaks`): consecutive active
     * days collapse to islands via the classic `day − row_number()`
     * anchor (constant within a run of consecutive dates), then one

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -509,5 +509,116 @@ object Relational {
         col("n2").cast("double").as("net"),
         col("n_items"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Discrete quartile cut points of an INTEGRAL column, computed on
+    * its value histogram: counts per distinct value (one combinable
+    * shuffle), a running cumsum over the distinct-value frame, then
+    * cut(p) = min value whose cumulative count reaches position
+    * ceil(n·p) — exactly DuckDB's quantile_disc rule. The
+    * global window orders DISTINCT values, not rows, so its partition
+    * is bounded by the value domain (days, order counts), never the
+    * table.
+    */
+  private def discCuts(df: DataFrame, metric: String): DataFrame = {
+    val hist = df.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def cut(p: Double) = min(when(
+      col("cum") >= ceil(col("n").cast("double") * lit(p)), col("v")))
+    cum.agg(cut(0.25).as(s"${metric}_q25"), cut(0.5).as(s"${metric}_q50"),
+      cut(0.75).as(s"${metric}_q75"))
+  }
+
+  /** RFM segmentation (`q_rfm`): recency / frequency / monetary per
+    * customer, each scored 1–4 against the population's discrete
+    * quartiles. Monetary is summed in integral cents (float sums are
+    * partition-order noise; cents are associative), recency in whole
+    * days — every metric and every cut point is integral, so the
+    * segment assignment is bit-deterministic across engines and
+    * layouts. The three one-row cut frames broadcast into a single
+    * projection; recency scores are inverted (smaller = better = 4).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+    val mx = per.agg(max(col("last_d")).as("corpus_max"))
+    val cust = per.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("corpus_max"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def score(v: Column, q25: Column, q50: Column, q75: Column): Column =
+      lit(1) + when(v > q25, 1).otherwise(0) + when(v > q50, 1).otherwise(0) +
+        when(v > q75, 1).otherwise(0)
+    cust
+      .crossJoin(broadcast(discCuts(cust, "recency_days")))
+      .crossJoin(broadcast(discCuts(cust, "frequency")))
+      .crossJoin(broadcast(discCuts(cust, "monetary_cents")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(5) - score(col("recency_days"), col("recency_days_q25"),
+          col("recency_days_q50"), col("recency_days_q75"))).as("r_score"),
+        score(col("frequency"), col("frequency_q25"),
+          col("frequency_q50"), col("frequency_q75")).as("f_score"),
+        score(col("monetary_cents"), col("monetary_cents_q25"),
+          col("monetary_cents_q50"), col("monetary_cents_q75")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Largest-remainder apportionment (`q_allocation`): split a global
+    * sample budget across sources proportional to document counts —
+    * floor shares first, then the leftover seats go to the largest
+    * integral remainders (ties by source name). The whole computation
+    * is integer arithmetic on the per-source count frame (|sources|
+    * rows after ONE combinable shuffle), so quotas are exactly
+    * reproducible — the property a training-mix spec depends on;
+    * proportional-rounding via floats drifts between engines.
+    */
+  def largestRemainder(spark: SparkSession, dir: String,
+      budget: Long = 1000L): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val n = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = n
+      .withColumn("total", sum(col("n_docs")).over(whole))
+      .withColumn("base", expr(s"(n_docs * ${budget}L) DIV total"))
+      .withColumn("remainder", expr(s"(n_docs * ${budget}L) % total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(whole))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("remainder").desc, col("source"))))
+    base.select(col("source"), col("n_docs"), col("base"), col("remainder"),
+        when(col("pos") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+      .orderBy(col("source"))
+  }
+
+  /** Journey trigram mining (`q_seq_ngrams`): the top consecutive
+    * event-type triples across user sessions — two lead windows over
+    * ONE per-user shuffle, integral counting, and a fully-ordered
+    * top-20 (count desc, then the trigram itself) so the selection is
+    * deterministic. The ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject: each partition keeps 20 rows, no global
+    * sort materializes.
+    */
+  def journeyTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
   }
 }

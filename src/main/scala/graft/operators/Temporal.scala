@@ -354,4 +354,37 @@ object Temporal {
         when(fresh, col("click_ts")).as("click_ts"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
+
+  /** Interval-union coverage per user (`q_interval_union`): total time
+    * covered by the union of [ts, ts+30 min) activity intervals — the
+    * classic sweep: sort intervals by start within the key, carry the
+    * running max end, and each interval contributes only the part past
+    * everything already covered (`end − max(start, prev_max_end)`,
+    * clamped at 0). Overlaps never pair-join — ONE window over ONE
+    * shuffle on the key, linear at any scale, where the naive
+    * formulation is an O(n²) self-join per user. A fresh block starts
+    * whenever start > prev_max_end, so the merged-block count falls
+    * out of the same pass. All arithmetic in integral µs — bit-stable
+    * everywhere.
+    */
+  def intervalUnion(spark: SparkSession, dir: String,
+      lenUs: Long = 1800L * 1000000L): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val iv = e.select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("s"),
+      (unix_micros(col("ts").cast("timestamp")) + lit(lenUs)).as("en"),
+      col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_end", max(col("en")).over(w))
+      .withColumn("covered",
+        greatest(lit(0L), col("en") - greatest(col("s"), coalesce(col("prev_end"), col("s")))))
+      .withColumn("new_block",
+        when(col("prev_end").isNull || col("s") > col("prev_end"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("new_block")).as("n_blocks"),
+        sum(col("covered")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
 }
