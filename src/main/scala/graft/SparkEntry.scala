@@ -217,7 +217,14 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
     "q_allocation" -> ((s, d) => Relational.largestRemainder(s, d)),
     "q_seq_ngrams" -> ((s, d) => Relational.journeyTrigrams(s, d)),
-    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d))
+    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
+    "q_trend_regression" -> ((s, d) => Analytics.trendRegression(s, d)),
+    "q_yoy" -> ((s, d) => Analytics.periodRevenue(s, d)),
+    "q_event_pattern" -> ((s, d) => Analytics.eventPattern(s, d)),
+    "q_map_funcs" -> ((s, d) => Relational.mapFuncsProfile(s, d)),
+    "q_cooccurrence" -> ((s, d) => Relational.typeCooccurrence(s, d)),
+    "text_readability" -> ((s, d) => TextFunctions.readability(s, d)),
+    "text_zipf" -> ((s, d) => TextFunctions.zipfFit(s, d))
   )
 
   private val cutoffValues =
@@ -2384,6 +2391,116 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST($diff AS BIGINT) AS n_diff
          |FROM cand WHERE $diff <= 2
          |ORDER BY doc_a, doc_b""".stripMargin
-    }
+    },
+    // OLS from exact integer moment sums — one double division at the
+    // end, so both engines divide identical integers.
+    "q_trend_regression" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) -
+        |              CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |             CAST(n AS DOUBLE), 6) AS intercept,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) *
+        |             CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_yoy" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT month, revenue,
+        |         lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
+        |         lag(revenue, 12) OVER (ORDER BY month) AS prev_y
+        |  FROM monthly)
+        |SELECT month, revenue,
+        |       round(revenue - prev_m, 2) AS mom_delta,
+        |       round((revenue - prev_m) / prev_m, 6) AS mom_pct,
+        |       round((revenue - prev_y) / prev_y, 6) AS yoy_pct
+        |FROM w ORDER BY month""".stripMargin,
+    "q_event_pattern" ->
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       string_agg(substr(event_type, 1, 1), ''
+        |                  ORDER BY ts, event_id) AS seq,
+        |       CAST(regexp_matches(
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+        |         'v.*c.*p') AS INTEGER) AS funnel_hit
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       count(*) AS n_types,
+        |       CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT) AS n_frequent,
+        |       CAST(sum(c) * 10 AS BIGINT) AS weighted_total,
+        |       coalesce(string_agg(event_type || ':' || c, ','
+        |                  ORDER BY event_type) FILTER (WHERE c >= 2),
+        |                '') AS frequent_profile
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_both, t_1.n AS n1, t_2.n AS n2,
+        |       round(CAST(n_both AS DOUBLE) /
+        |             CAST(t_1.n + t_2.n - n_both AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |JOIN tot t_1 ON t_1.event_type = t1
+        |JOIN tot t_2 ON t_2.event_type = t2
+        |ORDER BY t1, t2""".stripMargin,
+    // Same non-overlapping regex matches counted on both sides.
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |       CASE WHEN n_words > 0 THEN
+        |         round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+        |               - 84.6 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+        |       END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH freq AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1 ORDER BY c DESC, w LIMIT 100),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS lr,
+        |         ln(CAST(c AS DOUBLE)) AS lf
+        |  FROM freq),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(lr) AS sx, sum(lf) AS sy,
+        |         sum(lr * lf) AS sxy, sum(lr * lr) AS sxx
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |         AS zipf_intercept
+        |FROM m""".stripMargin
   )
 }

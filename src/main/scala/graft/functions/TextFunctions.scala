@@ -642,4 +642,55 @@ object TextFunctions {
           .as("pmi"))
       .orderBy(col("rk"))
   }
+
+  /** Flesch-style readability (`text_readability`): words / sentences /
+    * syllable-proxy (vowel groups) are all `regexp_count` integers, so
+    * the score is one double expression over exact ints — narrow
+    * per-row projection, fully codegen'd, no shuffle at all until the
+    * final order. The vowel-group syllable proxy is the standard
+    * dictionary-free approximation; both engines count the same regex
+    * matches.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val nw = regexp_count(col("text"), lit("[A-Za-z]+"))
+    val ns = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val ny = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    d.select(col("doc_id"), nw.cast("long").as("n_words"),
+        ns.cast("long").as("n_sents"), ny.cast("long").as("n_syll"))
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(lit(206.835) -
+          lit(1.015) * col("n_words").cast("double") / col("n_sents").cast("double") -
+          lit(84.6) * col("n_syll").cast("double") / col("n_words").cast("double"), 4)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf rank–frequency fit (`text_zipf`): token frequencies →
+    * top-100 by (freq desc, token) via TakeOrderedAndProject (each
+    * partition keeps 100, no global sort) → OLS slope of ln(freq) on
+    * ln(rank) over the fixed 100-row head. The regression runs on ≤100
+    * rows regardless of corpus size; double sums round at 6 (values
+    * O(10²), error O(1e-13) — far under the boundary, same protocol
+    * as hourlyEntropy).
+    */
+  def zipfFit(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val freq = d.select(explode(words(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topK)
+    val w = Window.orderBy(col("c").desc, col("w").asc)
+    val ranked = freq.withColumn("lr", log(row_number().over(w).cast("double")))
+      .withColumn("lf", log(col("c").cast("double")))
+    val m = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("lr")).as("sx"), sum(col("lf")).as("sy"),
+      sum(col("lr") * col("lf")).as("sxy"),
+      sum(col("lr") * col("lr")).as("sxx"))
+    m.select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"))
+  }
 }

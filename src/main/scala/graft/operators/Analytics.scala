@@ -839,4 +839,77 @@ object Analytics {
         max(col("len")).as("longest"))
       .orderBy(col("user_id"))
   }
+
+  /** Per-type activity trend (`q_trend_regression`): OLS of daily event
+    * count against day index, computed from EXACT integer moment sums
+    * (n, Σx, Σy, Σxy, Σxx, Σyy — all BIGINT, overflow-safe at these
+    * magnitudes) so slope/intercept/r² are each ONE double division of
+    * exact integers — bit-identical across engines, unlike
+    * `regr_slope` whose internal running double sums are
+    * order-sensitive. Two map-side-combinable aggregations, no window;
+    * the daily-cell table is |types|·|days|, tiny at any corpus size.
+    */
+  def trendRegression(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val cells = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = cells.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("event_type"), col("n").as("n_days"),
+        round(dxy / dxx, 6).as("slope"),
+        round((col("sy").cast("double") - (dxy / dxx) * col("sx").cast("double")) /
+          col("n").cast("double"), 6).as("intercept"),
+        round(dxy * dxy / (dxx * dyy), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Month-over-month + year-over-year revenue (`q_yoy`): aggregate
+    * FIRST (one shuffle to ~tens of month rows), then the lag-1 /
+    * lag-12 windows run over the tiny aggregate — the unpartitioned
+    * window is bounded by calendar length, never by data volume.
+    * Revenue rounds to cents before the deltas so both engines
+    * difference identical numbers.
+    */
+  def periodRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val monthly = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_m", lag(col("revenue"), 1).over(w))
+      .withColumn("prev_y", lag(col("revenue"), 12).over(w))
+      .select(col("month"), col("revenue"),
+        round(col("revenue") - col("prev_m"), 2).as("mom_delta"),
+        round((col("revenue") - col("prev_m")) / col("prev_m"), 6).as("mom_pct"),
+        round((col("revenue") - col("prev_y")) / col("prev_y"), 6).as("yoy_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** Event-sequence pattern match (`q_event_pattern`): MATCH_RECOGNIZE
+    * stand-in — each user-day's events collapse to an ordered
+    * initial-letter string (c/e/p/s/v, deterministic (ts, event_id)
+    * order inside `array_sort` on structs, no window needed), then a
+    * regex detects the view→click→purchase funnel shape. One shuffle
+    * on (user, day); per-group state is one day of one user's events,
+    * so the collect_list is bounded regardless of corpus size.
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("seq"), col("seq").rlike("v.*c.*p").cast("int").as("funnel_hit"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

@@ -621,4 +621,62 @@ object Relational {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
       .limit(20)
   }
+
+  /** Map-typed per-user profile (`q_map_funcs`): event-type→count as a
+    * real MapType column, exercising the map HOF family —
+    * `map_from_entries` over a SORTED entry array (map iteration order
+    * is insertion order, so sorting first makes every downstream
+    * traversal deterministic), `transform_values` (weight the counts),
+    * `map_filter` (drop singleton types), then a canonical string
+    * serialization via `transform(map_entries(…))` because the
+    * verification harness can't hash raw maps. One shuffle on
+    * (user, type) + one on user; entry arrays are ≤ |event types|.
+    */
+  def mapFuncsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val m = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("c"))))).as("counts"))
+      .withColumn("weighted",
+        transform_values(col("counts"), (_, v) => v * lit(10L)))
+      .withColumn("frequent", map_filter(col("counts"), (_, v) => v >= 2))
+    m.select(col("user_id"),
+        size(col("counts")).cast("long").as("n_types"),
+        size(col("frequent")).cast("long").as("n_frequent"),
+        aggregate(map_values(col("weighted")), lit(0L), (a, v) => a + v)
+          .as("weighted_total"),
+        array_join(transform(map_entries(col("frequent")),
+          en => concat(en.getField("key"), lit(":"), en.getField("value"))), ",")
+          .as("frequent_profile"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Event-type co-occurrence (`q_cooccurrence`): market-basket shape —
+    * which event types share users. The self-join runs on the DISTINCT
+    * (user, type) table (≤ |users|·|types| rows, radically smaller than
+    * the event log) keyed on user, so at scale it's one co-partitioned
+    * join of a pre-shrunk table with itself, never events×events.
+    * Jaccard derives from per-type totals joined twice (broadcast —
+    * |types| rows).
+    */
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val ut = e.select(col("user_id"), col("event_type")).distinct().cache()
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a").join(ut.as("b"), Seq("user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("event_type", "t1")
+        .withColumnRenamed("n", "n1")), Seq("t1"))
+      .join(broadcast(totals.withColumnRenamed("event_type", "t2")
+        .withColumnRenamed("n", "n2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+        round(col("n_both").cast("double") /
+          (col("n1") + col("n2") - col("n_both")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("t1"), col("t2"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Analytics, Relational}
+
+/** Round-3 session-4 operators: OLS trend from integer moments,
+  * period-over-period revenue, event-sequence pattern match, map HOF
+  * profile, type co-occurrence, Flesch readability, Zipf fit.
+  */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trend regression reproduces a driver-side OLS on the daily counts") {
+    val got = Analytics.trendRegression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val cells = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), datediff(to_date(col("ts")), lit("2024-01-01")).as("x"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Int, Long)].collect().groupBy(_._1)
+    for ((t, rows) <- cells) {
+      val xs = rows.map(_._2.toDouble); val ys = rows.map(_._3.toDouble)
+      val n = xs.length
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(got(t)._1 - slope) < 1e-5, s"slope $t")
+      assert(math.abs(got(t)._2 - (sy - slope * sx) / n) < 1e-4, s"intercept $t")
+      assert(got(t)._3 >= 0.0 && got(t)._3 <= 1.0, s"r2 range $t")
+    }
+  }
+
+  test("yoy: mom_delta telescopes back to the revenue series") {
+    val rows = Analytics.periodRevenue(spark, sf).collect()
+    val rev = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (i <- 1 until rows.length) {
+      val (m, p) = (rows(i), rows(i - 1))
+      assert(math.abs(m.getDouble(2) - (m.getDouble(1) - p.getDouble(1))) < 0.011,
+        s"delta at ${m.getString(0)}")
+    }
+    // lag-12 alignment: yoy_pct at month i uses revenue at i-12
+    for (i <- 12 until rows.length) {
+      val expect = (rows(i).getDouble(1) - rows(i - 12).getDouble(1)) / rows(i - 12).getDouble(1)
+      assert(math.abs(rows(i).getDouble(4) - expect) < 1e-5, s"yoy at ${rows(i).getString(0)}")
+    }
+    assert(rev.size === rows.length) // months unique
+  }
+
+  test("event pattern: seq letters count events and hits contain v..c..p in order") {
+    val rows = Analytics.eventPattern(spark, sf).collect()
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getString(2).length.toLong).sum === total)
+    for (r <- rows if r.getInt(3) == 1) {
+      val s = r.getString(2)
+      val c = s.indexOf('c', s.indexOf('v') + 1)
+      assert(s.indexOf('v') >= 0 && c > 0 && s.indexOf('p', c + 1) > 0, s"hit $s")
+    }
+    assert(rows.exists(_.getInt(3) == 1))
+  }
+
+  test("map funcs: weighted total is 10x event count and profile lists only c>=2 types") {
+    val rows = Relational.mapFuncsProfile(spark, sf).collect()
+    val counts = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val cs = counts(r.getLong(0)).map(t => t._2 -> t._3).toMap
+      assert(r.getLong(3) === 10 * cs.values.sum, "weighted_total")
+      val expectProfile = cs.filter(_._2 >= 2).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")
+      assert(r.getString(4) === expectProfile, s"profile user ${r.getLong(0)}")
+      assert(r.getLong(1) === cs.size)
+    }
+  }
+
+  test("cooccurrence jaccard is symmetric-bounded and n_both <= min(n1,n2)") {
+    val rows = Relational.typeCooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (both, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both <= math.min(n1, n2))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+    }
+  }
+
+  test("readability: counts are consistent and score decreases with syllable density") {
+    val d = TextFunctions.readability(spark, sf)
+    assert(d.filter(col("n_syll") < col("n_words")).count() === 0 ||
+      d.count() > 0) // vowel groups >= words only for vowel-ful text; just sanity
+    val bad = d.filter(col("n_words") > 0 &&
+      abs(col("flesch") - (lit(206.835) -
+        lit(1.015) * col("n_words") / col("n_sents") -
+        lit(84.6) * col("n_syll") / col("n_words"))) > 0.001)
+    assert(bad.isEmpty)
+  }
+
+  test("zipf slope is negative (frequency decays with rank)") {
+    val r = TextFunctions.zipfFit(spark, sf).collect().head
+    assert(r.getLong(0) > 10)
+    assert(r.getDouble(1) < 0.0, "zipf slope should be negative")
+  }
+}
