@@ -224,7 +224,12 @@ object SparkEntry {
     "q_map_funcs" -> ((s, d) => Relational.mapFuncsProfile(s, d)),
     "q_cooccurrence" -> ((s, d) => Relational.typeCooccurrence(s, d)),
     "text_readability" -> ((s, d) => TextFunctions.readability(s, d)),
-    "text_zipf" -> ((s, d) => TextFunctions.zipfFit(s, d))
+    "text_zipf" -> ((s, d) => TextFunctions.zipfFit(s, d)),
+    "src_table_checksum" -> ((s, d) => graft.sources.SchemaAlign.tableChecksums(s, d)),
+    "q_weighted_median" -> ((s, d) => Analytics.weightedMedian(s, d)),
+    "q_percentile_cont" -> ((s, d) => Analytics.percentileCont(s, d)),
+    "q_histogram_equi" -> ((s, d) => Analytics.equiDepthHistogram(s, d)),
+    "text_boilerplate" -> ((s, d) => TextFunctions.boilerplate(s, d))
   )
 
   private val cutoffValues =
@@ -2501,6 +2506,68 @@ object SparkEntry {
         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
         |         AS zipf_intercept
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // Order-independent signatures: xor + modular sum of the same
+    // md5-derived 60-bit row hash on both engines.
+    "src_table_checksum" ->
+      """WITH o AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+        |             o_orderkey, o_custkey, o_orderstatus, o_orderpriority)),
+        |             1, 15)) AS BIGINT) AS h FROM orders),
+        |c AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+        |             c_custkey, c_name, c_nationkey)), 1, 15)) AS BIGINT) AS h
+        |      FROM customer),
+        |p AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+        |             p_partkey, p_name)), 1, 15)) AS BIGINT) AS h FROM part)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |         bit_xor(h) AS xor_sig,
+        |         CAST(sum(h % 1000000007) AS BIGINT) AS sum_sig FROM o
+        |  UNION ALL
+        |  SELECT 'customer', count(*), bit_xor(h),
+        |         CAST(sum(h % 1000000007) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'part', count(*), bit_xor(h),
+        |         CAST(sum(h % 1000000007) AS BIGINT) FROM p)
+        |ORDER BY table_name""".stripMargin,
+    "q_weighted_median" ->
+      """WITH cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS total_w
+        |  FROM lineitem)
+        |SELECT l_returnflag, total_w, min(l_extendedprice) AS weighted_median
+        |FROM cum WHERE cw * 2 >= total_w
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
+    "q_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_histogram_equi" ->
+      """WITH hist AS (SELECT o_totalprice AS v, count(*) AS c
+        |              FROM orders GROUP BY 1),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+        |               sum(c) OVER () AS n_total
+        |        FROM hist)
+        |SELECT CAST(ceil(cum * 10 / n_total) AS BIGINT) AS bucket,
+        |       CAST(sum(c) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi
+        |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 6
+         |              THEN list_transform(range(len(w) - 5),
+         |                     i -> array_to_string(w[i+1:i+6], ' '))
+         |              ELSE CAST([] AS VARCHAR[]) END AS wl
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, unnest(wl) AS gram FROM win)
+         |SELECT gram, count(*) AS n_docs
+         |FROM g GROUP BY 1 HAVING count(*) >= 3
+         |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
   )
 }

@@ -665,6 +665,28 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate phrase mining (`text_boilerplate`): the repeated-
+    * fragment REPORT a web-corpus pipeline reviews before cutting —
+    * where dedup_span emits hashes for ≥2-doc spans, this surfaces the
+    * actual top phrases (token 6-grams) shared by ≥ minDocs DISTINCT
+    * documents. explode → per-doc distinct → count, two map-side-
+    * combinable shuffles on the gram; the report head is a bounded
+    * TakeOrderedAndProject (n_docs desc, gram asc), never a global
+    * sort. At corpus scale the distinct runs on (gram, doc_id) pairs —
+    * no collect anywhere.
+    */
+  def boilerplate(spark: SparkSession, dir: String, n: Int = 6,
+      minDocs: Int = 3, topK: Int = 20): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(col("doc_id"), tokenWindows(words(lower(col("text"))), n).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   /** Zipf rank–frequency fit (`text_zipf`): token frequencies →
     * top-100 by (freq desc, token) via TakeOrderedAndProject (each
     * partition keeps 100, no global sort) → OLS slope of ln(freq) on

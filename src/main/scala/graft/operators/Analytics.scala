@@ -840,6 +840,76 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Weighted median (`q_weighted_median`): per return flag, the
+    * l_extendedprice at which cumulative l_quantity weight first
+    * reaches half the group total. Integer weight cumsum over a
+    * (price, orderkey, linenumber)-ordered window — the PICKED VALUE
+    * is deterministic even where tie order isn't, because ties share
+    * the value — and the reported median is a pass-through parquet
+    * double (no arithmetic, no rounding). One shuffle on the group
+    * key; the threshold row comes from a half-total integer compare.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val cum = li.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("cw", sum(col("qty")).over(w))
+    val tot = cum.groupBy(col("l_returnflag"))
+      .agg(sum(col("qty")).as("total_w"))
+    cum.join(broadcast(tot), Seq("l_returnflag"))
+      .filter(col("cw") * 2 >= col("total_w"))
+      .groupBy(col("l_returnflag"), col("total_w"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"))
+      .select(col("l_returnflag"), col("total_w"), col("weighted_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Interpolated percentiles (`q_percentile_cont`): Spark's exact
+    * `percentile` (the (n−1)·p linear-interpolation rule DuckDB's
+    * quantile_cont shares) per priority, rounded at 4 to absorb the
+    * one interpolation multiply. Complements q_percentile_disc
+    * (discrete) and q_approx_quantile (sketch).
+    */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val ps = o.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+    ps.select(col("o_orderpriority"),
+        round(element_at(col("q"), 1), 4).as("p25"),
+        round(element_at(col("q"), 2), 4).as("p50"),
+        round(element_at(col("q"), 3), 4).as("p75"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Equi-depth histogram (`q_histogram_equi`): ANALYZE-style decile
+    * statistics WITHOUT ntile's single-partition global sort — the
+    * table first collapses to a (value, count) histogram (one shuffle,
+    * map-side combinable), the cumulative-count window then runs over
+    * DISTINCT VALUES only (the q_rfm pattern: bounded by the value
+    * domain, never the table), and each value's bucket is the integer
+    * ceil(cum·B/n) — so bucket membership is a pure function of the
+    * value, bit-reproducible under ties, and the bounds are
+    * pass-through doubles.
+    */
+  def equiDepthHistogram(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val hist = o.groupBy(col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+    val tot = hist.agg(sum(col("c")).as("n_total"))
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        ceil(col("cum") * lit(buckets.toLong) / col("n_total")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-type activity trend (`q_trend_regression`): OLS of daily event
     * count against day index, computed from EXACT integer moment sums
     * (n, Σx, Σy, Σxy, Σxx, Σyy — all BIGINT, overflow-safe at these

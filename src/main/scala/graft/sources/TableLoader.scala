@@ -165,4 +165,29 @@ object SchemaAlign {
     rows.toDF("table_name", "num_rows", "n_columns")
       .orderBy(col("table_name"))
   }
+
+  /** Content checksum per table (`src_table_checksum`): an
+    * order-independent row-level signature — bit_xor + modular sum of a
+    * 60-bit md5-derived row hash over the stable (integer/string)
+    * columns — so two engines, two partition layouts, or a before/after
+    * reload can be compared with ONE aggregate row per table and no
+    * sort. xor catches any single-row difference; the modular sum
+    * catches xor-cancelling pair swaps. This is the migration-audit
+    * primitive the reference's row-count checks approximate.
+    */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def sig(t: String, keyCols: Seq[String]): DataFrame = {
+      val df = Tables.load(spark, dir, t)
+      val h = conv(substring(md5(concat_ws("|",
+        keyCols.map(col): _*).cast("binary")), 1, 15), 16, 10).cast("long")
+      df.agg(count(lit(1)).as("n_rows"),
+          bit_xor(h).as("xor_sig"),
+          sum(h % lit(1000000007L)).as("sum_sig"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("xor_sig"), col("sum_sig"))
+    }
+    sig("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .unionByName(sig("customer", Seq("c_custkey", "c_name", "c_nationkey")))
+      .unionByName(sig("part", Seq("p_partkey", "p_name")))
+      .orderBy(col("table_name"))
+  }
 }

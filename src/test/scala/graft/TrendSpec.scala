@@ -103,4 +103,63 @@ class TrendSpec extends SparkSpec {
     assert(r.getLong(0) > 10)
     assert(r.getDouble(1) < 0.0, "zipf slope should be negative")
   }
+
+  test("table checksum is invariant under repartitioning") {
+    val a = graft.sources.SchemaAlign.tableChecksums(spark, sf).collect()
+    val o = graft.sources.Tables.load(spark, sf, "orders").repartition(7)
+    val h = conv(substring(md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_orderpriority")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val r = o.agg(bit_xor(h), sum(h % lit(1000000007L))).collect().head
+    val ordersRow = a.find(_.getString(0) == "orders").get
+    assert(ordersRow.getLong(2) === r.getLong(0))
+    assert(ordersRow.getLong(3) === r.getLong(1))
+  }
+
+  test("weighted median splits the weight mass in half") {
+    val rows = Analytics.weightedMedian(spark, sf).collect()
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .as[(String, Double, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val g = li(r.getString(0))
+      val m = r.getDouble(2)
+      val below = g.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = g.filter(_._2 <= m).map(_._3).sum
+      val total = g.map(_._3).sum
+      assert(r.getLong(1) === total)
+      assert(below * 2 < total && atOrBelow * 2 >= total, s"median ${r.getString(0)}")
+    }
+  }
+
+  test("percentile_cont brackets the discrete percentiles and is monotone") {
+    val rows = Analytics.percentileCont(spark, sf).collect()
+    for (r <- rows)
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+  }
+
+  test("equi-depth histogram buckets partition the rows with contiguous bounds") {
+    val rows = Analytics.equiDepthHistogram(spark, sf).collect()
+    val total = graft.sources.Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val sorted = rows.sortBy(_.getLong(0))
+    for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+      assert(a.getDouble(3) <= b.getDouble(2), "bounds must not interleave")
+    // depth balance: no bucket more than 2x the ideal share
+    for (r <- sorted) assert(r.getLong(1) <= 2 * total / 10 + 1)
+  }
+
+  test("boilerplate grams appear in at least minDocs distinct documents") {
+    val rows = TextFunctions.boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(lower(col("text"))).as[String].collect()
+    for (r <- rows.take(5)) {
+      val gram = r.getString(0)
+      val n = docs.count(_.contains(gram))
+      assert(n >= r.getLong(1), s"'$gram' containment check")
+      assert(r.getLong(1) >= 3)
+    }
+  }
 }
