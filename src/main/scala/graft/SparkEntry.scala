@@ -229,7 +229,10 @@ object SparkEntry {
     "q_weighted_median" -> ((s, d) => Analytics.weightedMedian(s, d)),
     "q_percentile_cont" -> ((s, d) => Analytics.percentileCont(s, d)),
     "q_histogram_equi" -> ((s, d) => Analytics.equiDepthHistogram(s, d)),
-    "text_boilerplate" -> ((s, d) => TextFunctions.boilerplate(s, d))
+    "text_boilerplate" -> ((s, d) => TextFunctions.boilerplate(s, d)),
+    "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
+    "q_capped_balance" -> ((s, d) => Relational.cappedBalance(s, d)),
+    "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d))
   )
 
   private val cutoffValues =
@@ -2568,6 +2571,71 @@ object SparkEntry {
          |g AS (SELECT DISTINCT doc_id, unnest(wl) AS gram FROM win)
          |SELECT gram, count(*) AS n_docs
          |FROM g GROUP BY 1 HAVING count(*) >= 3
-         |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
+         |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+    // last_view = max over preceding rows (equivalent to last non-null:
+    // view timestamps are monotone within the ordered frame).
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_type, event_id, t,
+        |         max(CASE WHEN event_type = 'view' THEN t END) OVER (
+        |           PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
+        |         min(CASE WHEN event_type = 'view' THEN t END) OVER (
+        |           PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_view
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, t AS purchase_us,
+        |       CASE WHEN last_view >= t - 259200000000 THEN last_view END
+        |         AS last_touch_us,
+        |       first_view AS first_touch_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // The non-associative max(0, bal+Δ) fold replayed with list_reduce;
+    // floor (not round) keeps the cents conversion engine-independent.
+    "q_capped_balance" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) *
+        |           (CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END) AS delta
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                     list(delta ORDER BY ts, event_id)),
+        |                   (a, b) -> greatest(CAST(0 AS BIGINT), a + b))
+        |         AS final_balance
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sim_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(${textWords()}) AS toks
+         |              FROM documents),
+         |q AS (SELECT doc_id AS q_id, toks AS q_toks FROM toks WHERE doc_id < 8),
+         |tr AS (SELECT q.q_id, t.doc_id AS id,
+         |              row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |                CAST(len(list_intersect(t.toks, q.q_toks)) AS DOUBLE) /
+         |                CAST(len(t.toks) + len(q.q_toks) -
+         |                     len(list_intersect(t.toks, q.q_toks)) AS DOUBLE) DESC,
+         |                t.doc_id) AS r_text
+         |       FROM toks t CROSS JOIN q WHERE t.doc_id <> q.q_id),
+         |qe AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 8),
+         |vr AS (SELECT qe.q_id, e.vec_id AS id,
+         |              row_number() OVER (PARTITION BY qe.q_id ORDER BY
+         |                list_cosine_similarity(CAST(qe.q_emb AS DOUBLE[]),
+         |                                       CAST(e.embedding AS DOUBLE[])) DESC,
+         |                e.vec_id) AS r_vec
+         |       FROM embeddings e CROSS JOIN qe WHERE e.vec_id <> qe.q_id),
+         |f AS (SELECT tr.q_id, tr.id, tr.r_text, vr.r_vec,
+         |             CAST(1 AS DOUBLE) / (60 + tr.r_text) +
+         |             CAST(1 AS DOUBLE) / (60 + vr.r_vec) AS rrf
+         |      FROM tr JOIN vr ON tr.q_id = vr.q_id AND tr.id = vr.id),
+         |r AS (SELECT q_id, id, r_text, r_vec, rrf,
+         |             row_number() OVER (PARTITION BY q_id
+         |                                ORDER BY rrf DESC, id) AS rk
+         |      FROM f)
+         |SELECT q_id, rk, id, r_text, r_vec, round(rrf, 6) AS rrf
+         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
   )
 }

@@ -653,6 +653,39 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Floor-capped running balance (`q_capped_balance`): the
+    * inventory/credit-ledger fold `bal ← max(0, bal + Δ)` that no
+    * window function expresses (the cap makes it non-associative and
+    * non-linear), implemented with the TYPED Dataset escape hatch —
+    * `groupByKey(user).mapGroups` folding the user's events in
+    * (ts, event_id) order. Per-group state is one user's event list
+    * (bounded at any corpus size); the shuffle is the same single
+    * key-exchange a window would pay. Deltas are integral cents via
+    * floor (floor of an IEEE product is engine-independent where
+    * half-up rounding is not); purchases debit, everything else
+    * credits.
+    */
+  def cappedBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_id"),
+        (floor(col("value") * 100).cast("long") *
+          when(col("event_type") === "purchase", lit(-1L)).otherwise(lit(1L)))
+          .as("delta"))
+      .as[(Long, Long, Long, Long)]
+    e.groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var bal = 0L
+        rows.foreach { r => bal = math.max(0L, bal + r._4) }
+        (user, rows.length.toLong, bal)
+      }
+      .toDF("user_id", "n_events", "final_balance")
+      .orderBy(col("user_id"))
+  }
+
   /** Event-type co-occurrence (`q_cooccurrence`): market-basket shape —
     * which event types share users. The self-join runs on the DISTINCT
     * (user, type) table (≤ |users|·|types| rows, radically smaller than

@@ -408,4 +408,54 @@ object Similarity {
         round(avg(col("cos")), 6).as("mean_cos_to_centroid"))
       .orderBy(col("label"))
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (`sim_rrf_fusion`):
+    * the modern search-stack shape — a LEXICAL ranking (token-set
+    * Jaccard of the query document against the corpus; doc_id and
+    * vec_id share an id space) fused with a SEMANTIC ranking
+    * (embedding cosine) by RRF: score = 1/(K+r_text) + 1/(K+r_vec).
+    * Both rankings are full row_number orders with integral tie-breaks
+    * (score desc, id asc), so the fused ranks — and therefore the
+    * fused ORDER — are reproducible; the RRF sum is two exact
+    * reciprocals of small ints. Each ranking is the same
+    * broadcast-query single-scan shape as bruteforceTopK; the fusion
+    * join is co-keyed on (q_id, id) — one shuffle each side. At scale
+    * the two rankers prune to their own candidate sets (inverted
+    * index / IVF) before fusion, unchanged fusion logic.
+    */
+  def rrfFusion(spark: SparkSession, dir: String,
+      rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(words(lower(col("text")))).as("toks"))
+    val qd = docs.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))
+    val wt = Window.partitionBy(col("q_id"))
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val textRank = docs.join(broadcast(qd), col("doc_id") =!= col("q_id"))
+      .withColumn("inter", size(array_intersect(col("toks"), col("q_toks"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("toks")) + size(col("q_toks")) - col("inter")).cast("double"))
+      .select(col("q_id"), col("doc_id").as("id"),
+        row_number().over(wt).cast("long").as("r_text"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qe = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val vecRank = emb.join(broadcast(qe), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .select(col("q_id"), col("vec_id").as("id"),
+        row_number().over(wv).cast("long").as("r_vec"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    textRank.join(vecRank, Seq("q_id", "id"))
+      .withColumn("rrf", lit(1.0) / (lit(rrfK) + col("r_text")) +
+        lit(1.0) / (lit(rrfK) + col("r_vec")))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("id"), col("r_text"), col("r_vec"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 }

@@ -387,4 +387,35 @@ object Temporal {
         sum(col("covered")).as("covered_us"))
       .orderBy(col("user_id"))
   }
+
+  /** Marketing attribution (`q_attribution`): each purchase carries its
+    * LAST-touch view (most recent prior view within the lookback) and
+    * FIRST-touch view (earliest view ever before it) — both from ONE
+    * window pass over the view∪purchase stream per user: running
+    * `last(ignoreNulls)` / `min` of view timestamps over rows
+    * preceding. No self-join, no per-pair scan; integral µs
+    * arithmetic; the lookback void is a plain comparison after the
+    * window. This is the forward-looking twin of the as-of family
+    * re-expressed as attribution.
+    */
+  def attribution(spark: SparkSession, dir: String,
+      lookbackUs: Long = 3L * 86400L * 1000000L): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viewT = when(col("event_type") === "view", col("t"))
+    e.withColumn("last_view", last(viewT, ignoreNulls = true).over(w))
+      .withColumn("first_view", min(viewT).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("t").as("purchase_us"),
+        when(col("last_view") >= col("t") - lit(lookbackUs), col("last_view"))
+          .as("last_touch_us"),
+        col("first_view").as("first_touch_us"))
+      .orderBy(col("purchase_id"))
+  }
 }

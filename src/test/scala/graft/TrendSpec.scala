@@ -150,6 +150,57 @@ class TrendSpec extends SparkSpec {
     for (r <- sorted) assert(r.getLong(1) <= 2 * total / 10 + 1)
   }
 
+  test("attribution: last touch is the latest in-window view before the purchase") {
+    val rows = graft.operators.Temporal.attribution(spark, sf).collect()
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, String, Long, Long)].collect().groupBy(_._1)
+    val look = 3L * 86400L * 1000000L
+    for (r <- rows.take(200)) {
+      val prior = ev(r.getLong(0)).filter(e => e._2 == "view" &&
+        (e._4 < r.getLong(2) || (e._4 == r.getLong(2) && e._3 < r.getLong(1))))
+      val expectLast = prior.map(_._4).sorted.lastOption
+        .filter(_ >= r.getLong(2) - look)
+      val gotLast = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(gotLast === expectLast, s"purchase ${r.getLong(1)}")
+      val expectFirst = prior.map(_._4).sorted.headOption
+      val gotFirst = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(gotFirst === expectFirst)
+    }
+  }
+
+  test("capped balance never goes negative and ignores the cap when all deltas are credits") {
+    val rows = Relational.cappedBalance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(r.getLong(2) >= 0L)
+    // users with no purchase: balance equals the plain sum of credits
+    val credits = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(floor(col("value") * 100).cast("long")).as("tot"))
+      .filter(col("np") === 0)
+      .as[(Long, Long, Long)].collect()
+    val byUser = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((u, _, tot) <- credits) assert(byUser(u) === tot, s"user $u")
+  }
+
+  test("rrf fusion ranks by the reciprocal-rank sum of both rankers") {
+    val rows = graft.operators.Similarity.rrfFusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val expect = 1.0 / (60 + r.getLong(3)) + 1.0 / (60 + r.getLong(4))
+      assert(math.abs(r.getDouble(5) - expect) < 1e-6)
+    }
+    // per query the rrf column is non-increasing in rank
+    for ((_, g) <- rows.groupBy(_.getLong(0))) {
+      val sorted = g.sortBy(_.getLong(1))
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(a.getDouble(5) >= b.getDouble(5))
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
