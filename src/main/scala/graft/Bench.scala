@@ -17,7 +17,10 @@ object Bench {
     "q_retention_cohort",
     // round-3 session-2 additions
     "q_ohlc", "q_decimal_agg", "dedup_semantic", "text_pmi",
-    "mm_shard_pack", "q_concurrency")
+    "mm_shard_pack", "q_concurrency",
+    // round-3 session-4 additions
+    "q_trend_regression", "q_histogram_equi", "q_capped_balance",
+    "q_attribution", "sim_rrf_fusion", "text_boilerplate")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);

@@ -232,7 +232,11 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextFunctions.boilerplate(s, d)),
     "q_attribution" -> ((s, d) => Temporal.attribution(s, d)),
     "q_capped_balance" -> ((s, d) => Relational.cappedBalance(s, d)),
-    "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d))
+    "sim_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    "q_pagerank" -> ((s, d) => Analytics.pageRank(s, d)),
+    "q_ab_test" -> ((s, d) => Analytics.abTest(s, d)),
+    "q_decile_lift" -> ((s, d) => Analytics.decileLift(s, d)),
+    "text_ngram_novelty" -> ((s, d) => TextFunctions.ngramNovelty(s, d))
   )
 
   private val cutoffValues =
@@ -2636,6 +2640,115 @@ object SparkEntry {
          |                                ORDER BY rrf DESC, id) AS rk
          |      FROM f)
          |SELECT q_id, rk, id, r_text, r_vec, round(rrf, 6) AS rrf
-         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // Three unrolled damped iterations; 0.15/0.85 written as exact
+    // decimal literals on both engines (never computed as 1-d).
+    "q_pagerank" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |edges AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |outd AS (SELECT from_type, sum(n) AS n_out FROM edges GROUP BY 1),
+        |p AS (SELECT e.from_type, e.to_type,
+        |             CAST(e.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS w
+        |      FROM edges e JOIN outd o USING (from_type)),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / x.nn AS pr
+        |       FROM nodes CROSS JOIN nn x),
+        |r1 AS (SELECT n.node,
+        |              CAST(0.15 AS DOUBLE) / x.nn +
+        |              CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0) AS pr
+        |       FROM nodes n CROSS JOIN nn x
+        |       LEFT JOIN (SELECT p.to_type AS node, sum(p.w * r.pr) AS inflow
+        |                  FROM p JOIN r0 r ON p.from_type = r.node
+        |                  GROUP BY 1) s ON s.node = n.node),
+        |r2 AS (SELECT n.node,
+        |              CAST(0.15 AS DOUBLE) / x.nn +
+        |              CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0) AS pr
+        |       FROM nodes n CROSS JOIN nn x
+        |       LEFT JOIN (SELECT p.to_type AS node, sum(p.w * r.pr) AS inflow
+        |                  FROM p JOIN r1 r ON p.from_type = r.node
+        |                  GROUP BY 1) s ON s.node = n.node),
+        |r3 AS (SELECT n.node,
+        |              CAST(0.15 AS DOUBLE) / x.nn +
+        |              CAST(0.85 AS DOUBLE) * coalesce(s.inflow, 0) AS pr
+        |       FROM nodes n CROSS JOIN nn x
+        |       LEFT JOIN (SELECT p.to_type AS node, sum(p.w * r.pr) AS inflow
+        |                  FROM p JOIN r2 r ON p.from_type = r.node
+        |                  GROUP BY 1) s ON s.node = n.node)
+        |SELECT node, round(pr, 6) AS pagerank FROM r3 ORDER BY node""".stripMargin,
+    "q_ab_test" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type,
+        |                   (user_id % 2 = 0) AS in_a FROM events),
+        |coh AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |        FROM (SELECT DISTINCT user_id, (user_id % 2 = 0) AS in_a
+        |              FROM events)),
+        |reach AS (SELECT event_type,
+        |                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        |                 CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS xb
+        |          FROM ut GROUP BY 1)
+        |SELECT event_type, xa, na, xb, nb,
+        |       round(CAST(xa AS DOUBLE) / na, 6) AS pa,
+        |       round(CAST(xb AS DOUBLE) / nb, 6) AS pb,
+        |       CASE WHEN xa + xb > 0 AND xa + xb < na + nb THEN
+        |         round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) /
+        |               sqrt((CAST(xa + xb AS DOUBLE) / (na + nb)) *
+        |                    (CAST(1 AS DOUBLE) -
+        |                     CAST(xa + xb AS DOUBLE) / (na + nb)) *
+        |                    (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)
+        |       END AS z
+        |FROM reach CROSS JOIN coh ORDER BY event_type""".stripMargin,
+    "q_decile_lift" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                       THEN CAST(floor(value * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS spend_c,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_buys
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT spend_c, count(*) AS c FROM users GROUP BY 1),
+        |cut AS (SELECT spend_c,
+        |               CAST(ceil(sum(c) OVER (ORDER BY spend_c DESC) * 10 /
+        |                    (SELECT CAST(sum(c) AS BIGINT) FROM hist))
+        |                    AS BIGINT) AS decile
+        |        FROM hist),
+        |g AS (SELECT decile, count(*) AS n_users,
+        |             CAST(sum(u.spend_c) AS BIGINT) AS spend_c,
+        |             CAST(sum(n_buys) AS BIGINT) AS n_buys
+        |      FROM users u JOIN cut USING (spend_c) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+        |             CAST(sum(spend_c) AS BIGINT) AS ts,
+        |             CAST(sum(n_buys) AS BIGINT) AS tb FROM g)
+        |SELECT decile, n_users, spend_c, n_buys,
+        |       round(CAST(spend_c AS DOUBLE) / ts, 6) AS spend_share,
+        |       round(CAST(n_buys AS DOUBLE) / tb, 6) AS buy_share,
+        |       round((CAST(n_buys AS DOUBLE) / tb) /
+        |             (CAST(n_users AS DOUBLE) / tu), 6) AS lift
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(w) >= 6
+         |              THEN list_transform(range(len(w) - 5),
+         |                     i -> array_to_string(w[i+1:i+6], ' '))
+         |              ELSE CAST([] AS VARCHAR[]) END AS wl
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, ${duckMd5Bits("gram", 1, 15)} AS h
+         |      FROM (SELECT doc_id, unnest(wl) AS gram FROM win)),
+         |fo AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN fo.first_doc = g.doc_id
+         |                          THEN 1 ELSE 0 END) AS DOUBLE) /
+         |             count(*), 6) AS novelty
+         |FROM g JOIN fo USING (h) GROUP BY 1 ORDER BY g.doc_id""".stripMargin
   )
 }

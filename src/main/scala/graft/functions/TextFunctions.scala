@@ -677,14 +677,56 @@ object TextFunctions {
     */
   def boilerplate(spark: SparkSession, dir: String, n: Int = 6,
       minDocs: Int = 3, topK: Int = 20): DataFrame = {
+    import graft.operators.Dedup.md5Bits
     val d = Tables.load(spark, dir, "documents")
-    d.select(col("doc_id"), tokenWindows(words(lower(col("text"))), n).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    // Count pass shuffles ONLY the 60-bit gram id (the ngram_jaccard
+    // trick: never move 6-token strings through a distinct) — the md5
+    // sits in its own post-explode projection so it stays codegen'd,
+    // and toks materializes in its OWN projection first: inlined under
+    // the Generate, the transform lambda would re-run the regex
+    // tokenizer once per window (interpreted, no CSE) — measured 4×
+    // on this one operator.
+    val grams = d
+      .select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(tokenWindows(col("toks"), n)).as("gram"))
+      .select(col("doc_id"), col("gram"), md5Bits(col("gram"), 1, 15).as("h"))
+    val cand = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    // Resolve the few surviving ids back to their text: broadcast the
+    // candidate set, prune the regenerated grams BEFORE any shuffle.
+    grams.join(broadcast(cand), Seq("h"))
+      .select(col("gram"), col("n_docs")).distinct()
       .orderBy(col("n_docs").desc, col("gram").asc)
       .limit(topK)
+  }
+
+  /** N-gram novelty curve (`text_ngram_novelty`): per document, the
+    * fraction of its DISTINCT token 6-grams not seen in any
+    * earlier-id document — the marginal-contribution signal dataset
+    * curation orders ingestion by. First owner per gram = min(doc_id)
+    * over the 60-bit gram id (one combinable aggregation; strings
+    * never shuffle), joined back co-keyed on the id. All-integral
+    * counts; the ratio rounds at the edge.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 6): DataFrame = {
+    import graft.operators.Dedup.md5Bits
+    val d = Tables.load(spark, dir, "documents")
+    val grams = d
+      .select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(tokenWindows(col("toks"), n)).as("gram"))
+      .select(col("doc_id"), md5Bits(col("gram"), 1, 15).as("h"))
+      .distinct()
+    val firstOwner = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOwner, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
   }
 
   /** Zipf rank–frequency fit (`text_zipf`): token frequencies →

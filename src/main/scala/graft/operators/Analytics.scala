@@ -708,6 +708,127 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** PageRank over the event-type transition graph (`q_pagerank`):
+    * the canonical iterative join–aggregate — each of the 3 unrolled
+    * iterations is ONE co-partitioned join of the edge table with the
+    * current rank vector plus ONE groupBy(to) sum, exactly the shape
+    * an entity-graph ranking runs at scale (edges partitioned by src,
+    * ranks re-keyed per iteration; no driver-side loop state beyond
+    * the loop counter — every iteration stays a DataFrame). Simplified
+    * damping form without dangling-mass redistribution; the oracle
+    * unrolls the same three iterations as chained CTEs. Literals are
+    * written as the exact decimals 0.85 / 0.15 on BOTH engines (1−d
+    * computed in floating point would differ in the last ulp).
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outd = edges.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+    val p = edges.join(outd, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("n_out").cast("double")).as("w"))
+      .cache()
+    val nodes = e.select(col("event_type").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("nn")).as("pr"), col("nn"))
+    for (_ <- 1 to iters) {
+      val inflow = p
+        .join(ranks.select(col("node").as("from_type"), col("pr")), Seq("from_type"))
+        .groupBy(col("to_type").as("node"))
+        .agg(sum(col("w") * col("pr")).as("inflow"))
+      ranks = ranks.select(col("node"), col("nn"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / col("nn") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"),
+          col("nn"))
+    }
+    ranks.select(col("node"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("node"))
+  }
+
+  /** Two-proportion z-test (`q_ab_test`): reach of each event type in
+    * cohort A (even user_id) vs cohort B (odd) with the pooled-variance
+    * z statistic — the experimentation primitive next to q_chi2's
+    * independence cells. Everything derives from four integers per
+    * type (cohort sizes broadcast from one aggregate row); the only
+    * non-rational step is one sqrt, so rounding at 6 is far above the
+    * noise floor. One distinct on (user, type) — never the raw event
+    * volume — feeds the whole test.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val ut = e.select(col("user_id"), col("event_type"),
+      (col("user_id") % 2 === 0).as("in_a")).distinct()
+    val cohorts = e.select(col("user_id"),
+        (col("user_id") % 2 === 0).as("in_a")).distinct()
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("nb"))
+    val reach = ut.groupBy(col("event_type"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("xa"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("xb"))
+    val pa = col("xa").cast("double") / col("na").cast("double")
+    val pb = col("xb").cast("double") / col("nb").cast("double")
+    val pp = (col("xa") + col("xb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    // z undefined at pooled reach 0 or 1 (zero variance) — NULL there.
+    val zDefined = col("xa") + col("xb") > 0 &&
+      col("xa") + col("xb") < col("na") + col("nb")
+    reach.crossJoin(broadcast(cohorts))
+      .select(col("event_type"), col("xa"), col("na"), col("xb"), col("nb"),
+        round(pa, 6).as("pa"), round(pb, 6).as("pb"),
+        when(zDefined, round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("na").cast("double") +
+            lit(1.0) / col("nb").cast("double"))), 6)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Decile lift / gains table (`q_decile_lift`): users ranked by
+    * total spend, cut into spend-deciles with the same
+    * value-histogram-cumsum bucketing as q_histogram_equi (window over
+    * DISTINCT spend values, never a global user sort), then per decile:
+    * user count, spend share, purchase share, and lift =
+    * purchase_share / user_share — the model-evaluation gains curve.
+    * Shares are ratios of integral cents/counts rounded at the edge.
+    */
+  def decileLift(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val users = e.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("spend_c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"))
+    val hist = users.groupBy(col("spend_c")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("spend_c").desc)
+    val tot = hist.agg(sum(col("c")).as("n_total"))
+    val cut = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("spend_c"),
+        ceil(col("cum") * lit(buckets.toLong) / col("n_total")).cast("long")
+          .as("decile"))
+    val g = users.join(cut, Seq("spend_c"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("spend_c")).as("spend_c"),
+        sum(col("n_buys")).as("n_buys"))
+    val totals = g.agg(sum(col("n_users")).as("tu"),
+      sum(col("spend_c")).as("ts"), sum(col("n_buys")).as("tb"))
+    g.crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_users"), col("spend_c"), col("n_buys"),
+        round(col("spend_c").cast("double") / col("ts").cast("double"), 6)
+          .as("spend_share"),
+        round(col("n_buys").cast("double") / col("tb").cast("double"), 6)
+          .as("buy_share"),
+        round((col("n_buys").cast("double") / col("tb").cast("double")) /
+          (col("n_users").cast("double") / col("tu").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
     * hours as a 24-bit mask via `bit_or(1 << hour)` — the
     * roaring-bitmap idiom in miniature: presence over a small dense

@@ -201,6 +201,51 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("pagerank is a probability-like vector: positive, bounded, mass <= 1") {
+    val rows = Analytics.pageRank(spark, sf).collect()
+    assert(rows.length >= 2)
+    val mass = rows.map(_.getDouble(1)).sum
+    for (r <- rows) assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)
+    // without dangling redistribution mass can only leak, never grow
+    assert(mass <= 1.0 + 1e-6)
+    assert(mass > 0.15, "damping floor keeps at least (1-d) of the mass")
+  }
+
+  test("ab test: reaches are cohort-bounded and z sign follows the reach gap") {
+    val rows = Analytics.abTest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(3) <= r.getLong(4))
+      if (!r.isNullAt(7)) {
+        val gap = r.getDouble(5) - r.getDouble(6)
+        assert(math.signum(r.getDouble(7)) === math.signum(gap) || gap == 0.0)
+      }
+    }
+  }
+
+  test("decile lift: shares each sum to 1 and deciles partition the users") {
+    val rows = Analytics.decileLift(spark, sf).collect()
+    val nUsers = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nUsers)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+    // top decile of spenders over-indexes on purchases
+    val top = rows.minBy(_.getLong(0))
+    assert(top.getDouble(6) >= 1.0, "top decile lift should be >= 1")
+  }
+
+  test("ngram novelty: doc 0 is fully novel and fractions are in [0,1]") {
+    val rows = TextFunctions.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0, "lowest-id doc owns all its grams")
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
