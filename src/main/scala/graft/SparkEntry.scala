@@ -236,7 +236,10 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Analytics.pageRank(s, d)),
     "q_ab_test" -> ((s, d) => Analytics.abTest(s, d)),
     "q_decile_lift" -> ((s, d) => Analytics.decileLift(s, d)),
-    "text_ngram_novelty" -> ((s, d) => TextFunctions.ngramNovelty(s, d))
+    "text_ngram_novelty" -> ((s, d) => TextFunctions.ngramNovelty(s, d)),
+    "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
+    "q_autocorr" -> ((s, d) => Analytics.autocorr(s, d)),
+    "q_changepoint" -> ((s, d) => Analytics.changepoint(s, d))
   )
 
   private val cutoffValues =
@@ -2749,6 +2752,73 @@ object SparkEntry {
          |       round(CAST(sum(CASE WHEN fo.first_doc = g.doc_id
          |                          THEN 1 ELSE 0 END) AS DOUBLE) /
          |             count(*), 6) AS novelty
-         |FROM g JOIN fo USING (h) GROUP BY 1 ORDER BY g.doc_id""".stripMargin
+         |FROM g JOIN fo USING (h) GROUP BY 1 ORDER BY g.doc_id""".stripMargin,
+    // Lorenz closed form over the value histogram; // is DuckDB's
+    // integer division mirroring Spark's DIV.
+    "q_gini" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                       THEN CAST(floor(value * 100) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT v, count(*) AS c FROM users GROUP BY 1),
+        |wb AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS base FROM hist),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_users,
+        |             CAST(sum(v * c) AS BIGINT) AS total_c,
+        |             CAST(sum(v * (c * base + (c * (c + 1)) // 2)) AS BIGINT)
+        |               AS s1
+        |      FROM wb)
+        |SELECT n_users, total_c,
+        |       round(CAST(2 * s1 - (n_users + 1) * total_c AS DOUBLE) /
+        |             CAST(n_users * total_c AS DOUBLE), 6) AS gini
+        |FROM m""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.c AS x, b.c AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.d = a.d + 1),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+        |        FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, d.d, t.n, t.s,
+        |              row_number() OVER (PARTITION BY d.event_type
+        |                                 ORDER BY d.d) AS tt,
+        |              CAST(sum(d.c) OVER (PARTITION BY d.event_type
+        |                                  ORDER BY d.d) AS BIGINT) AS ps
+        |       FROM daily d JOIN tot t USING (event_type)),
+        |cc AS (SELECT event_type, d, n,
+        |              CAST(ps AS DOUBLE) -
+        |              CAST(tt AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |                AS cusum
+        |       FROM cs),
+        |r AS (SELECT event_type, d, n, cusum,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY abs(cusum) DESC, d) AS rk
+        |      FROM cc)
+        |SELECT event_type, d AS cp_day, round(cusum, 6) AS cusum, n AS n_days
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -829,6 +829,98 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** Gini coefficient of user spend (`q_gini`): Lorenz-curve
+    * inequality via the value-histogram closed form — for a spend
+    * value v with count c at cumulative offset b, Σ rank·x over its
+    * run is v·(c·b + c(c+1)/2), so the whole coefficient
+    * G = (2·S1 − (n+1)·S) / (n·S) assembles from EXACT integer
+    * aggregates (cents), one double division at the end. The window
+    * runs over DISTINCT spend values (q_rfm pattern), never users.
+    */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val users = e.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("v"))
+    val hist = users.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+    val withBase = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("base", col("cum") - col("c"))
+      // DIV keeps the whole term in BIGINT (Column `/` would go double
+      // and make the S1 sum order-sensitive); c(c+1) is always even.
+      .withColumn("s1_part",
+        expr("v * (c * base + (c * (c + 1)) DIV 2)"))
+    withBase.agg(
+        sum(col("c")).as("n_users"),
+        sum(col("v") * col("c")).as("total_c"),
+        sum(col("s1_part")).as("s1"))
+      .select(col("n_users"), col("total_c"),
+        round((lit(2L) * col("s1") - (col("n_users") + 1) * col("total_c"))
+          .cast("double") /
+          (col("n_users") * col("total_c")).cast("double"), 6).as("gini"))
+  }
+
+  /** Lag-1 autocorrelation of the daily series (`q_autocorr`): pairs
+    * (day, day+1) joined INTEGRALLY per type, Pearson r from exact
+    * BIGINT moment sums — the same bit-stable protocol as
+    * q_trend_regression, no running double state. Diagnoses burst vs
+    * independent traffic per event type.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.d") === col("a.d") + 1)
+      .select(col("a.event_type").as("event_type"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    val m = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("event_type"), col("n").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r1"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CUSUM changepoint (`q_changepoint`): per type, the day where the
+    * cumulative deviation from the series mean peaks — cusum_t =
+    * prefix_sum − t·mean with the prefix sum an exact integer window
+    * over the bounded daily grid, mean one exact division; the argmax
+    * row is picked by a fully tie-broken (|cusum| desc, day asc)
+    * rank. The standard level-shift detector for pipeline monitoring.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val cusum = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("ps", sum(col("c")).over(w))
+      .withColumn("cusum", col("ps").cast("double") -
+        col("t").cast("double") * col("s").cast("double") / col("n").cast("double"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("d").asc)
+    cusum.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("d").as("cp_day"),
+        round(col("cusum"), 6).as("cusum"), col("n").as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
     * hours as a 24-bit mask via `bit_or(1 << hour)` — the
     * roaring-bitmap idiom in miniature: presence over a small dense

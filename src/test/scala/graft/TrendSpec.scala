@@ -246,6 +246,48 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("gini matches a driver-side sorted-rank computation") {
+    val r = Analytics.giniSpend(spark, sf).collect().head
+    val spends = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("v"))
+      .as[(Long, Long)].collect().map(_._2).sorted
+    val n = spends.length.toLong
+    val s = spends.sum
+    val s1 = spends.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+    val expect = (2.0 * s1 - (n + 1) * s) / (n.toDouble * s)
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(2) - expect) < 1e-5)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("autocorrelation is a valid correlation in [-1, 1]") {
+    val rows = Analytics.autocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+      assert(r.getLong(1) > 5)
+    }
+  }
+
+  test("changepoint cusum equals the prefix-minus-mean recompute at the picked day") {
+    val rows = Analytics.changepoint(spark, sf).collect()
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val series = daily(r.getString(0)).sortBy(_._2)
+      val mean = series.map(_._3).sum.toDouble / series.length
+      val cusums = series.scanLeft(0.0) { case (acc, (_, _, c)) => acc + c }
+        .drop(1).zipWithIndex.map { case (ps, i) => ps - (i + 1) * mean }
+      val best = cusums.map(math.abs).max
+      assert(math.abs(math.abs(r.getDouble(2)) - best) < 1e-4, r.getString(0))
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
