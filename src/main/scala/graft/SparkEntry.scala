@@ -239,7 +239,9 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s, d) => TextFunctions.ngramNovelty(s, d)),
     "q_gini" -> ((s, d) => Analytics.giniSpend(s, d)),
     "q_autocorr" -> ((s, d) => Analytics.autocorr(s, d)),
-    "q_changepoint" -> ((s, d) => Analytics.changepoint(s, d))
+    "q_changepoint" -> ((s, d) => Analytics.changepoint(s, d)),
+    "q_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
+    "q_benford" -> ((s, d) => Analytics.benford(s, d))
   )
 
   private val cutoffValues =
@@ -2819,6 +2821,44 @@ object SparkEntry {
         |                                ORDER BY abs(cusum) DESC, d) AS rk
         |      FROM cc)
         |SELECT event_type, d AS cp_day, round(cusum, 6) AS cusum, n AS n_days
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // list_reduce replays the same left-to-right smooth; (1-0.3) is
+    // COMPUTED on both engines (a 0.7 literal differs in the last ulp).
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |             list_reduce(list(CAST(c AS DOUBLE) ORDER BY d),
+        |               (a, b) -> CAST(0.3 AS DOUBLE) * b +
+        |                         (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * a)
+        |               AS ewma,
+        |             CAST(arg_max(c, d) AS DOUBLE) AS last_c
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, round(ewma, 6) AS ewma,
+        |       round(last_c - ewma, 6) AS last_gap
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_benford" ->
+      """WITH counts AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT digit, n FROM counts WHERE digit <> '0'),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+        |x AS (SELECT digit, n,
+        |             CAST(n AS DOUBLE) / total AS observed,
+        |             ln(CAST(1 AS DOUBLE) +
+        |                CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)) /
+        |               ln(CAST(10 AS DOUBLE)) AS expected,
+        |             total
+        |      FROM f CROSS JOIN t)
+        |SELECT digit, n, round(observed, 6) AS observed,
+        |       round(expected, 6) AS expected,
+        |       round((observed - expected) * (observed - expected) / expected *
+        |             CAST(total AS DOUBLE), 6) AS chi2_contrib
+        |FROM x ORDER BY digit""".stripMargin
   )
 }

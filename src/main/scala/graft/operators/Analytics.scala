@@ -921,6 +921,66 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exponentially weighted moving average (`q_ewma`): the recursive
+    * smooth s_t = α·x_t + (1−α)·s_{t−1} is a non-associative fold like
+    * q_capped_balance — typed `groupByKey.mapGroups` over each type's
+    * bounded daily series, same left-to-right order the DuckDB
+    * list_reduce oracle replays, so the float trajectories are
+    * IDENTICAL operation-for-operation (no reordering to diverge on).
+    * Emits the final smooth and its gap to the last raw value — the
+    * burn-in-free anomaly signal.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    daily.groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val series = it.toArray.sortBy(_._2)
+        var s = series.head._3.toDouble
+        series.tail.foreach { r => s = alpha * r._3 + (1.0 - alpha) * s }
+        (t, series.length.toLong, s, series.last._3 - s)
+      }
+      .toDF("event_type", "n_days", "ewma", "last_gap")
+      .select(col("event_type"), col("n_days"),
+        round(col("ewma"), 6).as("ewma"), round(col("last_gap"), 6).as("last_gap"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit audit (`q_benford`): observed share of each
+    * leading digit of o_totalprice against Benford's log10(1+1/d)
+    * expectation with the per-digit chi² contribution — the
+    * fraud/synthetic-data screen. Digit extraction is pure string
+    * logic on the integral cents (no float log bucketing), counts are
+    * one combinable aggregation over a 9-value domain.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val digit = substring(floor(col("o_totalprice") * 100).cast("long")
+      .cast("string"), 1, 1)
+    val counts = o.select(digit.as("digit"))
+      .filter(col("digit") =!= "0")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    // ln-ratio (not a log10 builtin) and explicit squaring: both
+    // engines then run the identical IEEE op sequence.
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val dev = col("observed") - col("expected")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("observed", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected", expected)
+      .select(col("digit"), col("n"),
+        round(col("observed"), 6).as("observed"),
+        round(col("expected"), 6).as("expected"),
+        round(dev * dev / col("expected") *
+          col("total").cast("double"), 6).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
   /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
     * hours as a 24-bit mask via `bit_or(1 << hour)` — the
     * roaring-bitmap idiom in miniature: presence over a small dense

@@ -288,6 +288,32 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("ewma equals a driver-side left fold over the sorted daily series") {
+    val rows = Analytics.ewmaDaily(spark, sf).collect()
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val series = daily(r.getString(0)).sortBy(_._2).map(_._3.toDouble)
+      val expect = series.tail.foldLeft(series.head)((s, x) => 0.3 * x + 0.7 * s)
+      assert(math.abs(r.getDouble(2) - expect) < 1e-4, r.getString(0))
+      assert(r.getLong(1) === series.length.toLong)
+    }
+  }
+
+  test("benford: observed shares sum to 1 and expected follows log10(1+1/d)") {
+    val rows = Analytics.benford(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    for (r <- rows) {
+      val d = r.getString(0).toInt
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-5)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
