@@ -241,7 +241,9 @@ object SparkEntry {
     "q_autocorr" -> ((s, d) => Analytics.autocorr(s, d)),
     "q_changepoint" -> ((s, d) => Analytics.changepoint(s, d)),
     "q_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
-    "q_benford" -> ((s, d) => Analytics.benford(s, d))
+    "q_benford" -> ((s, d) => Analytics.benford(s, d)),
+    "q_backtest" -> ((s, d) => Analytics.backtestNaive(s, d)),
+    "q_fuzzy_join" -> ((s, d) => Fusion.fuzzyNameJoin(s, d))
   )
 
   private val cutoffValues =
@@ -2859,6 +2861,36 @@ object SparkEntry {
         |       round(expected, 6) AS expected,
         |       round((observed - expected) * (observed - expected) / expected *
         |             CAST(total AS DOUBLE), 6) AS chi2_contrib
-        |FROM x ORDER BY digit""".stripMargin
+        |FROM x ORDER BY digit""".stripMargin,
+    "q_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT a.event_type, a.c AS actual, f.c AS forecast
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND f.d = a.d - 7),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_eval,
+        |         CAST(sum(abs(actual - forecast)) AS BIGINT) AS sae,
+        |         CAST(sum(actual - forecast) AS BIGINT) AS sbias,
+        |         sum(CAST(abs(actual - forecast) AS DOUBLE) /
+        |             CAST(actual AS DOUBLE)) AS sape
+        |  FROM scored GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |       round(CAST(sae AS DOUBLE) / n_eval, 6) AS mae,
+        |       round(CAST(sbias AS DOUBLE) / n_eval, 6) AS bias,
+        |       round(sape / n_eval, 6) AS mape
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |p AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

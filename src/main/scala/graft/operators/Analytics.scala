@@ -981,6 +981,38 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** Seasonal-naive backtest (`q_backtest`): forecast(d) = actual
+    * (d−7), scored over every day with a week-old ancestor — the
+    * minimum honest baseline any forecasting pipeline must beat, and
+    * the backtest JOIN shape (series self-joined at lag k) used to
+    * score real models at scale. MAE/bias from exact integer sums;
+    * MAPE's per-term ratios are the only doubles and round at the
+    * edge.
+    */
+  def backtestNaive(spark: SparkSession, dir: String, lagDays: Int = 7): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val scored = daily.as("a")
+      .join(daily.as("f"),
+        col("a.event_type") === col("f.event_type") &&
+          col("f.d") === col("a.d") - lagDays)
+      .select(col("a.event_type").as("event_type"),
+        col("a.c").as("actual"), col("f.c").as("forecast"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("actual") - col("forecast"))).as("sae"),
+        sum(col("actual") - col("forecast")).as("sbias"),
+        sum(abs(col("actual") - col("forecast")).cast("double") /
+          col("actual").cast("double")).as("sape"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("sae").cast("double") / col("n_eval").cast("double"), 6).as("mae"),
+        round(col("sbias").cast("double") / col("n_eval").cast("double"), 6).as("bias"),
+        round(col("sape") / col("n_eval").cast("double"), 6).as("mape"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
     * hours as a 24-bit mask via `bit_or(1 << hour)` — the
     * roaring-bitmap idiom in miniature: presence over a small dense

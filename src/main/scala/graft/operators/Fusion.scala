@@ -225,4 +225,25 @@ object Fusion {
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
+
+  /** Blocked fuzzy entity resolution (`q_fuzzy_join`): near-duplicate
+    * NAME pairs via the blocking-key pattern — dedupe to DISTINCT
+    * names first (the join runs on the name DOMAIN, orders of
+    * magnitude below row count), equi-join on a blocking key (the head
+    * noun) so only plausible pairs ever meet, then exact integral
+    * `levenshtein` within the block. At 100 TB the blocking key is the
+    * partition key; a block never crosses executors. The canonical
+    *-ized pair order (a < b) keeps the output set deterministic.
+    */
+  def fuzzyNameJoin(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val names = Tables.load(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

@@ -314,6 +314,26 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("backtest: mae bounds |bias| and evaluation only covers days with a lag-7 ancestor") {
+    val rows = Analytics.backtestNaive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getDouble(2) >= math.abs(r.getDouble(3)) - 1e-9, "MAE >= |bias|")
+      assert(r.getLong(1) <= 23, "30-day series has at most 23 lag-7 pairs")
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("fuzzy join pairs share a block noun and respect the distance bound") {
+    val rows = graft.operators.Fusion.fuzzyNameJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1), "canonical order")
+      assert(r.getString(0).split(" ")(1) === r.getString(1).split(" ")(1))
+      assert(r.getLong(2) <= 3 && r.getLong(2) >= 1)
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
