@@ -341,4 +341,45 @@ object EventStream {
           }
       }
   }
+
+  final case class EwmaState(s: Double, n: Long, lastMs: Long)
+  final case class EwmaOut(user_id: Long, ts: Timestamp, value: Double,
+      ewma: Double, deviation: Double, is_anomaly: Boolean)
+
+  /** Streaming EWMA anomaly monitor (the q_ewma twin): per-key
+    * exponential smooth carried in GroupState across microbatches —
+    * each event scores against the smooth BEFORE being folded in, so
+    * a spike flags itself rather than masking itself. Emits every
+    * scored event (Update would lose per-event deviations). State is
+    * two doubles + a counter per key, O(keys) memory at any rate.
+    */
+  def ewmaStateful(events: Dataset[Ev], alpha: Double = 0.3,
+      threshold: Double = 2.0): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                out += EwmaOut(userId, e.ts, e.value, e.value, 0.0, is_anomaly = false)
+                st = Some(EwmaState(e.value, 1L, e.ts.getTime))
+              case Some(EwmaState(s, n, _)) =>
+                val dev = e.value - s
+                out += EwmaOut(userId, e.ts, e.value, s, dev,
+                  is_anomaly = math.abs(dev) > threshold * math.max(math.abs(s), 1e-9))
+                st = Some(EwmaState(alpha * e.value + (1.0 - alpha) * s, n + 1,
+                  e.ts.getTime))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -354,4 +354,38 @@ class StreamingSpec extends SparkSpec {
       assert(kept == Seq(1.0, 3.0, 4.0))
     } finally q.stop()
   }
+
+  test("ewmaStateful carries the smooth across microbatches and flags the spike") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.ewmaStateful(input.toDS())
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      import EventStream.Ev
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 10.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), 10.0))
+      q.processAllAvailable()
+      // smooth after two 10s is 10; a 100 must flag against state
+      // carried from the PREVIOUS microbatch
+      input.addData(Ev(1L, ts("2024-01-01 10:20:00"), 100.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT value, ewma, is_anomaly FROM ewma_test WHERE user_id = 1 ORDER BY ts")
+        .collect()
+      assert(rows.length === 3)
+      assert(!rows(0).getBoolean(2) && !rows(1).getBoolean(2))
+      assert(rows(2).getBoolean(2), "spike must flag against the carried smooth")
+      assert(math.abs(rows(2).getDouble(1) - 10.0) < 1e-9,
+        "spike scores against the PRE-update smooth")
+      // next event scores against a smooth that has absorbed the spike
+      input.addData(Ev(1L, ts("2024-01-01 10:30:00"), 37.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT ewma FROM ewma_test WHERE user_id = 1 ORDER BY ts DESC LIMIT 1")
+        .collect().head.getDouble(0)
+      assert(math.abs(last - (0.3 * 100.0 + 0.7 * 10.0)) < 1e-9)
+    } finally q.stop()
+  }
 }
