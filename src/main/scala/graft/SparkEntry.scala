@@ -243,7 +243,9 @@ object SparkEntry {
     "q_ewma" -> ((s, d) => Analytics.ewmaDaily(s, d)),
     "q_benford" -> ((s, d) => Analytics.benford(s, d)),
     "q_backtest" -> ((s, d) => Analytics.backtestNaive(s, d)),
-    "q_fuzzy_join" -> ((s, d) => Fusion.fuzzyNameJoin(s, d))
+    "q_fuzzy_join" -> ((s, d) => Fusion.fuzzyNameJoin(s, d)),
+    "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
+    "q_survival" -> ((s, d) => Relational.survivalCurve(s, d))
   )
 
   private val cutoffValues =
@@ -2891,6 +2893,55 @@ object SparkEntry {
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_market_basket" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |                        event_type FROM events),
+        |nb AS (SELECT count(*) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, day FROM baskets)),
+        |single AS (SELECT event_type, count(*) AS n FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS n_both
+        |  FROM baskets a JOIN baskets b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT lhs, rhs, n_both, l.n AS n_lhs, r.n AS n_rhs,
+        |       round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support,
+        |       round(CAST(n_both AS DOUBLE) / l.n, 6) AS confidence,
+        |       round(CAST(n_both AS DOUBLE) * n_baskets /
+        |             (CAST(l.n AS DOUBLE) * r.n), 6) AS lift
+        |FROM pairs
+        |JOIN single l ON l.event_type = lhs
+        |JOIN single r ON r.event_type = rhs
+        |CROSS JOIN nb
+        |ORDER BY lhs, rhs""".stripMargin,
+    // Suffix at-risk cumsum over the bounded duration grid; the
+    // survival product is exp(Σ ln(1−d/n)) on BOTH engines.
+    "q_survival" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |         date_diff('day', min(CAST(ts AS DATE)),
+        |                   max(CAST(ts AS DATE))) AS t,
+        |         (max(CAST(ts AS DATE)) >= DATE '2024-01-24') AS censored
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT t,
+        |                CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END)
+        |                     AS BIGINT) AS d,
+        |                count(*) AS c
+        |         FROM life GROUP BY 1),
+        |g2 AS (SELECT t, d,
+        |              CAST(sum(c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+        |       FROM grid),
+        |g3 AS (SELECT t, d, n_risk,
+        |              CASE WHEN d > 0
+        |                   THEN ln(CAST(1 AS DOUBLE) -
+        |                           CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |                   ELSE CAST(0 AS DOUBLE) END AS lnterm
+        |       FROM g2),
+        |g4 AS (SELECT t, d, n_risk,
+        |              exp(sum(lnterm) OVER (ORDER BY t)) AS surv FROM g3)
+        |SELECT t, d AS n_churned, n_risk, round(surv, 6) AS survival
+        |FROM g4 ORDER BY t""".stripMargin
   )
 }

@@ -686,6 +686,79 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Association rules (`q_market_basket`): support / confidence /
+    * lift for type→type rules over user-day BASKETS — the apriori
+    * 2-itemset pass. Baskets are the DISTINCT (user, day, type)
+    * table (pre-shrunk, never raw events); pairs meet through a
+    * co-keyed self-join on the basket id; singleton supports join in
+    * broadcast (|types| rows). Directed rules (a→b and b→a both
+    * emitted) because confidence is asymmetric. All ratios from
+    * integral counts, rounded at the edge.
+    */
+  def marketBasket(spark: SparkSession, dir: String,
+      minSupport: Int = 10): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val baskets = e.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type")).distinct().cache()
+    val nBaskets = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val single = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), Seq("user_id", "day"))
+      .filter(col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("lhs"), col("b.event_type").as("rhs"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(single.select(col("event_type").as("lhs"),
+        col("n").as("n_lhs"))), Seq("lhs"))
+      .join(broadcast(single.select(col("event_type").as("rhs"),
+        col("n").as("n_rhs"))), Seq("rhs"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("lhs"), col("rhs"), col("n_both"), col("n_lhs"), col("n_rhs"),
+        round(col("n_both").cast("double") / col("n_baskets").cast("double"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") / col("n_lhs").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_both").cast("double") * col("n_baskets").cast("double") /
+          (col("n_lhs").cast("double") * col("n_rhs").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
+  /** Kaplan–Meier survival (`q_survival`): S(t) over user activity
+    * lifetimes with right-censoring (users still active in the final
+    * week are censored, their lifetimes only feed the at-risk set).
+    * At-risk counts come from a SUFFIX cumsum over the bounded
+    * distinct-duration grid; the survival product is
+    * exp(Σ ln(1−d/n)) so both engines run the identical ln/exp
+    * sequence instead of an engine-specific product aggregate.
+    */
+  def survivalCurve(spark: SparkSession, dir: String,
+      censorFrom: String = "2024-01-24"): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val life = e.groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("t"),
+        (max(to_date(col("ts"))) >= lit(censorFrom)).as("censored"))
+    val grid = life.groupBy(col("t"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        count(lit(1)).as("c"))
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+    grid.withColumn("n_risk", sum(col("c")).over(wAll))
+      .withColumn("lnterm",
+        when(col("d") > 0, log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("surv", exp(sum(col("lnterm")).over(wCum)))
+      .select(col("t"), col("d").as("n_churned"), col("n_risk"),
+        round(col("surv"), 6).as("survival"))
+      .orderBy(col("t"))
+  }
+
   /** Event-type co-occurrence (`q_cooccurrence`): market-basket shape —
     * which event types share users. The self-join runs on the DISTINCT
     * (user, type) table (≤ |users|·|types| rows, radically smaller than

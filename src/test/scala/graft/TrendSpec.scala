@@ -334,6 +334,29 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("market basket: confidence is support-consistent and pairs are symmetric in n_both") {
+    val rows = Relational.marketBasket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (r <- rows) {
+      assert(byPair((r.getString(1), r.getString(0))) === r.getLong(2),
+        "n_both symmetric across rule direction")
+      assert(r.getDouble(6) >= r.getDouble(5), "confidence >= support")
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("survival: monotone non-increasing, starts below 1, at-risk telescopes") {
+    val rows = Relational.survivalCurve(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.head.getLong(2) === nUsers, "first at-risk = all users")
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray))
+      assert(a.getDouble(3) >= b.getDouble(3) - 1e-9, "S(t) non-increasing")
+    for (r <- rows) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
