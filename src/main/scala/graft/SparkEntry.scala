@@ -245,7 +245,9 @@ object SparkEntry {
     "q_backtest" -> ((s, d) => Analytics.backtestNaive(s, d)),
     "q_fuzzy_join" -> ((s, d) => Fusion.fuzzyNameJoin(s, d)),
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
-    "q_survival" -> ((s, d) => Relational.survivalCurve(s, d))
+    "q_survival" -> ((s, d) => Relational.survivalCurve(s, d)),
+    "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
+    "q_elasticity" -> ((s, d) => Analytics.elasticity(s, d))
   )
 
   private val cutoffValues =
@@ -2942,6 +2944,31 @@ object SparkEntry {
         |g4 AS (SELECT t, d, n_risk,
         |              exp(sum(lnterm) OVER (ORDER BY t)) AS surv FROM g3)
         |SELECT t, d AS n_churned, n_risk, round(surv, 6) AS survival
-        |FROM g4 ORDER BY t""".stripMargin
+        |FROM g4 ORDER BY t""".stripMargin,
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |dau AS (SELECT day AS d, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d, count(DISTINCT user_id) AS wau
+        |        FROM days JOIN ud ON ud.day <= d AND ud.day >= d - 6
+        |        GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+        |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin,
+    "q_elasticity" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(sum(l_quantity) AS DOUBLE) AS qty,
+        |         sum(l_extendedprice) / sum(l_quantity) AS unit_price
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.p_brand, ln(qty) AS ly, ln(unit_price) AS lx
+        |      FROM pp JOIN part p ON p.p_partkey = pp.l_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS DOUBLE) AS n,
+        |             sum(lx) AS sx, sum(ly) AS sy,
+        |             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+        |      FROM j GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+        |FROM m ORDER BY p_brand""".stripMargin
   )
 }

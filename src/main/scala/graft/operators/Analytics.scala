@@ -1013,6 +1013,59 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** DAU / WAU stickiness (`q_dau_wau`): rolling 7-day distinct users
+    * per day WITHOUT a rolling count-distinct window (which Spark
+    * can't express and would hold per-day user sets in state anyway):
+    * the distinct (user, day) table range-joins the bounded day grid
+    * ([d−6, d] containment), then one exact distinct per grid day.
+    * Join volume is |user-days|·7 — linear in activity, never
+    * events². The stickiness ratio is the growth metric every
+    * engagement dashboard carries.
+    */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val ud = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .cache()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+    val wau = days.join(ud,
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** Price elasticity (`q_elasticity`): OLS of ln(quantity) on
+    * ln(price) across the part domain — demand curve slope per brand.
+    * Aggregates first (qty/revenue per part, one shuffle), logs taken
+    * once per part row; the double moment sums round at 6 (same
+    * protocol as hourlyEntropy — values O(10), noise O(1e-15)).
+    */
+  def elasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("qty"),
+        (sum(col("l_extendedprice")) / sum(col("l_quantity"))).as("unit_price"))
+      .join(broadcast(p.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        Seq("l_partkey"))
+      .select(col("p_brand"), log(col("qty")).as("ly"),
+        log(col("unit_price")).as("lx"))
+    val m = perPart.groupBy(col("p_brand")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("lx") * col("lx")).as("sxx"))
+    m.select(col("p_brand"), col("n").cast("long").as("n_parts"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("elasticity"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Hour-of-day presence bitmap (`q_hour_bitmap`): each user's active
     * hours as a 24-bit mask via `bit_or(1 << hour)` — the
     * roaring-bitmap idiom in miniature: presence over a small dense

@@ -357,6 +357,32 @@ class TrendSpec extends SparkSpec {
     for (r <- rows) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("dau/wau: wau dominates dau and matches a driver-side 7-day distinct") {
+    val rows = Analytics.dauWau(spark, sf).collect()
+    val ud = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .distinct().as[(Long, String)].collect()
+    for (r <- rows) {
+      assert(r.getLong(1) <= r.getLong(2), "DAU <= WAU")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val someDay = rows.last.getString(0)
+    val window7 = ud.filter { case (_, d) =>
+      d <= someDay && java.time.LocalDate.parse(d)
+        .isAfter(java.time.LocalDate.parse(someDay).minusDays(7))
+    }.map(_._1).distinct.length
+    assert(rows.last.getLong(2) === window7.toLong)
+  }
+
+  test("elasticity: each brand regression has enough parts and a finite slope") {
+    val rows = Analytics.elasticity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) >= 2)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
+
   test("boilerplate grams appear in at least minDocs distinct documents") {
     val rows = TextFunctions.boilerplate(spark, sf).collect()
     assert(rows.nonEmpty)
