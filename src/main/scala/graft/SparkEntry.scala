@@ -247,7 +247,11 @@ object SparkEntry {
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
     "q_survival" -> ((s, d) => Relational.survivalCurve(s, d)),
     "q_dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
-    "q_elasticity" -> ((s, d) => Analytics.elasticity(s, d))
+    "q_elasticity" -> ((s, d) => Analytics.elasticity(s, d)),
+    "q_ship_priority" -> ((s, d) => Analytics.shipPriority(s, d)),
+    "q_region_volume" -> ((s, d) => Analytics.regionVolume(s, d)),
+    "q_seasonality_dow" -> ((s, d) => Analytics.seasonalityDow(s, d)),
+    "text_mixture_sample" -> ((s, d) => TextFunctions.mixtureSample(s, d))
   )
 
   private val cutoffValues =
@@ -2969,6 +2973,95 @@ object SparkEntry {
         |      FROM j GROUP BY 1)
         |SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
-        |FROM m ORDER BY p_brand""".stripMargin
+        |FROM m ORDER BY p_brand""".stripMargin,
+    // TPC-H Q3 shape; decimal-cents revenue (q_decimal_agg protocol:
+    // DuckDB's decimal downscale CAST truncates, so round() first).
+    "q_ship_priority" ->
+      """SELECT o_orderkey,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                           (CAST(1 AS DECIMAL(9,4)) -
+        |                            CAST(l_discount AS DECIMAL(9,4)))), 2)
+        |                 AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_region_volume" ->
+      """SELECT n_name,
+        |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                           (CAST(1 AS DECIMAL(9,4)) -
+        |                            CAST(l_discount AS DECIMAL(9,4)))), 2)
+        |                 AS DECIMAL(18,2)) * 100 AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_nationkey = c_nationkey
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // weekday(day)+1 in Spark == isodow in DuckDB (Monday-based 1..7);
+    // the index is the identical (sd/dd)/(st/dt) IEEE sequence.
+    "q_seasonality_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |by_dow AS (SELECT event_type, isodow(day) AS dow,
+        |                  CAST(sum(cnt) AS BIGINT) AS sd
+        |           FROM daily GROUP BY 1, 2),
+        |by_type AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS st
+        |            FROM daily GROUP BY 1),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dow_days AS (SELECT isodow(day) AS dow, count(*) AS dd
+        |             FROM days GROUP BY 1),
+        |tot AS (SELECT count(*) AS dt FROM days)
+        |SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, b.sd AS n_events,
+        |       round((CAST(b.sd AS DOUBLE) / dd) /
+        |             (CAST(st AS DOUBLE) / dt), 6) AS seasonality
+        |FROM by_dow b
+        |JOIN dow_days USING (dow)
+        |JOIN by_type USING (event_type)
+        |CROSS JOIN tot
+        |ORDER BY event_type, dow""".stripMargin,
+    "text_mixture_sample" -> {
+      val weightCase = graft.functions.TextFunctions.mixtureWeights
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${textWords()}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |per_src AS (SELECT source, sum(n_toks) AS tok_s FROM d GROUP BY 1),
+         |tot AS (SELECT sum(tok_s) AS tok_total FROM per_src),
+         |rates AS (
+         |  SELECT source, tok_s,
+         |         ((tok_total * 40 // 100) *
+         |          (CASE source $weightCase ELSE 0 END)) // 1000 AS budget_s
+         |  FROM per_src CROSS JOIN tot),
+         |r2 AS (SELECT source, tok_s, budget_s,
+         |              least(1000, budget_s * 1000 // tok_s) AS accept_permille
+         |       FROM rates),
+         |kept AS (
+         |  SELECT d.source, count(*) AS n_docs_kept, sum(d.n_toks) AS tok_kept
+         |  FROM d JOIN r2 ON d.source = r2.source
+         |  WHERE ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 1000
+         |        < accept_permille
+         |  GROUP BY 1)
+         |SELECT r2.source, tok_s, budget_s, accept_permille,
+         |       coalesce(n_docs_kept, 0) AS n_docs_kept,
+         |       coalesce(tok_kept, 0) AS tok_kept
+         |FROM r2 LEFT JOIN kept ON r2.source = kept.source
+         |ORDER BY r2.source""".stripMargin
+    }
   )
 }

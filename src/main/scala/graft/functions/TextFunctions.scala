@@ -304,6 +304,52 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget mixture sampling (`text_mixture_sample`): given a
+    * target mixture weight per source (permille, summing to 1000) and
+    * a global token budget (40% of the corpus here), compute each
+    * source's per-source accept rate and apply it with the
+    * deterministic md5-bucket filter. The whole plan is integral:
+    * budgets and rates are BIGINT DIV arithmetic (budget_s =
+    * budget·w‰ DIV 1000, accept‰ = min(1000, budget_s·1000 DIV
+    * tok_s)), so the survivor set is a pure function of the
+    * (weights, corpus) pair — the reproducible "data mixture spec →
+    * sampled corpus" step of a training-data pipeline. Two combinable
+    * aggregations over the corpus (token totals, then kept totals);
+    * the rate table is one row per source, broadcast back.
+    */
+  def mixtureWeights: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", if (i < 5) 100 else if (i < 10) 50 else 25))
+
+  def mixtureSample(spark: SparkSession, dir: String, budgetPct: Int = 40): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(lower(col("text")))).cast("long").as("n_toks"))
+    val perSource = d.groupBy(col("source")).agg(sum(col("n_toks")).as("tok_s"))
+    val total = perSource.agg(sum(col("tok_s")).as("tok_total"))
+    val weights = mixtureWeights.toDF("source", "w_permille")
+    val rates = perSource
+      .join(broadcast(weights), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("budget_s",
+        expr(s"(tok_total * $budgetPct DIV 100) * w_permille DIV 1000"))
+      .withColumn("accept_permille",
+        least(lit(1000L), expr("budget_s * 1000 DIV tok_s")))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7),
+        16, 10).cast("long"), lit(1000L))
+    val kept = d.join(broadcast(rates.select(col("source"), col("accept_permille"))),
+        Seq("source"))
+      .filter(bucket < col("accept_permille"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("tok_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("tok_s"), col("budget_s"), col("accept_permille"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split (`text_split`): every document
     * is assigned by its md5(doc_id) bucket — test = buckets 0–9,
     * val = 10–19, train = the rest — so the split is a pure function

@@ -1340,4 +1340,114 @@ object Analytics {
         col("seq"), col("seq").rlike("v.*c.*p").cast("int").as("funnel_hit"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** TPC-H Q3 shape (`q_ship_priority`): segment-filtered customer ⋈
+    * date-bounded orders ⋈ shipped-after lineitem, revenue per order,
+    * top 10. The classic selective multi-join: every filter lands
+    * BEFORE its join (the segment predicate and both date predicates
+    * push to the parquet scans), the fact⋈fact join shuffles only the
+    * filtered slice, and the final top-10 plans as
+    * TakeOrderedAndProject — no global sort. Revenue is summed in
+    * exact DECIMAL and emitted as integral cents (the q_decimal_agg
+    * cross-engine protocol). The filtered one-column customer key set
+    * is orders of magnitude under the fact tables; AQE picks the
+    * broadcast at runtime rather than a hardcoded hint (at 100 TB the
+    * segment slice may exceed the driver budget, and the shuffle-hash
+    * fallback is the right plan there).
+    */
+  def shipPriority(spark: SparkSession, dir: String, cutoff: String = "1997-06-01"): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < to_date(lit(cutoff)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) > to_date(lit(cutoff)))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)"))).as("rev"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("r2"))
+      .select(col("o_orderkey"),
+        (col("r2") * 100).cast("long").as("revenue_cents"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (`q_region_volume`): revenue per nation where the
+    * ordering customer and the supplying supplier share a nation, one
+    * region, one order year. The snowflake pattern: region→nation is a
+    * broadcast chain, customer/supplier shrink to (key, nationkey)
+    * pairs before touching facts, and the c_nationkey = s_nationkey
+    * equality is applied as a post-join filter on two already-joined
+    * small columns. Decimal-cents revenue (q_decimal_agg protocol).
+    */
+  def regionVolume(spark: SparkSession, dir: String, region: String = "ASIA",
+      year0: String = "1996-01-01", year1: String = "1997-01-01"): DataFrame = {
+    val nk = Tables.load(spark, dir, "nation")
+      .join(broadcast(Tables.load(spark, dir, "region")
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nk), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nk.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= to_date(lit(year0)) &&
+        to_date(col("o_orderdate")) < to_date(lit(year1)))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(9,4)") - col("l_discount").cast("decimal(9,4)"))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("r2"),
+        count(lit(1)).as("n_items"))
+      .select(col("n_name"), (col("r2") * 100).cast("long").as("revenue_cents"),
+        col("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Day-of-week seasonality index (`q_seasonality_dow`): per event
+    * type, the average events-per-day on each weekday relative to the
+    * type's overall daily average. All counting is integral — per-type
+    * daily counts (one combinable shuffle on a bounded (type, day)
+    * domain), weekday-slot day counts from the DISTINCT day table —
+    * and the index is one double expression (sd/dd)/(st/dt) written
+    * identically in both engines, rounded at the edge. Monday-based
+    * ISO weekday (Spark weekday()+1 == DuckDB isodow).
+    */
+  def seasonalityDow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("weekday(day) + 1").cast("long"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("cnt")).as("sd"))
+    val byType = daily.groupBy(col("event_type")).agg(sum(col("cnt")).as("st"))
+    val days = e.select(col("day")).distinct()
+      .withColumn("dow", expr("weekday(day) + 1").cast("long"))
+    val dowDays = days.groupBy(col("dow")).agg(count(lit(1)).as("dd"))
+    val totDays = days.agg(count(lit(1)).as("dt"))
+    byDow.join(broadcast(dowDays), Seq("dow"))
+      .join(broadcast(byType), Seq("event_type"))
+      .crossJoin(broadcast(totDays))
+      .select(col("event_type"), col("dow"), col("sd").as("n_events"),
+        round((col("sd").cast("double") / col("dd")) /
+          (col("st").cast("double") / col("dt")), 6).as("seasonality"))
+      .orderBy(col("event_type"), col("dow"))
+  }
 }
