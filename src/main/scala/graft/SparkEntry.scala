@@ -251,7 +251,11 @@ object SparkEntry {
     "q_ship_priority" -> ((s, d) => Analytics.shipPriority(s, d)),
     "q_region_volume" -> ((s, d) => Analytics.regionVolume(s, d)),
     "q_seasonality_dow" -> ((s, d) => Analytics.seasonalityDow(s, d)),
-    "text_mixture_sample" -> ((s, d) => TextFunctions.mixtureSample(s, d))
+    "text_mixture_sample" -> ((s, d) => TextFunctions.mixtureSample(s, d)),
+    "sim_sparse_cosine" -> ((s, d) => Similarity.sparseCosine(s, d)),
+    "q_entity_resolution" -> ((s, d) => Fusion.entityResolution(s, d)),
+    "q_shortest_path" -> ((s, d) => Analytics.shortestPath(s, d)),
+    "q_bollinger" -> ((s, d) => Analytics.bollinger(s, d))
   )
 
   private val cutoffValues =
@@ -3062,6 +3066,104 @@ object SparkEntry {
          |       coalesce(tok_kept, 0) AS tok_kept
          |FROM r2 LEFT JOIN kept ON r2.source = kept.source
          |ORDER BY r2.source""".stripMargin
-    }
+    },
+    // Inverted-index sparse cosine: integral dot/norms, ONE identical
+    // double expression per pair (threshold compare is bit-stable).
+    "sim_sparse_cosine" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),
+         |counts AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT tok FROM counts GROUP BY tok
+         |  HAVING count(*) >= 2 AND count(*) <= 50),
+         |kept AS (SELECT c.* FROM counts c JOIN vocab v ON c.tok = v.tok),
+         |norms AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nrm
+         |          FROM kept GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM kept a JOIN kept b
+         |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot,
+         |       round(CAST(dot AS DOUBLE) /
+         |             (sqrt(CAST(na.nrm AS DOUBLE)) *
+         |              sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos
+         |FROM dots
+         |JOIN norms na ON na.doc_id = id_a
+         |JOIN norms nb ON nb.doc_id = id_b
+         |WHERE CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+         |      >= CAST(0.4 AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Transitive closure over the fuzzy pair graph (dedup_clusters
+    // recursive-CTE pattern on the name domain).
+    "q_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |p AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n),
+        |pairs AS (
+        |  SELECT a.p_name AS na, b.p_name AS nb
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (
+        |  SELECT na AS s, nb AS d FROM pairs
+        |  UNION SELECT nb, na FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS name, least(min(d), s) AS canonical
+        |  FROM reach GROUP BY s),
+        |resolved AS (
+        |  SELECT n.p_name AS name,
+        |         coalesce(comp.canonical, n.p_name) AS canonical
+        |  FROM n LEFT JOIN comp ON n.p_name = comp.name),
+        |sizes AS (SELECT canonical, count(*) AS cluster_size
+        |          FROM resolved GROUP BY 1)
+        |SELECT name, canonical, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM resolved JOIN sizes USING (canonical)
+        |ORDER BY name""".stripMargin,
+    // Depth-capped recursive walk == the Spark relaxation loop.
+    "q_shortest_path" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT event_type AS f, to_type AS t
+        |  FROM t WHERE to_type IS NOT NULL),
+        |walk(t, d) AS (
+        |  SELECT 'click', 0
+        |  UNION ALL
+        |  SELECT e.t, w.d + 1 FROM walk w JOIN edges e ON e.f = w.t
+        |  WHERE w.d < 6)
+        |SELECT t AS event_type, CAST(min(d) AS BIGINT) AS hops
+        |FROM walk GROUP BY t ORDER BY event_type""".stripMargin,
+    // Integral window moments (floor-cents); identical band expression.
+    "q_bollinger" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10 AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_id, value,
+        |         count(cents) OVER w AS n,
+        |         sum(cents) OVER w AS sx,
+        |         sum(cents * cents) OVER w AS sxx
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n,
+        |       round(CAST(sx AS DOUBLE) / n / 100.0, 6) AS mid,
+        |       round(CAST(sx AS DOUBLE) / n / 100.0 -
+        |             2.0 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0),
+        |             6) AS lower,
+        |       round(CAST(sx AS DOUBLE) / n / 100.0 +
+        |             2.0 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0),
+        |             6) AS upper
+        |FROM m ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -1420,6 +1420,66 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
+  /** BFS shortest hops over the event-type transition graph
+    * (`q_shortest_path`): the reachability twin of q_pagerank — start
+    * from 'click', relax dist(v) = min(dist(v), dist(u)+1) over the
+    * DISTINCT edge set, one co-partitioned join + groupBy-min per
+    * round, frontier checkpointed so the iterative lineage stays flat
+    * (the dedup_clusters discipline). The type graph is bounded, so a
+    * fixed diameter cap replaces a convergence count; at entity scale
+    * the same loop runs on a billion-edge table with edges hash-
+    * partitioned by src. Oracle = DuckDB recursive CTE walk with the
+    * same depth cap.
+    */
+  def shortestPath(spark: SparkSession, dir: String, source: String = "click",
+      maxHops: Int = 6): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("f"), col("to_type").as("t"))
+      .distinct().cache()
+    var dist = Seq((source, 0L)).toDF("t", "d")
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(edges, dist("t") === edges("f"))
+        .select(edges("t").as("t"), (col("d") + 1L).as("d"))
+      dist = dist.union(next)
+        .groupBy(col("t")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.select(col("t").as("event_type"), col("d").as("hops"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Bollinger bands (`q_bollinger`): trailing 7-row mean ± 2σ per
+    * user. The sliding moments are EXACT integer window sums (values
+    * floored to cents — floor, not round: double rounding ties differ
+    * between engines), so the window association order can't drift;
+    * mean/σ/bands are then one double expression per row written
+    * identically in both engines. DuckDB's segment-tree window
+    * aggregation reorders float sums — integral frames are immune.
+    */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 10 && col("value").isNotNull)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val sd = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+      col("n") / lit(100.0)
+    val mean = col("sx").cast("double") / col("n") / lit(100.0)
+    e.withColumn("n", count(col("cents")).over(w))
+      .withColumn("sx", sum(col("cents")).over(w))
+      .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n"),
+        round(mean, 6).as("mid"),
+        round(mean - lit(2.0) * sd, 6).as("lower"),
+        round(mean + lit(2.0) * sd, 6).as("upper"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event
     * type, the average events-per-day on each weekday relative to the
     * type's overall daily average. All counting is integral — per-type

@@ -246,4 +246,48 @@ object Fusion {
         col("dist").cast("long").as("dist"))
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  /** End-to-end entity resolution (`q_entity_resolution`): the fuzzy
+    * pair graph from `fuzzyNameJoin` collapsed to canonical entities —
+    * min-label propagation over the name graph (the dedup_clusters
+    * loop on strings: O(diameter) co-partitioned join+agg rounds,
+    * localCheckpoint truncating the iterative lineage), every name
+    * mapped to its cluster's lexicographic min as the survivor, plus
+    * the cluster size. This is the master-data step the reference's
+    * two-lineage fusion implies but does by exact key only; oracle =
+    * DuckDB recursive-CTE transitive closure over the same pairs.
+    */
+  def entityResolution(spark: SparkSession, dir: String,
+      maxIter: Int = 20): DataFrame = {
+    val names = Tables.load(spark, dir, "part").select(col("p_name")).distinct()
+    val pairs = fuzzyNameJoin(spark, dir).select(col("name_a"), col("name_b"))
+    val edges = pairs
+      .union(pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("name")).distinct()
+      .withColumn("lbl", col("name")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("name"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val joined = labels
+        .join(nbrMin, labels("name") === nbrMin("src"), "left")
+        .select(col("name"), col("lbl"), col("nbr_lbl")).localCheckpoint()
+      changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
+      labels = joined.select(col("name"),
+        least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      iter += 1
+    }
+    val resolved = names
+      .join(labels.withColumnRenamed("name", "p_name"), Seq("p_name"), "left")
+      .select(col("p_name").as("name"),
+        coalesce(col("lbl"), col("p_name")).as("canonical"))
+    val sizes = resolved.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, Seq("canonical"))
+      .select(col("name"), col("canonical"), col("cluster_size"))
+      .orderBy(col("name"))
+  }
 }

@@ -458,4 +458,46 @@ object Similarity {
         round(col("rrf"), 6).as("rrf"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** Sparse count-vector cosine over documents (`sim_sparse_cosine`):
+    * the INVERTED-INDEX formulation of all-pairs doc similarity — the
+    * only shape that survives corpus scale. Docs become (doc, token,
+    * count) postings; the token equi-join enumerates exactly the pairs
+    * that share a term (never the O(n²) cross product); the per-pair
+    * dot product is Σ c_a·c_b. The vocabulary is clipped to tokens
+    * with 2 ≤ df ≤ maxDf — df-1 tokens can't contribute to any pair,
+    * and high-df (stopword-ish) tokens are what make posting lists —
+    * and thus the join — quadratic; the clip bounds pair volume by
+    * maxDf·Σdf, linear in the corpus. All accumulation is integral
+    * (counts, dot, squared norms are BIGINT), so the cosine is ONE
+    * double expression dot/(√na·√nb) written identically in both
+    * engines — bit-stable, threshold compare included.
+    */
+  def sparseCosine(spark: SparkSession, dir: String, maxDf: Int = 50,
+      minCos: Double = 0.4): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(lower(col("text")))).as("tok"))
+    val counts = docs.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("tok"))
+    val kept = counts.join(vocab, Seq("tok"))
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("nrm"))
+    val dots = kept.as("a").join(kept.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val cosExpr = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .filter(cosExpr >= minCos)
+      .select(col("id_a"), col("id_b"), col("dot"), round(cosExpr, 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -85,4 +85,92 @@ class MixSpec extends SparkSpec {
     val again = TextFunctions.mixtureSample(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("sparse cosine: dot/norm agree with a driver-side recompute on one pair") {
+    val rows = graft.operators.Similarity.sparseCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+      .toMap.view.mapValues(
+        _.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    // vocabulary: 2 <= df <= 50 over the whole corpus
+    val df = docs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = df.filter { case (_, d) => d >= 2 && d <= 50 }.keySet
+    val r = rows.head
+    val (a, b) = (docs(r.getLong(1)), docs(r.getLong(0)))
+    val dot = (a.keySet & b.keySet & vocab).toSeq.map(t => a(t) * b(t)).sum
+    assert(r.getLong(2) === dot, "dot")
+    def nrm(m: Map[String, Long]) = m.filter(kv => vocab(kv._1)).values.map(c => c * c).sum
+    val cos = dot.toDouble / (math.sqrt(nrm(a).toDouble) * math.sqrt(nrm(b).toDouble))
+    assert(math.abs(r.getDouble(3) - cos) < 1e-6, "cos")
+    assert(cos >= 0.4)
+  }
+
+  test("entity resolution: canonical is the min name of a connected component") {
+    val rows = graft.operators.Fusion.entityResolution(spark, sf).collect()
+    val pairs = graft.operators.Fusion.fuzzyNameJoin(spark, sf)
+      .select(col("name_a"), col("name_b")).as[(String, String)].collect()
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val byRoot = rows.map(_.getString(0)).groupBy(find)
+    for (r <- rows) {
+      val comp = byRoot(find(r.getString(0)))
+      assert(r.getString(1) === comp.min, s"canonical of ${r.getString(0)}")
+      assert(r.getLong(2) === comp.length.toLong, s"size of ${r.getString(0)}")
+    }
+  }
+
+  test("shortest path: source at 0, every hop-d node has a hop-(d-1) predecessor") {
+    val rows = Analytics.shortestPath(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("click") === 0L)
+    val edges = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).values.flatMap { es =>
+        es.sortBy(e => (micros(e._3), e._4)).sliding(2).collect {
+          case Array(x, y) => (x._2, y._2)
+        }
+      }.toSet
+    for ((t, d) <- rows if d > 0)
+      assert(edges.exists { case (f, to) => to == t && rows.get(f).exists(_ == d - 1) },
+        s"$t reachable at $d")
+  }
+
+  test("bollinger: bands bracket the mid and match a driver fold on one user") {
+    // columns: user_id(0) event_id(1) value(2) n(3) mid(4) lower(5) upper(6)
+    val rows = Analytics.bollinger(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(r.getDouble(5) <= r.getDouble(4) + 1e-9 &&
+      r.getDouble(4) <= r.getDouble(6) + 1e-9)
+    // driver recompute for user 0's series
+    val series = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("user_id") === 0 && col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(e => (micros(e._2), e._1))
+    val cents = series.map(e => math.floor(e._3 * 100).toLong)
+    val got = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(got.length === series.length)
+    val byId = series.map(_._1).zipWithIndex.toMap
+    for (r <- got) {
+      val i = byId(r.getLong(1))
+      val win = cents.slice(math.max(0, i - 6), i + 1)
+      val (n, sx, sxx) = (win.length.toLong, win.sum, win.map(c => c * c).sum)
+      assert(r.getLong(3) === n)
+      val mid = sx.toDouble / n / 100.0
+      assert(math.abs(r.getDouble(4) - mid) < 1e-6, s"mid at ${r.getLong(1)}")
+      val sd = math.sqrt((n * sxx - sx * sx).toDouble) / n / 100.0
+      assert(math.abs(r.getDouble(6) - (mid + 2.0 * sd)) < 1e-6)
+    }
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
