@@ -255,7 +255,10 @@ object SparkEntry {
     "sim_sparse_cosine" -> ((s, d) => Similarity.sparseCosine(s, d)),
     "q_entity_resolution" -> ((s, d) => Fusion.entityResolution(s, d)),
     "q_shortest_path" -> ((s, d) => Analytics.shortestPath(s, d)),
-    "q_bollinger" -> ((s, d) => Analytics.bollinger(s, d))
+    "q_bollinger" -> ((s, d) => Analytics.bollinger(s, d)),
+    "q_rolling_median" -> ((s, d) => Analytics.rollingMedian(s, d)),
+    "q_except_all" -> ((s, d) => Relational.exceptAllClicks(s, d)),
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
   )
 
   private val cutoffValues =
@@ -3164,6 +3167,57 @@ object SparkEntry {
         |       round(CAST(sx AS DOUBLE) / n / 100.0 +
         |             2.0 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0),
         |             6) AS upper
-        |FROM m ORDER BY user_id, event_id""".stripMargin
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // The median is a STORED cents value picked at ceil(n/2) — no
+    // float accumulation anywhere.
+    "q_rolling_median" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10 AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_id,
+        |         list_sort(list(cents) OVER w) AS vals
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(len(vals) AS BIGINT) AS n,
+        |       vals[CAST(ceil(len(vals) / 2.0) AS INTEGER)] AS med_cents,
+        |       round(CAST(vals[CAST(ceil(len(vals) / 2.0) AS INTEGER)]
+        |                  AS DOUBLE) / 100.0, 6) AS median
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
+    "q_except_all" ->
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY user_id, d""".stripMargin,
+    // Chunk grid from mm_audio_chunks + byte-addressed amplitude probe.
+    "mm_audio_energy" -> (s"WITH $duckMediaMeta,\n" +
+      """a AS (
+        |  SELECT doc_id,
+        |         CAST(8000 + (b0 % 5) * 8000 AS INTEGER) AS sample_rate,
+        |         n_bytes // 2 AS n_samples
+        |  FROM m WHERE kind = 'audio' AND n_bytes // 2 >= 1),
+        |c AS (
+        |  SELECT doc_id, sample_rate, n_samples,
+        |         (n_samples + sample_rate - 1) // sample_rate AS n_chunks
+        |  FROM a),
+        |ch AS (
+        |  SELECT doc_id, i.i AS chunk_i,
+        |         i.i * sample_rate AS start_sample,
+        |         least(CAST(sample_rate AS BIGINT),
+        |               n_samples - i.i * sample_rate) AS chunk_samples
+        |  FROM c CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) i),
+        |hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+        |SELECT ch.doc_id, chunk_i, chunk_samples,
+        |       CAST(concat('0x', substr(h, CAST(start_sample * 4 AS INTEGER) + 1, 2))
+        |            AS BIGINT) AS amp0,
+        |       CAST(CASE WHEN CAST(concat('0x',
+        |                substr(h, CAST(start_sample * 4 AS INTEGER) + 1, 2))
+        |                AS BIGINT) < 32 THEN 1 ELSE 0 END AS BIGINT) AS is_silent
+        |FROM ch JOIN hx USING (doc_id)
+        |ORDER BY doc_id, chunk_i""".stripMargin)
   )
 }

@@ -285,6 +285,31 @@ object Multimodal {
     * volume is bounded by band-bucket sizes, never O(n²); everything
     * is integral/string equality — bit-stable.
     */
+  /** Per-chunk amplitude probe + silence flag (`mm_audio_energy`): the
+    * VAD/silence-trim planning pass — each audio chunk from
+    * `audioChunks` is scored by a deterministic amplitude probe (the
+    * unsigned value of the chunk's first byte, addressed into the hex
+    * payload exactly like mm_phash_pairs' samples; a real
+    * energy/VAD model swaps in behind the same column) and flagged
+    * silent under a threshold. The probe is byte-addressed so DuckDB
+    * validates the distributed offset arithmetic bit-for-bit via
+    * hex(encode(text)). Chunks and payloads join co-keyed on doc_id —
+    * at scale the probe is extracted in the SCAN stage so payloads
+    * never shuffle.
+    */
+  def audioEnergy(spark: SparkSession, dir: String, threshold: Int = 32): DataFrame = {
+    val hx = mediaTable(spark, dir).filter(col("kind") === "audio")
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+    audioChunks(spark, dir)
+      .join(hx, Seq("doc_id"))
+      .withColumn("amp0",
+        conv(expr("substr(hx, CAST(start_sample * 4 AS INT) + 1, 2)"), 16, 10)
+          .cast("long"))
+      .select(col("doc_id"), col("chunk_i"), col("chunk_samples"), col("amp0"),
+        (col("amp0") < threshold).cast("long").as("is_silent"))
+      .orderBy(col("doc_id"), col("chunk_i"))
+  }
+
   def phashPairs(spark: SparkSession, dir: String, maxDiff: Int = 2): DataFrame = {
     val imgs = mediaTable(spark, dir).filter(col("kind") === "image")
       .select(col("doc_id"), hex(col("payload")).as("hx"),

@@ -1480,6 +1480,29 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling exact median (`q_rolling_median`): discrete median over a
+    * trailing 7-row frame — `collect_list` over the ROWS frame (state
+    * bounded by the frame width, NOT the partition), `sort_array`,
+    * pick position ceil(n/2). The picked value is a STORED cents value
+    * (floor-cents like q_bollinger), so the result is bit-stable with
+    * no float accumulation at all — the robust twin of the Bollinger
+    * mean, same single window pass.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 10 && col("value").isNotNull)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    e.withColumn("vals", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n", size(col("vals")).cast("long"))
+      .withColumn("med_cents",
+        element_at(col("vals"), expr("CAST(ceil(n / 2.0) AS INT)")))
+      .select(col("user_id"), col("event_id"), col("n"), col("med_cents"),
+        round(col("med_cents").cast("double") / lit(100.0), 6).as("median"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event
     * type, the average events-per-day on each weekday relative to the
     * type's overall daily average. All counting is integral — per-type

@@ -47,6 +47,20 @@ object Relational {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** Bag-semantics set difference (`q_except_all`): EXCEPT ALL keeps
+    * MULTIPLICITY — a user-day with 3 clicks and 1 view survives twice
+    * — which is what reconciliation of duplicated feeds needs (the
+    * DISTINCT form of q_intersect_except would hide residual dup
+    * counts). Spark plans `exceptAll` as a sum-of-counts aggregate +
+    * generate (one shuffle), never a pairwise join.
+    */
+  def exceptAllClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    def bag(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+    bag("click").exceptAll(bag("view")).orderBy(col("user_id"), col("d"))
+  }
+
   /** Deterministic arg-max/arg-min per group via ordered-struct
     * aggregates: max(struct(price, key)) compares lexicographically, so
     * equal prices break ties on the key — unlike a bare max_by, which

@@ -171,6 +171,56 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("rolling median: picked value is the ceil(n/2)-th sorted frame element") {
+    val rows = Analytics.rollingMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val series = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("user_id") === 0 && col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(e => (micros(e._2), e._1))
+    val cents = series.map(e => math.floor(e._3 * 100).toLong)
+    val byId = series.map(_._1).zipWithIndex.toMap
+    for (r <- rows.filter(_.getLong(0) == 0L)) {
+      val i = byId(r.getLong(1))
+      val win = cents.slice(math.max(0, i - 6), i + 1).sorted
+      assert(r.getLong(2) === win.length.toLong)
+      assert(r.getLong(3) === win((win.length + 1) / 2 - 1), s"median at ${r.getLong(1)}")
+    }
+  }
+
+  test("except all: multiplicity is per-key click minus view counts, floored at 0") {
+    val got = graft.operators.Relational.exceptAllClicks(spark, sf).collect()
+      .groupBy(r => (r.getLong(0), r.getString(1))).view.mapValues(_.length).toMap
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd")).as[(String, Long, String)].collect()
+    def bag(t: String) = e.filter(_._1 == t).groupBy(x => (x._2, x._3))
+      .view.mapValues(_.length).toMap
+    val (clicks, views) = (bag("click"), bag("view"))
+    val expect = clicks.map { case (k, c) => k -> math.max(0, c - views.getOrElse(k, 0)) }
+      .filter(_._2 > 0)
+    assert(got === expect)
+  }
+
+  test("audio energy: amp0 is the first byte of each chunk's sample range") {
+    val rows = graft.multimodal.Multimodal.audioEnergy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val payloads = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .toMap.view.mapValues(_.getBytes("UTF-8")).toMap
+    // recompute start_sample per chunk from the decode rule
+    for (r <- rows.take(50)) {
+      val bytes = payloads(r.getLong(0))
+      val rate = 8000 + (java.lang.Byte.toUnsignedInt(bytes(0)) % 5) * 8000
+      val startSample = r.getLong(1) * rate
+      val b = java.lang.Byte.toUnsignedInt(bytes((startSample * 2).toInt))
+      assert(r.getLong(3) === b.toLong, s"amp0 doc ${r.getLong(0)} chunk ${r.getLong(1)}")
+      assert((r.getLong(4) == 1L) === (b < 32))
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
