@@ -258,7 +258,9 @@ object SparkEntry {
     "q_bollinger" -> ((s, d) => Analytics.bollinger(s, d)),
     "q_rolling_median" -> ((s, d) => Analytics.rollingMedian(s, d)),
     "q_except_all" -> ((s, d) => Relational.exceptAllClicks(s, d)),
-    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
+    "text_keywords" -> ((s, d) => TextFunctions.rakeKeywords(s, d)),
+    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d))
   )
 
   private val cutoffValues =
@@ -3218,6 +3220,72 @@ object SparkEntry {
         |                substr(h, CAST(start_sample * 4 AS INTEGER) + 1, 2))
         |                AS BIGINT) < 32 THEN 1 ELSE 0 END AS BIGINT) AS is_silent
         |FROM ch JOIN hx USING (doc_id)
-        |ORDER BY doc_id, chunk_i""".stripMargin)
+        |ORDER BY doc_id, chunk_i""".stripMargin),
+    // RAKE with the all-integer degree score; phrase order and score
+    // ties are fully deterministic.
+    "text_keywords" -> {
+      val swList = graft.functions.TextFunctions.stopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS w,
+         |         generate_subscripts(${textWords()}, 1) AS pos
+         |  FROM documents),
+         |f AS (SELECT doc_id, pos, w, w IN ($swList) AS is_stop FROM toks),
+         |ph AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+         |  FROM f),
+         |pw AS (SELECT doc_id, phrase_id, pos, w FROM ph WHERE NOT is_stop),
+         |pl AS (
+         |  SELECT doc_id, phrase_id, count(*) AS len,
+         |         string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM pw GROUP BY 1, 2),
+         |deg AS (
+         |  SELECT pw.doc_id, pw.w, sum(pl.len) AS deg
+         |  FROM pw JOIN pl ON pw.doc_id = pl.doc_id
+         |                 AND pw.phrase_id = pl.phrase_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT pw.doc_id, pw.phrase_id, sum(deg.deg) AS score
+         |  FROM pw JOIN deg ON pw.doc_id = deg.doc_id AND pw.w = deg.w
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT sc.doc_id, pl.phrase, sc.score,
+         |         row_number() OVER (PARTITION BY sc.doc_id
+         |                            ORDER BY sc.score DESC, pl.phrase ASC) AS rn
+         |  FROM sc JOIN pl ON sc.doc_id = pl.doc_id
+         |                 AND sc.phrase_id = pl.phrase_id)
+         |SELECT doc_id, phrase AS keyword, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    // Frame grid at k=8 + byte probe at frame_idx mod n_bytes; cut =
+    // |probe − prev| > 64 (first frame never a cut).
+    "mm_scene_cuts" -> (s"WITH $duckMediaMeta,\n" +
+      """v AS (SELECT doc_id, 1 + b1 % 240 AS n_frames, n_bytes FROM m
+        |      WHERE kind = 'video' AND n_bytes >= 1),
+        |s AS (SELECT doc_id, n_frames, n_bytes, unnest(range(8)) AS sample_i
+        |      FROM v),
+        |fr AS (
+        |  SELECT doc_id, sample_i, n_bytes,
+        |         CAST(floor(CAST(sample_i AS DOUBLE) * CAST(n_frames AS DOUBLE) /
+        |                    CAST(8.0 AS DOUBLE)) AS BIGINT) AS frame_idx
+        |  FROM s),
+        |hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |p AS (
+        |  SELECT fr.doc_id, sample_i, frame_idx,
+        |         CAST(concat('0x',
+        |              substr(h, CAST((frame_idx % n_bytes) * 2 AS INTEGER) + 1, 2))
+        |              AS BIGINT) AS probe
+        |  FROM fr JOIN hx USING (doc_id)),
+        |l AS (
+        |  SELECT doc_id, sample_i, frame_idx, probe,
+        |         lag(probe) OVER (PARTITION BY doc_id ORDER BY sample_i) AS prev
+        |  FROM p)
+        |SELECT doc_id, CAST(sample_i AS BIGINT) AS sample_i, frame_idx, probe,
+        |       CAST(CASE WHEN prev IS NULL THEN 0
+        |                 WHEN abs(probe - prev) > 64 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_cut
+        |FROM l ORDER BY doc_id, sample_i""".stripMargin)
   )
 }

@@ -304,6 +304,50 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** RAKE-style keyword extraction (`text_keywords`): per document,
+    * phrases are maximal stopword-free token runs (phrase_id = running
+    * stopword count — one window over token positions), each word's
+    * degree is Σ phrase_len over its phrase occurrences, and a
+    * phrase's score is Σ member-word degrees. This is RAKE with the
+    * pure-degree word score: every quantity is an INTEGER (the
+    * classic deg/freq ratio would sum fractions in engine-dependent
+    * order), so the per-doc top phrase — (score desc, phrase asc) —
+    * is bit-deterministic. Two co-keyed joins on (doc, phrase) and
+    * (doc, word); nothing leaves the doc's key space until the final
+    * top-1, so the whole pass is one logical regroup per stage at any
+    * corpus size. All-stopword docs have no phrases and are absent.
+    */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sw = stopwords
+    val toks = docs
+      .select(col("doc_id"), posexplode(words(lower(col("text")))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isInCollection(sw))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pw = toks
+      .withColumn("phrase_id", sum(col("is_stop").cast("long")).over(wDoc))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("w"))
+    val pl = pw.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    val deg = pw.join(pl.select(col("doc_id"), col("phrase_id"), col("len")),
+        Seq("doc_id", "phrase_id"))
+      .groupBy(col("doc_id"), col("w")).agg(sum(col("len")).as("deg"))
+    val sc = pw.join(deg, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase_id")).agg(sum(col("deg")).as("score"))
+    val ranked = sc.join(pl.select(col("doc_id"), col("phrase_id"), col("phrase")),
+        Seq("doc_id", "phrase_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rn") === 1)
+    ranked.select(col("doc_id"), col("phrase").as("keyword"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget mixture sampling (`text_mixture_sample`): given a
     * target mixture weight per source (permille, summing to 1000) and
     * a global token budget (40% of the corpus here), compute each

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -285,6 +286,42 @@ object Multimodal {
     * volume is bounded by band-bucket sizes, never O(n²); everything
     * is integral/string equality — bit-stable.
     */
+  /** Scene-cut detection stand-in (`mm_scene_cuts`): the video
+    * shot-boundary pass — sample k evenly-spaced frames per video
+    * (the mm_frame_sample grid at k=8), probe each frame with a
+    * deterministic byte read (payload byte at frame_idx mod n_bytes;
+    * a real decoder's per-frame histogram distance swaps in behind
+    * the same column), then flag a cut where the probe jumps by more
+    * than the threshold versus the PREVIOUS sampled frame (lag window
+    * per video — state is one probe value). Integral throughout;
+    * byte-addressed so DuckDB replays the probe via hex(encode()).
+    */
+  def sceneCuts(spark: SparkSession, dir: String, k: Int = 8,
+      threshold: Int = 64): DataFrame = {
+    val hx = mediaTable(spark, dir).filter(col("kind") === "video")
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") >= 1L)
+    val frames = decodeStats(spark, dir)
+      .filter(col("kind") === "video")
+      .withColumn("sample_i", explode(sequence(lit(0L), lit((k - 1).toLong))))
+      .withColumn("frame_idx",
+        floor(col("sample_i").cast("double") * col("n_frames").cast("double") /
+          lit(k.toDouble)).cast("long"))
+      .select(col("doc_id"), col("sample_i"), col("frame_idx"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sample_i"))
+    frames.join(hx, Seq("doc_id"))
+      .withColumn("probe",
+        conv(expr("substr(hx, CAST((frame_idx % n_bytes) * 2 AS INT) + 1, 2)"),
+          16, 10).cast("long"))
+      .withColumn("prev", lag(col("probe"), 1).over(w))
+      .select(col("doc_id"), col("sample_i"), col("frame_idx"), col("probe"),
+        when(col("prev").isNull, lit(0L))
+          .otherwise((abs(col("probe") - col("prev")) > threshold).cast("long"))
+          .as("is_cut"))
+      .orderBy(col("doc_id"), col("sample_i"))
+  }
+
   /** Per-chunk amplitude probe + silence flag (`mm_audio_energy`): the
     * VAD/silence-trim planning pass — each audio chunk from
     * `audioChunks` is scored by a deterministic amplitude probe (the

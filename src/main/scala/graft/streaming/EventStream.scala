@@ -32,6 +32,23 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed distinct-user sketch (the streaming twin of
+    * `q_approx_distinct`): HLL `approx_count_distinct` inside a
+    * watermarked tumbling window — per-window state is ONE sketch
+    * (KBs), not the user-id set, so a window over a billion users
+    * costs the same state as one over a thousand. Append mode: the
+    * (window, estimate) row finalizes when the watermark passes.
+    */
+  def windowedDistinctUsers(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("n_users"), col("n_events"))
+
   /** Streaming hourly OHLC bars (the streaming twin of
     * `Analytics.ohlcBars`): `min_by`/`max_by` on the unique
     * (ts, event_id) struct inside a watermarked tumbling window —

@@ -221,6 +221,56 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("rake keywords: top phrase score matches a driver-side RAKE on sample docs") {
+    val rows = TextFunctions.rakeKeywords(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sw = TextFunctions.stopwords.toSet
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect().toMap
+    for (r <- rows.take(20)) {
+      val toks = docs(r.getLong(0)).split("[^a-z0-9]+").filter(_.nonEmpty)
+      // phrases: maximal stopword-free runs
+      val phrases = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      for (t <- toks) {
+        if (sw(t)) { if (cur.nonEmpty) phrases += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) phrases += cur
+      val deg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for (p <- phrases; w <- p) deg(w) += p.length.toLong
+      val best = phrases.map(p => (p.map(deg).sum, p.mkString(" ")))
+        .sortBy { case (s, ph) => (-s, ph) }.head
+      assert(r.getString(1) === best._2, s"keyword of doc ${r.getLong(0)}")
+      assert(r.getLong(2) === best._1, s"score of doc ${r.getLong(0)}")
+    }
+  }
+
+  test("scene cuts: probes match payload bytes and cuts flag threshold jumps") {
+    val rows = graft.multimodal.Multimodal.sceneCuts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val payloads = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .toMap.view.mapValues(_.getBytes("UTF-8")).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    for ((doc, frames) <- byDoc.take(30)) {
+      val bytes = payloads(doc)
+      val nFrames = 1 + (if (bytes.length >= 2) java.lang.Byte.toUnsignedInt(bytes(1)) else 0) % 240
+      val sorted = frames.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (0L until 8L))
+      for ((r, i) <- sorted.zipWithIndex) {
+        val expectIdx = math.floor(i.toDouble * nFrames / 8.0).toLong
+        assert(r.getLong(2) === expectIdx)
+        val probe = java.lang.Byte.toUnsignedInt(bytes((expectIdx % bytes.length).toInt))
+        assert(r.getLong(3) === probe.toLong, s"probe doc $doc frame $i")
+        if (i == 0) assert(r.getLong(4) === 0L)
+        else assert((r.getLong(4) == 1L) ===
+          (math.abs(probe - sorted(i - 1).getLong(3)) > 64))
+      }
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }

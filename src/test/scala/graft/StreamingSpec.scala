@@ -38,6 +38,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed distinct-user sketch: exact at tiny cardinality, one row per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = EventStream.windowedDistinctUsers(events)
+      .writeStream.format("memory").queryName("wdu_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L),
+        (ts("2024-01-01 10:15:00"), 1L), // dup user
+        (ts("2024-01-01 10:25:00"), 2L),
+        (ts("2024-01-01 11:05:00"), 3L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 9L)) // close both windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bucket, n_users, n_events FROM wdu_test ORDER BY bucket")
+        .collect()
+      val w10 = rows.find(_.getTimestamp(0) == ts("2024-01-01 10:00:00")).get
+      assert(w10.getLong(1) === 2L) // HLL exact at this cardinality
+      assert(w10.getLong(2) === 3L)
+      val w11 = rows.find(_.getTimestamp(0) == ts("2024-01-01 11:00:00")).get
+      assert(w11.getLong(1) === 1L && w11.getLong(2) === 1L)
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars finalize once the watermark passes the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, Double)]
