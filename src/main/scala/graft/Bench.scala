@@ -20,7 +20,10 @@ object Bench {
     "mm_shard_pack", "q_concurrency",
     // round-3 session-4 additions
     "q_trend_regression", "q_histogram_equi", "q_capped_balance",
-    "q_attribution", "sim_rrf_fusion", "text_boilerplate")
+    "q_attribution", "sim_rrf_fusion", "text_boilerplate",
+    // round-3 session-5 additions
+    "q_ship_priority", "q_region_volume", "sim_sparse_cosine",
+    "text_keywords")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
