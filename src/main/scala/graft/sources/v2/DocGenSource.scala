@@ -71,10 +71,11 @@ class DocGenTable extends Table with SupportsRead {
   override def name(): String = "graft_docgen"
   override def schema(): StructType = DocGen.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocGenScanBuilder(options.getLong("rows", 1000L),
-      options.getInt("partitions", 4))
+      options.getInt("partitions", 4),
+      options.getLong("rowsPerBatch", 100L))
 }
 
 /** `doc_id` range predicates are pushed INTO the generator
@@ -84,7 +85,7 @@ class DocGenTable extends Table with SupportsRead {
   * parquet row-group pruning. Consumed filters are exact (integral
   * bounds on the row id itself), so they are NOT re-evaluated post-scan.
   */
-class DocGenScanBuilder(rows: Long, parts: Int)
+class DocGenScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -111,13 +112,17 @@ class DocGenScanBuilder(rows: Long, parts: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DocGenScan(lo, math.max(lo, hi), parts, required)
+  override def build(): Scan =
+    new DocGenScan(lo, math.max(lo, hi), parts, required, rowsPerBatch)
 }
 
-class DocGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
-    extends Scan with Batch {
+class DocGenScan(lo: Long, hi: Long, parts: Int, required: StructType,
+    rowsPerBatch: Long = 100L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new DocGenMicroBatchStream(lo, hi, parts, required, rowsPerBatch)
   override def description(): String =
     s"graft-docgen range=[$lo,$hi) parts=$parts cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
@@ -134,6 +139,51 @@ class DocGenScan(lo: Long, hi: Long, parts: Int, required: StructType)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+/** Streaming surface of the same generator
+  * (`spark.readStream.format("graft-docgen")`): a bounded
+  * `MicroBatchStream` whose offset is simply the count of ids emitted
+  * so far — each trigger advances by `rowsPerBatch` until the logical
+  * table is exhausted, and `planInputPartitions(start, end)` re-uses
+  * the batch range-split. Offsets are pure row counts, so restart
+  * from a checkpoint resumes EXACTLY-once with no source-side state
+  * beyond the committed offset — the property a replayable ingest
+  * feed (Kafka with deterministic payloads, a ledger of file chunks)
+  * must expose, demonstrated with closed-form content.
+  */
+class DocGenMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    required: StructType, rowsPerBatch: Long)
+    extends streaming.MicroBatchStream {
+  private case class DocGenOffset(pos: Long) extends streaming.Offset {
+    override def json(): String = pos.toString
+  }
+  private var available: Long = lo
+
+  override def initialOffset(): streaming.Offset = DocGenOffset(lo)
+  override def deserializeOffset(json: String): streaming.Offset =
+    DocGenOffset(json.toLong)
+  override def latestOffset(): streaming.Offset = {
+    // guarded add: a huge rowsPerBatch must clamp to hi, not overflow
+    available = if (rowsPerBatch >= hi - available) hi else available + rowsPerBatch
+    DocGenOffset(available)
+  }
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.json().toLong, end.json().toLong)
+    val span = e0 - s0
+    if (span <= 0) return Array.empty
+    val per = math.max(1L, (span + parts - 1) / parts.toLong)
+    (0 until parts).flatMap { p =>
+      val s = s0 + p * per
+      val e = math.min(e0, s0 + (p + 1) * per)
+      if (s < e) Some(DocGenPartition(s, e): InputPartition) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class DocGenReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -66,6 +66,27 @@ class DocGenSourceSpec extends SparkSpec {
     assert(ids.nonEmpty && ids.forall(id => id >= 50000L && id < 50100L && id % 10 == 3))
   }
 
+  test("docgen streams as microbatches: all rows once, batch-equal content") {
+    val q = spark.readStream.format("graft-docgen")
+      .option("rows", 100L).option("partitions", 3)
+      .option("rowsPerBatch", 30L).load()
+      .writeStream.format("memory").queryName("docgen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, source, n_words, text FROM docgen_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = gen(100, 3)
+        .select(col("doc_id"), col("source"), col("n_words"), col("text"))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(got.length === 100)
+      assert(got.toSeq === batch.toSeq)
+      // bounded stream: nothing more arrives
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM docgen_stream").as[Long].head() === 100L)
+    } finally q.stop()
+  }
+
   test("docgen text matches the closed-form id arithmetic") {
     val row = gen(100, 2).filter(col("doc_id") === 7L)
       .select(col("n_words"), col("text")).as[(Int, String)].head()
