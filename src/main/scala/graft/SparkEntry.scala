@@ -260,7 +260,10 @@ object SparkEntry {
     "q_except_all" -> ((s, d) => Relational.exceptAllClicks(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
     "text_keywords" -> ((s, d) => TextFunctions.rakeKeywords(s, d)),
-    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d))
+    "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "q_mwu_test" -> ((s, d) => Analytics.mwuTest(s, d)),
+    "q_period_detect" -> ((s, d) => Analytics.periodDetect(s, d)),
+    "q_itemset3" -> ((s, d) => Relational.itemset3(s, d))
   )
 
   private val cutoffValues =
@@ -3286,6 +3289,88 @@ object SparkEntry {
         |       CAST(CASE WHEN prev IS NULL THEN 0
         |                 WHEN abs(probe - prev) > 64 THEN 1 ELSE 0 END
         |            AS BIGINT) AS is_cut
-        |FROM l ORDER BY doc_id, sample_i""".stripMargin)
+        |FROM l ORDER BY doc_id, sample_i""".stripMargin),
+    // Doubled midranks from the value histogram keep U integral;
+    // z written as one identical expression (no tie correction).
+    "q_mwu_test" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, cents, count(*) AS c,
+        |             CAST(sum(in_a) AS BIGINT) AS a_v
+        |      FROM v GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, c, a_v,
+        |         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING), 0) AS cum_before
+        |  FROM h),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(sum(a_v) AS BIGINT) AS n_a,
+        |         CAST(sum(c - a_v) AS BIGINT) AS n_b,
+        |         CAST(sum(a_v * (2 * cum_before + c + 1)) AS BIGINT) AS r2_a
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |       r2_a - n_a * (n_a + 1) AS u2_a,
+        |       round(CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
+        |             (2.0 * sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE)
+        |                         / 12.0)), 6) AS z
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Lag sweep 1..14; zero-variance lags excluded INTEGRALLY before
+    // the (r desc, lag asc) pick.
+    "q_period_detect" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest(range(1, 15)) AS lag),
+        |p AS (
+        |  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag),
+        |m AS (
+        |  SELECT event_type, lag, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, lag, n,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |  FROM m
+        |  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+        |k AS (
+        |  SELECT event_type, lag, n, r,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY r DESC, lag ASC) AS rk
+        |  FROM s)
+        |SELECT event_type, CAST(lag AS BIGINT) AS best_lag,
+        |       CAST(n AS BIGINT) AS n_pairs, round(r, 6) AS r
+        |FROM k WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q_itemset3" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |                        event_type FROM events),
+        |nb AS (SELECT count(*) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, day FROM baskets)),
+        |t AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, c.event_type AS t3,
+        |         count(*) AS n_all3
+        |  FROM baskets a
+        |  JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+        |  JOIN baskets c ON a.user_id = c.user_id AND a.day = c.day
+        |  WHERE a.event_type < b.event_type AND b.event_type < c.event_type
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT t1, t2, t3, n_all3,
+        |       round(CAST(n_all3 AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |         AS support
+        |FROM t CROSS JOIN nb
+        |ORDER BY t1, t2, t3""".stripMargin
   )
 }

@@ -1503,6 +1503,87 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Mann–Whitney U test (`q_mwu_test`): nonparametric cohort
+    * comparison (even vs odd user ids) of event values per type — the
+    * rank-based complement of q_ab_test's proportion z. Midranks come
+    * from the VALUE HISTOGRAM (per-(type, cents) counts + a cumsum
+    * over distinct values — the q_rfm pattern, never a per-row rank
+    * window), and everything stays integral by carrying DOUBLED rank
+    * sums: 2·midrank(v) = 2·cum_before + c_v + 1, 2·U_A = Σ a_v·2mr −
+    * n_A(n_A+1). The z statistic (no tie correction; documented rule)
+    * is one identical double expression.
+    */
+  def mwuTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 2 === 0).cast("long").as("in_a"))
+    val hist = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"), sum(col("in_a")).as("a_v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cum_before") + col("c") + 1L)
+    val agg = ranked.groupBy(col("event_type")).agg(
+      sum(col("a_v")).as("n_a"),
+      sum(col("c") - col("a_v")).as("n_b"),
+      sum(col("a_v") * col("mr2")).as("r2_a"))
+    agg
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        round((col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+          (lit(2.0) * sqrt((col("n_a") * col("n_b") *
+            (col("n_a") + col("n_b") + 1L)).cast("double") / lit(12.0))), 6)
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Periodicity detection (`q_period_detect`): the q_autocorr moment
+    * protocol swept over lags 1..14 — the daily grid fans out through
+    * a generated lag spine (one explode, volume = days×14 per type,
+    * bounded by the calendar), each (type, lag) join is co-keyed on
+    * (type, day+lag), and the winning lag per type is picked by a
+    * fully ordered (r desc, lag asc) rank. Zero-variance lags are
+    * excluded by an INTEGER predicate (denominator moments > 0), so
+    * no engine-dependent NULL ordering ever reaches the rank.
+    */
+  def periodDetect(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("d2", col("d") + col("lag"))
+    val pairs = lagged.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.d") === col("a.d2"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    val m = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val scored = m
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0L)
+      .withColumn("r",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("r").desc, col("lag").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("lag").as("best_lag"),
+        col("n").as("n_pairs"), round(col("r"), 6).as("r"))
+      .orderBy(col("event_type"))
+  }
+
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event
     * type, the average events-per-day on each weekday relative to the
     * type's overall daily average. All counting is integral — per-type

@@ -741,6 +741,36 @@ object Relational {
       .orderBy(col("lhs"), col("rhs"))
   }
 
+  /** Frequent 3-itemsets (`q_itemset3`): the apriori level-3 pass —
+    * and, read as a graph, weighted TRIANGLE counting on the
+    * co-occurrence graph. Two self-joins of the DISTINCT basket table
+    * co-keyed on (user, day) with the canonical a<b<c order; per-
+    * basket fan-out is C(k,3) with k bounded by the TYPE domain, so
+    * pair volume is linear in baskets regardless of corpus size.
+    * Support is an integral count; the ratio rounds at the edge.
+    */
+  def itemset3(spark: SparkSession, dir: String, minSupport: Int = 5): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val baskets = e.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type")).distinct()
+    val nBaskets = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    baskets.as("a")
+      .join(baskets.as("b"), Seq("user_id", "day"))
+      .join(baskets.as("c"), Seq("user_id", "day"))
+      .filter(col("a.event_type") < col("b.event_type") &&
+        col("b.event_type") < col("c.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"),
+        col("c.event_type").as("t3"))
+      .agg(count(lit(1)).as("n_all3"))
+      .filter(col("n_all3") >= minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("t1"), col("t2"), col("t3"), col("n_all3"),
+        round(col("n_all3").cast("double") / col("n_baskets").cast("double"), 6)
+          .as("support"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
   /** Kaplan–Meier survival (`q_survival`): S(t) over user activity
     * lifetimes with right-censoring (users still active in the final
     * week are censored, their lifetimes only feed the at-risk set).

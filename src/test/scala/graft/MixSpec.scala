@@ -271,6 +271,75 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("mwu test: doubled U matches a driver-side midrank computation") {
+    val rows = Analytics.mwuTest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .as[(String, Long, Double)].collect()
+    for (r <- rows) {
+      val vals = e.filter(_._1 == r.getString(0))
+        .map(x => (math.floor(x._3 * 100).toLong, x._2 % 2 == 0))
+      val (na, nb) = (vals.count(_._2).toLong, vals.count(!_._2).toLong)
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      // midranks over the combined sample
+      val sorted = vals.map(_._1).sorted
+      val rankOf = sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+      val rA = vals.filter(_._2).map(v => rankOf(v._1)).sum
+      val u2 = 2.0 * rA - na * (na + 1)
+      assert(math.abs(r.getLong(3) - u2) < 1e-6, s"U2 of ${r.getString(0)}")
+    }
+  }
+
+  test("period detect: winning lag has max r among driver-recomputed lags") {
+    val rows = Analytics.periodDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val series = daily(r.getString(0)).map(x => x._2 -> x._3).toMap
+      def rAt(lag: Long): Option[Double] = {
+        val ps = series.toSeq.flatMap { case (d, x) =>
+          series.get(d + lag).map(y => (x.toDouble, y.toDouble))
+        }
+        val n = ps.length.toDouble
+        if (n == 0) None else {
+          val (sx, sy) = (ps.map(_._1).sum, ps.map(_._2).sum)
+          val sxy = ps.map(p => p._1 * p._2).sum
+          val sxx = ps.map(p => p._1 * p._1).sum
+          val syy = ps.map(p => p._2 * p._2).sum
+          val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+          if (den <= 0) None else Some((n * sxy - sx * sy) / math.sqrt(den))
+        }
+      }
+      val all = (1L to 14L).flatMap(l => rAt(l).map(l -> _))
+      val best = all.minBy { case (l, rv) => (-rv, l) }
+      assert(r.getLong(1) === best._1, s"lag of ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - best._2) < 1e-5)
+    }
+  }
+
+  test("itemset3: triple support matches a driver-side basket scan") {
+    val rows = graft.operators.Relational.itemset3(spark, sf).collect()
+    val baskets = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd"), col("event_type"))
+      .distinct().as[(Long, String, String)].collect()
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).toSet).toMap
+    val counts = scala.collection.mutable.Map[(String, String, String), Int]()
+      .withDefaultValue(0)
+    for (types <- baskets.values; t <- types.toSeq.sorted.combinations(3))
+      counts((t(0), t(1), t(2))) += 1
+    val expect = counts.filter(_._2 >= 5)
+    assert(rows.length === expect.size)
+    for (r <- rows)
+      assert(r.getLong(3) === expect((r.getString(0), r.getString(1), r.getString(2))).toLong)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
