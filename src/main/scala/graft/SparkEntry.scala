@@ -263,7 +263,8 @@ object SparkEntry {
     "mm_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "q_mwu_test" -> ((s, d) => Analytics.mwuTest(s, d)),
     "q_period_detect" -> ((s, d) => Analytics.periodDetect(s, d)),
-    "q_itemset3" -> ((s, d) => Relational.itemset3(s, d))
+    "q_itemset3" -> ((s, d) => Relational.itemset3(s, d)),
+    "dedup_minhash_oph" -> ((s, d) => Dedup.ophPairs(s, d))
   )
 
   private val cutoffValues =
@@ -3371,6 +3372,50 @@ object SparkEntry {
         |       round(CAST(n_all3 AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
         |         AS support
         |FROM t CROSS JOIN nb
-        |ORDER BY t1, t2, t3""".stripMargin
+        |ORDER BY t1, t2, t3""".stripMargin,
+    // One-permutation minhash replay: one 60-bit hash per shingle,
+    // bin mins with the 2^60 empty-bin sentinel, 4×4 banding, exact
+    // Jaccard verify over candidate pairs only.
+    "dedup_minhash_oph" ->
+      s"""WITH $duckShingles,
+         |hh AS (SELECT doc_id, ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+         |bins AS (SELECT doc_id, h % 16 AS bin, min(h) AS sig
+         |         FROM hh GROUP BY 1, 2),
+         |spine AS (SELECT DISTINCT doc_id FROM hh),
+         |grid AS (SELECT doc_id, b.b AS bin
+         |         FROM spine CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+         |fullg AS (
+         |  SELECT g.doc_id, g.bin,
+         |         coalesce(bins.sig, 1152921504606846976) AS sig
+         |  FROM grid g LEFT JOIN bins
+         |    ON bins.doc_id = g.doc_id AND bins.bin = g.bin),
+         |bstr AS (
+         |  SELECT doc_id, bin // 4 AS band,
+         |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY bin) AS s
+         |  FROM fullg GROUP BY doc_id, bin // 4),
+         |bnd AS (
+         |  SELECT doc_id,
+         |         md5(concat(CAST(band AS VARCHAR), '_', s)) AS band_hash
+         |  FROM bstr),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y
+         |    ON x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |shv AS (SELECT DISTINCT doc_id, h FROM hh),
+         |card AS (SELECT doc_id, count(*) AS n_sh FROM shv GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM shv a JOIN shv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |       round(CAST(n_inter AS DOUBLE) /
+         |             CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM cand c
+         |JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |JOIN card ca ON ca.doc_id = c.id_a
+         |JOIN card cb ON cb.doc_id = c.id_b
+         |WHERE CAST(n_inter AS DOUBLE) /
+         |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.7
+         |ORDER BY c.id_a, c.id_b""".stripMargin
   )
 }

@@ -222,6 +222,16 @@ object Dedup {
     // length — fine for documents, re-block by length first if a
     // corpus has pathological outliers. DuckDB replays the same 60-bit
     // hash, so the oracle comparison stays bit-for-bit.
+    verifyJaccard(sh, cand, threshold)
+  }
+
+  /** Exact-Jaccard verify shared by the LSH variants: per-doc SORTED
+    * 60-bit shingle-hash sets for the candidate docs only, merged by
+    * the native `graft_jaccard` expression — O(|candidates|·doclen),
+    * never the Σdf² of a shingle self-join.
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
@@ -237,6 +247,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val OphBins = 16
+  val OphBands = 4 // 4 bins per band
+
+  /** One-permutation-hashing MinHash (`dedup_minhash_oph`, Li et al.
+    * 2012): ONE 60-bit hash per shingle — the hash doubles as bin
+    * selector (h mod 16) and rank value (min per bin) — versus the
+    * K=32 affine combinations classic MinHash evaluates per shingle.
+    * At corpus scale the signature build drops from K·|shingles| to
+    * |shingles| hash-ops, the big cost of the dedup pass. Empty bins
+    * take a 2^60 sentinel (the simplest densification; biases sparse
+    * docs toward fewer candidate hits — acceptable for near-dup
+    * detection where docs are long). Banding = 4 bands × 4
+    * consecutive bins, same md5 bucket keys, same exact-Jaccard
+    * verify as `dedup_minhash`; DuckDB replays every stage.
+    */
+  def ophPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shinglesRaw(docs)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .cache()
+    val h = sh.select(col("doc_id"),
+      conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
+    val bins = h
+      .groupBy(col("doc_id"), pmod(col("h"), lit(OphBins.toLong)).as("bin"))
+      .agg(min(col("h")).as("sig"))
+    val spine = h.select(col("doc_id")).distinct()
+      .withColumn("bin", explode(sequence(lit(0L), lit((OphBins - 1).toLong))))
+    val binsPerBand = OphBins / OphBands
+    val full = spine.join(bins, Seq("doc_id", "bin"), "left")
+      .withColumn("sig", coalesce(col("sig"), lit(1L << 60)))
+      .withColumn("band", expr(s"bin DIV $binsPerBand"))
+    val bands = full.groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("bin"), col("sig").cast("string").as("s")))),
+        x => x.getField("s")), "_").as("sigstr"))
+      .select(col("doc_id"),
+        md5(concat_ws("_", col("band").cast("string"), col("sigstr"))
+          .cast("binary")).as("band_hash"))
+      .cache()
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, cand, threshold)
   }
 
   /** `dedup_lsh_sweep`: candidate-pair volume for several LSH banding

@@ -340,6 +340,33 @@ class MixSpec extends SparkSpec {
       assert(r.getLong(3) === expect((r.getString(0), r.getString(1), r.getString(2))).toLong)
   }
 
+  test("oph minhash: reported pairs have exact trigram jaccard >= 0.7") {
+    val rows = graft.operators.Dedup.ophPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect().toMap
+    def tris(id: Long): Set[String] = {
+      val w = docs(id).split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (r <- rows) {
+      val (a, b) = (tris(r.getLong(0)), tris(r.getLong(1)))
+      val j = (a & b).size.toDouble / (a | b).size
+      assert(j >= 0.7, s"pair ${r.getLong(0)},${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - j) < 1e-6)
+    }
+    // OPH candidates are a (possibly proper) subset of the classic
+    // minhash detector's verified pairs at the same threshold
+    val classic = graft.operators.Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((oph -- classic).forall { case (x, y) =>
+      val j = { val (a, b) = (tris(x), tris(y)); (a & b).size.toDouble / (a | b).size }
+      j >= 0.7
+    })
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
