@@ -264,7 +264,9 @@ object SparkEntry {
     "q_mwu_test" -> ((s, d) => Analytics.mwuTest(s, d)),
     "q_period_detect" -> ((s, d) => Analytics.periodDetect(s, d)),
     "q_itemset3" -> ((s, d) => Relational.itemset3(s, d)),
-    "dedup_minhash_oph" -> ((s, d) => Dedup.ophPairs(s, d))
+    "dedup_minhash_oph" -> ((s, d) => Dedup.ophPairs(s, d)),
+    "text_sentence_dedup" -> ((s, d) => TextFunctions.sentenceDedup(s, d)),
+    "q_delta_encode" -> ((s, d) => Analytics.deltaEncode(s, d))
   )
 
   private val cutoffValues =
@@ -3416,6 +3418,67 @@ object SparkEntry {
          |JOIN card cb ON cb.doc_id = c.id_b
          |WHERE CAST(n_inter AS DOUBLE) /
          |      CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.7
-         |ORDER BY c.id_a, c.id_b""".stripMargin
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
+    // Sentences = punctuation-run splits, whitespace-only pieces
+    // dropped on BOTH engines; cross-doc hash counts shuffle 60-bit
+    // ids; kept text reassembled in original order for the md5.
+    "text_sentence_dedup" ->
+      s"""WITH pieces AS (
+         |  SELECT doc_id,
+         |         generate_subscripts(string_split_regex(lower(text),
+         |                                                '[.!?]+'), 1) AS pos,
+         |         unnest(string_split_regex(lower(text), '[.!?]+')) AS raw
+         |  FROM documents),
+         |sent AS (
+         |  SELECT doc_id, pos, trim(raw) AS s,
+         |         ${duckMd5Bits("trim(raw)", 1, 15)} AS h
+         |  FROM pieces WHERE length(trim(raw)) > 0),
+         |hot AS (SELECT h FROM sent GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT sent.* FROM sent LEFT JOIN hot ON sent.h = hot.h
+         |         WHERE hot.h IS NULL),
+         |ka AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         md5(string_agg(s, '. ' ORDER BY pos)) AS kept_fp
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_sent FROM sent GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_sent,
+         |       coalesce(ka.n_kept, 0) AS n_kept,
+         |       coalesce(ka.kept_fp, '') AS kept_fp
+         |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+    // Arithmetic zigzag + integer CASE-ladder varint sizes — the whole
+    // cost model is BIGINT on both engines.
+    "q_delta_encode" -> {
+      def vb(col: String) =
+        s"""CASE WHEN $col < 128 THEN 1 WHEN $col < 16384 THEN 2
+           |     WHEN $col < 2097152 THEN 3 WHEN $col < 268435456 THEN 4
+           |     WHEN $col < 34359738368 THEN 5 WHEN $col < 4398046511104 THEN 6
+           |     WHEN $col < 562949953421312 THEN 7
+           |     WHEN $col < 72057594037927936 THEN 8
+           |     WHEN $col < 9223372036854775807 THEN 9 ELSE 10 END""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |         CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id,
+         |         us - coalesce(lag(us) OVER w, us) AS dts,
+         |         cents - coalesce(lag(cents) OVER w, 0) AS dv
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |z AS (
+         |  SELECT user_id,
+         |         CASE WHEN dts >= 0 THEN dts * 2 ELSE dts * -2 - 1 END AS zts,
+         |         CASE WHEN dv >= 0 THEN dv * 2 ELSE dv * -2 - 1 END AS zv
+         |  FROM d)
+         |SELECT user_id, count(*) AS n_events,
+         |       count(*) * 16 AS raw_bytes,
+         |       CAST(sum((${vb("zts")}) + (${vb("zv")})) AS BIGINT) AS delta_bytes,
+         |       round(CAST(count(*) * 16 AS DOUBLE) /
+         |             CAST(sum((${vb("zts")}) + (${vb("zv")})) AS DOUBLE), 6)
+         |         AS ratio
+         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
+    }
   )
 }

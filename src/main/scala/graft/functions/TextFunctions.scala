@@ -348,6 +348,46 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence-level boilerplate scrub (`text_sentence_dedup`): the
+    * CCNet preprocessing step — split each doc into sentences
+    * (punctuation runs), hash each normalized sentence to a 60-bit
+    * id, and DROP sentences appearing in ≥ maxDocs DISTINCT documents
+    * (cross-doc repetition = boilerplate: headers, disclaimers,
+    * navigation). Output is per-doc: sentence counts plus the md5
+    * fingerprint of the kept text REASSEMBLED IN ORIGINAL ORDER
+    * (array_sort over (pos, sentence) structs — no window). The
+    * cross-doc count shuffles only 60-bit hashes; sentence text never
+    * leaves its doc's rows. Whitespace-only pieces are filtered on
+    * both engines so split-edge behavior can't diverge.
+    */
+  def sentenceDedup(spark: SparkSession, dir: String, maxDocs: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sent = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[.!?]+")).as(Seq("pos", "raw")))
+      .withColumn("s", trim(col("raw")))
+      .filter(length(col("s")) > 0)
+      .select(col("doc_id"), col("pos"), col("s"))
+      .withColumn("h", graft.operators.Dedup.md5Bits(col("s"), 1, 15))
+      .cache()
+    val hot = sent.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select(col("h"))
+    val kept = sent.join(hot, Seq("h"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")), ". ").cast("binary")).as("kept_fp"))
+    sent.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sent"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sent"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), lit("")).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget mixture sampling (`text_mixture_sample`): given a
     * target mixture weight per source (permille, summing to 1000) and
     * a global token budget (40% of the corpus here), compute each

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1582,6 +1582,49 @@ object Analytics {
       .select(col("event_type"), col("lag").as("best_lag"),
         col("n").as("n_pairs"), round(col("r"), 6).as("r"))
       .orderBy(col("event_type"))
+  }
+
+  /** Delta-encoding cost model (`q_delta_encode`): per user, the bytes
+    * a zigzag-varint codec would spend on (Δts, Δcents) versus the raw
+    * 16-byte fixed encoding — the storage-planning pass run before
+    * committing a 100 TB time-series layout (sorted-by-user-time data
+    * delta-encodes ~10×; this measures it). Everything is integer:
+    * gaps in µs, values in floor-cents, zigzag via shifts, varint size
+    * via an integer CASE ladder (no log/float anywhere), so the per-
+    * user byte totals are bit-exact on any engine. One window (lag)
+    * and one aggregation, both on the user key — a single shuffle.
+    */
+  def deltaEncode(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    // arithmetic zigzag (2x / −2x−1): identical on engines whose shift
+    // operators disagree about negative inputs
+    def zigzag(c: Column): Column =
+      when(c >= 0L, c * 2L).otherwise(c * -2L - 1L)
+    def varintBytes(zz: Column): Column =
+      when(zz < (1L << 7), 1L).when(zz < (1L << 14), 2L)
+        .when(zz < (1L << 21), 3L).when(zz < (1L << 28), 4L)
+        .when(zz < (1L << 35), 5L).when(zz < (1L << 42), 6L)
+        .when(zz < (1L << 49), 7L).when(zz < (1L << 56), 8L)
+        .when(zz < Long.MaxValue, 9L).otherwise(10L)
+    val deltas = e
+      .withColumn("dts", col("us") - coalesce(lag(col("us"), 1).over(w), col("us")))
+      .withColumn("dv", col("cents") -
+        coalesce(lag(col("cents"), 1).over(w), lit(0L)))
+      .withColumn("zts", zigzag(col("dts")))
+      .withColumn("zv", zigzag(col("dv")))
+    deltas.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        (count(lit(1)) * 16L).as("raw_bytes"),
+        sum(varintBytes(col("zts")) + varintBytes(col("zv"))).as("delta_bytes"))
+      .select(col("user_id"), col("n_events"), col("raw_bytes"), col("delta_bytes"),
+        round(col("raw_bytes").cast("double") / col("delta_bytes").cast("double"), 6)
+          .as("ratio"))
+      .orderBy(col("user_id"))
   }
 
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event

@@ -367,6 +367,50 @@ class MixSpec extends SparkSpec {
     })
   }
 
+  test("sentence dedup: hot sentences dropped, kept counts bounded by totals") {
+    val rows = TextFunctions.sentenceDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+    def sentences(t: String): Seq[String] =
+      t.split("[.!?]+", -1).map(_.trim).filter(_.nonEmpty).toSeq
+    // cross-doc distinct counts
+    val docCount = scala.collection.mutable.Map[String, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for ((id, t) <- docs; s <- sentences(t).distinct) docCount(s) += id
+    val byId = docs.toMap
+    for (r <- rows.take(40)) {
+      val sents = sentences(byId(r.getLong(0)))
+      assert(r.getLong(1) === sents.length.toLong, s"n_sent of ${r.getLong(0)}")
+      val kept = sents.filter(s => docCount(s).size < 3)
+      assert(r.getLong(2) === kept.length.toLong, s"n_kept of ${r.getLong(0)}")
+    }
+  }
+
+  test("delta encode: byte totals match a driver-side zigzag varint fold") {
+    val rows = Analytics.deltaEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val series = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("user_id") === 3 && col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .sortBy(e => (micros(e._2), e._1))
+    def zig(x: Long) = if (x >= 0) x * 2 else x * -2 - 1
+    def vb(z: Long) = { var n = 1; var lim = 128L
+      while (n < 10 && lim > 0 && z >= lim) { n += 1; lim <<= 7 }; n.toLong }
+    var (prevUs, prevC) = (Option.empty[Long], 0L)
+    var total = 0L
+    for ((id, t, v) <- series) {
+      val us = micros(t); val c = math.floor(v * 100).toLong
+      total += vb(zig(us - prevUs.getOrElse(us))) + vb(zig(c - prevC))
+      prevUs = Some(us); prevC = c
+    }
+    val got = rows.find(_.getLong(0) == 3L).get
+    assert(got.getLong(1) === series.length.toLong)
+    assert(got.getLong(3) === total, "delta bytes of user 3")
+    assert(got.getLong(2) === series.length.toLong * 16)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
