@@ -266,7 +266,12 @@ object SparkEntry {
     "q_itemset3" -> ((s, d) => Relational.itemset3(s, d)),
     "dedup_minhash_oph" -> ((s, d) => Dedup.ophPairs(s, d)),
     "text_sentence_dedup" -> ((s, d) => TextFunctions.sentenceDedup(s, d)),
-    "q_delta_encode" -> ((s, d) => Analytics.deltaEncode(s, d))
+    "q_delta_encode" -> ((s, d) => Analytics.deltaEncode(s, d)),
+    "q_time_to_convert" -> ((s, d) => Analytics.timeToConvert(s, d)),
+    "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    // rows-only: HLL estimates have no SQL-exact oracle; the spec
+    // bounds est_inter against exact_inter
+    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d))
   )
 
   private val cutoffValues =
@@ -3479,6 +3484,54 @@ object SparkEntry {
          |             CAST(sum((${vb("zts")}) + (${vb("zv")})) AS DOUBLE), 6)
          |         AS ratio
          |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
-    }
+    },
+    // Discrete ceil(n·p) picks over the latency histogram cumsum.
+    "q_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |fc AS (SELECT user_id, min(us) AS click_us
+        |       FROM e WHERE event_type = 'click' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, min(e.us) - min(fc.click_us) AS lat_us
+        |  FROM e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= fc.click_us
+        |  GROUP BY e.user_id),
+        |h AS (SELECT lat_us, count(*) AS c FROM conv GROUP BY 1),
+        |r AS (SELECT lat_us, sum(c) OVER (ORDER BY lat_us) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM conv)
+        |SELECT n.n AS n_converted,
+        |       (SELECT min(lat_us) FROM r
+        |        WHERE cum >= ceil(CAST(n.n AS DOUBLE) * 0.25)) AS q1_us,
+        |       (SELECT min(lat_us) FROM r
+        |        WHERE cum >= ceil(CAST(n.n AS DOUBLE) * 0.5)) AS med_us,
+        |       (SELECT min(lat_us) FROM r
+        |        WHERE cum >= ceil(CAST(n.n AS DOUBLE) * 0.75)) AS q3_us
+        |FROM n""".stripMargin,
+    // Cosine ranks replayed with list_cosine_similarity; integral
+    // majority vote with (votes desc, label asc) tie-break.
+    "sim_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS tl
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |l AS (SELECT vec_id, embedding, label FROM embeddings
+        |      WHERE vec_id % 5 <> 0),
+        |s AS (SELECT q.q_id, q.tl, l.vec_id, l.label,
+        |             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                    CAST(l.embedding AS DOUBLE[])) AS cos
+        |      FROM q CROSS JOIN l),
+        |r AS (SELECT q_id, tl, vec_id, label,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s),
+        |v AS (SELECT q_id, tl, label, count(*) AS n_votes
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |w AS (SELECT q_id, tl, label, n_votes,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY n_votes DESC, label) AS vr
+        |      FROM v)
+        |SELECT q_id AS vec_id, label AS predicted, n_votes,
+        |       tl AS true_label,
+        |       CAST(CASE WHEN label = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM w WHERE vr = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -510,6 +510,45 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Sketch-algebra audience overlap (`q_hll_intersect`, *rows-only*):
+    * |A∩B| estimated by inclusion–exclusion over MERGEABLE HLL
+    * sketches — est(A) + est(B) − est(A∪B) — for every event-type
+    * pair. The pre-built per-type sketches are KB-sized, so the pair
+    * stage is a broadcast self-join of sketches, NOT a re-scan of the
+    * fact table per pair: the overlap matrix over any number of
+    * segments costs one corpus pass total. Exact intersections ride
+    * along; the spec bounds the relative error.
+    */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val sk = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_n")).cache()
+    val pairs = sk.select(col("event_type").as("t_a"), col("sk").as("sk_a"),
+        col("exact_n").as("exact_a"))
+      .join(sk.select(col("event_type").as("t_b"), col("sk").as("sk_b"),
+        col("exact_n").as("exact_b")), col("t_a") < col("t_b"))
+    val est = pairs
+      .withColumn("est_a", hll_sketch_estimate(col("sk_a")))
+      .withColumn("est_b", hll_sketch_estimate(col("sk_b")))
+      .withColumn("est_union", hll_sketch_estimate(
+        hll_union(col("sk_a"), col("sk_b"))))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+    val exactInter = e.select(col("event_type").as("t_a"), col("user_id"))
+      .distinct()
+      .join(e.select(col("event_type").as("t_b"), col("user_id")).distinct(),
+        Seq("user_id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy(col("t_a"), col("t_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exactInter, Seq("t_a", "t_b"))
+      .select(col("t_a"), col("t_b"),
+        col("est_inter").cast("long").as("est_inter"), col("exact_inter"),
+        col("est_union").cast("long").as("est_union"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
   def statsPerPriority(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val days = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double")
@@ -1625,6 +1664,39 @@ object Analytics {
         round(col("raw_bytes").cast("double") / col("delta_bytes").cast("double"), 6)
           .as("ratio"))
       .orderBy(col("user_id"))
+  }
+
+  /** Time-to-convert quartiles (`q_time_to_convert`): per user, the
+    * latency from FIRST click to the first purchase after it, then
+    * DISCRETE quartiles of the latency distribution — the
+    * conversion-latency report every funnel owner asks for. Latencies
+    * are integral µs; quartiles are stored values picked at ceil(n·p)
+    * over the latency histogram cumsum (the percentileDisc rule), so
+    * the whole report is bit-stable. Two aggregates co-keyed on user,
+    * one bounded distinct-value window.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val firstClick = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(firstClick, Seq("user_id"))
+      .filter(col("us") >= col("click_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - min(col("click_us"))).as("lat_us"))
+    val w = Window.orderBy(col("lat_us"))
+    val ranked = conv.groupBy(col("lat_us")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
+    def pick(p: Double) = min(when(
+      col("cum") >= ceil(col("n").cast("double") * lit(p)).cast("long"),
+      col("lat_us")))
+    ranked.agg(max(col("n")).as("n_converted"),
+        pick(0.25).as("q1_us"), pick(0.5).as("med_us"), pick(0.75).as("q3_us"))
+      .select(col("n_converted"), col("q1_us"), col("med_us"), col("q3_us"))
   }
 
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event

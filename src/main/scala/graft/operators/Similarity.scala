@@ -459,6 +459,38 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** k-NN label classification (`sim_knn_classify`): vectors with
+    * vec_id ≡ 0 (mod 5) play the UNLABELED set and are classified by
+    * the majority label of their k=5 cosine-nearest LABELED vectors —
+    * the label-spreading step of semi-supervised data cleaning (the
+    * per-instance complement of sim_centroid_classify's per-class
+    * prototype rule). Unlabeled side broadcasts; one corpus scan; the
+    * vote is integral with (count desc, label asc) tie-break.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val labeled = emb.filter(col("vec_id") % 5 =!= 0)
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val nn = labeled.join(broadcast(queries))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= k)
+    val votes = nn.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(wl))
+      .filter(col("vr") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("predicted"),
+        col("n_votes"), col("true_label"),
+        (col("label") === col("true_label")).cast("long").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Sparse count-vector cosine over documents (`sim_sparse_cosine`):
     * the INVERTED-INDEX formulation of all-pairs doc similarity — the
     * only shape that survives corpus scale. Docs become (doc, token,

@@ -411,6 +411,63 @@ class MixSpec extends SparkSpec {
     assert(got.getLong(2) === series.length.toLong * 16)
   }
 
+  test("time to convert: quartiles are stored latencies at ceil(n*p)") {
+    val r = Analytics.timeToConvert(spark, sf).collect().head
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val lats = e.groupBy(_._1).flatMap { case (_, es) =>
+      val clicks = es.filter(_._2 == "click").map(x => micros(x._3))
+      if (clicks.isEmpty) None else {
+        val fc = clicks.min
+        val purch = es.filter(x => x._2 == "purchase" && micros(x._3) >= fc)
+        if (purch.isEmpty) None else Some(purch.map(x => micros(x._3)).min - fc)
+      }
+    }.toSeq.sorted
+    assert(r.getLong(0) === lats.length.toLong)
+    def disc(p: Double) = lats(math.ceil(lats.length * p).toInt - 1)
+    assert(r.getLong(1) === disc(0.25))
+    assert(r.getLong(2) === disc(0.5))
+    assert(r.getLong(3) === disc(0.75))
+  }
+
+  test("knn classify: majority of 5 nearest labeled vectors, deterministic ties") {
+    val rows = graft.operators.Similarity.knnClassify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+      .as[(Long, Array[Float], Long)].collect()
+    val labeled = emb.filter(_._1 % 5 != 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.map(x => x._1 -> x).toMap
+    for (r <- rows.take(25)) {
+      val q = byId(r.getLong(0))
+      val nn = labeled.map(l => (cos(q._2, l._2), l._1, l._3))
+        .sortBy(x => (-x._1, x._2)).take(5)
+      val votes = nn.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, n) => (-n, l) }
+      assert(r.get(1).toString.toLong === votes.head._1, s"label of ${r.getLong(0)}")
+      assert(r.get(3).toString.toLong === q._3)
+      assert((r.getLong(4) == 1L) === (votes.head._1 == q._3))
+    }
+  }
+
+  test("hll intersect: estimate within 15% of exact for non-tiny overlaps") {
+    val rows = Analytics.hllIntersect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      if (exact >= 100)
+        assert(math.abs(est - exact).toDouble / exact < 0.15,
+          s"${r.getString(0)}∩${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
