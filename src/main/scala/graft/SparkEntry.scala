@@ -271,7 +271,14 @@ object SparkEntry {
     "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // rows-only: HLL estimates have no SQL-exact oracle; the spec
     // bounds est_inter against exact_inter
-    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d))
+    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
+    "q_rank_dense" -> ((s, d) => Relational.rankDense(s, d)),
+    // COUNT(*) answered from source METADATA (SupportsPushDownAggregates):
+    // a half-billion-row logical table counts at interactive speed —
+    // finishing at all is the pushdown proof; the oracle is the closed form
+    "src_docgen_count" -> ((s, _) => s.read.format("graft-docgen")
+      .option("rows", 500000000L).option("partitions", 8).load()
+      .agg(count(lit(1)).as("n_docs")))
   )
 
   private val cutoffValues =
@@ -3532,6 +3539,17 @@ object SparkEntry {
         |SELECT q_id AS vec_id, label AS predicted, n_votes,
         |       tl AS true_label,
         |       CAST(CASE WHEN label = tl THEN 1 ELSE 0 END AS BIGINT) AS correct
-        |FROM w WHERE vr = 1 ORDER BY vec_id""".stripMargin
+        |FROM w WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "q_rank_dense" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       rank() OVER w1 AS rnk,
+        |       dense_rank() OVER w1 AS drnk,
+        |       row_number() OVER w2 AS rn
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+        |       w2 AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "src_docgen_count" -> "SELECT CAST(500000000 AS BIGINT) AS n_docs"
   )
 }

@@ -47,6 +47,24 @@ object Relational {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** rank vs dense_rank vs row_number side by side (`q_rank_dense`):
+    * the three ranking semantics on a tied column — rank leaves gaps
+    * after ties, dense_rank doesn't, row_number breaks ties (here
+    * deterministically on the key). One window pass.
+    */
+  def rankDense(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    val tieBroken = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(byPrice).cast("long").as("rnk"),
+        dense_rank().over(byPrice).cast("long").as("drnk"),
+        row_number().over(tieBroken).cast("long").as("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   /** Bag-semantics set difference (`q_except_all`): EXCEPT ALL keeps
     * MULTIPLICITY — a user-day with 3 clicks and 1 view survives twice
     * — which is what reconciliation of duplicated feeds needs (the

@@ -87,13 +87,38 @@ class DocGenTable extends Table with SupportsRead {
   */
 class DocGenScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = DocGen.fullSchema
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) (no grouping) is answered from the id-range METADATA —
+    * the scan emits one long and generates zero documents, the DSv2
+    * analog of parquet's rowCount-from-footer count path. Partial
+    * pushdown (`supportCompletePushDown` false would re-aggregate)
+    * isn't needed: the range is exact, so the pushdown is complete.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -113,7 +138,32 @@ class DocGenScanBuilder(rows: Long, parts: Int, rowsPerBatch: Long = 100L)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new DocGenScan(lo, math.max(lo, hi), parts, required, rowsPerBatch)
+    if (countPushed) new DocGenCountScan(math.max(0L, math.max(lo, hi) - lo))
+    else new DocGenScan(lo, math.max(lo, hi), parts, required, rowsPerBatch)
+}
+
+/** Metadata-only COUNT(*) scan: one partition, one row, zero text
+  * generation — `count` is computed from the (filter-clamped) id range.
+  */
+class DocGenCountScan(count: Long) extends Scan with Batch {
+  private val schema = StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-docgen COUNT pushdown n=$count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenCountReaderFactory(count)
+}
+
+class DocGenCountReaderFactory(count: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+    }
 }
 
 class DocGenScan(lo: Long, hi: Long, parts: Int, required: StructType,

@@ -87,6 +87,22 @@ class DocGenSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count(*) pushes into the source: metadata answer, no generation") {
+    // a billion-row logical table: only a metadata count finishes fast
+    val df = gen(1000000000L, 4).agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("COUNT pushdown"), s"plan: $plan")
+    assert(df.as[Long].head() === 1000000000L)
+    // composes with the doc_id range pushdown
+    val clamped = gen(1000000000L, 4)
+      .filter(col("doc_id") >= 10L && col("doc_id") < 1234L).agg(count(lit(1)))
+    assert(clamped.as[Long].head() === 1224L)
+    // grouped aggregates are NOT pushed — they still generate rows
+    val grouped = gen(1000L, 2).groupBy(col("source")).agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("COUNT pushdown"))
+    assert(grouped.collect().map(_.getLong(1)).sum === 1000L)
+  }
+
   test("docgen text matches the closed-form id arithmetic") {
     val row = gen(100, 2).filter(col("doc_id") === 7L)
       .select(col("n_words"), col("text")).as[(Int, String)].head()
