@@ -23,7 +23,7 @@ object Bench {
     "q_attribution", "sim_rrf_fusion", "text_boilerplate",
     // round-3 session-5 additions
     "q_ship_priority", "q_region_volume", "sim_sparse_cosine",
-    "text_keywords")
+    "text_keywords", "dedup_minhash_oph", "text_sentence_dedup")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
