@@ -278,7 +278,12 @@ object SparkEntry {
     // finishing at all is the pushdown proof; the oracle is the closed form
     "src_docgen_count" -> ((s, _) => s.read.format("graft-docgen")
       .option("rows", 500000000L).option("partitions", 8).load()
-      .agg(count(lit(1)).as("n_docs")))
+      .agg(count(lit(1)).as("n_docs"))),
+    // rows-only: the stats live in the parquet FOOTER (DuckDB's view of
+    // them isn't reachable from the fixed-table oracle harness); the
+    // spec proves footer truthfulness against the data
+    "src_rowgroup_stats" ->
+      ((s, d) => graft.sources.SchemaAlign.rowGroupStats(s, d))
   )
 
   private val cutoffValues =

@@ -166,6 +166,40 @@ object SchemaAlign {
       .orderBy(col("table_name"))
   }
 
+  /** Row-group statistics (`src_rowgroup_stats`, *rows-only*): the
+    * min/max/null-count column statistics parquet stores per ROW
+    * GROUP — the metadata row-group pruning reads before touching any
+    * data page (SinkSpec's writeSorted test proves the skipping; this
+    * op surfaces the stats themselves, per group). Footer reads loop
+    * on the driver for one table here; a lake-wide sweep maps the
+    * same read over the file list in executors. Spec cross-checks the
+    * stats against the actual data (footer truthfulness, the
+    * src_file_stats property at row-group granularity).
+    */
+  def rowGroupStats(spark: SparkSession, dir: String,
+      table: String = "orders", column: String = "o_orderkey"): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val rows = try {
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(sys.error(s"column $column not in $table footer"))
+        val st = cc.getStatistics
+        (i.toLong, b.getRowCount,
+          st.genericGetMin.toString.toLong, st.genericGetMax.toString.toLong,
+          st.getNumNulls)
+      }
+    } finally reader.close()
+    import spark.implicits._
+    rows.toDF("row_group", "n_rows", "min_key", "max_key", "n_nulls")
+      .orderBy(col("row_group"))
+  }
+
   /** Content checksum per table (`src_table_checksum`): an
     * order-independent row-level signature — bit_xor + modular sum of a
     * 60-bit md5-derived row hash over the stable (integer/string)

@@ -307,6 +307,52 @@ object EventStream {
           out.result().iterator
       }
   }
+  final case class FunnelEv(user_id: Long, ts: Timestamp, kind: String)
+  final case class FunnelState(firstClickMs: Long, converted: Boolean)
+  final case class FunnelOut(user_id: Long, click_ts: Timestamp,
+      purchase_ts: Timestamp, latency_ms: Long)
+
+  /** Streaming conversion funnel (the streaming twin of `q_funnel` /
+    * `q_time_to_convert`): per user, remember the FIRST click and emit
+    * one conversion row when the first purchase arrives within the
+    * window — state is two fields per user regardless of event volume,
+    * and a user converts at most once (the `converted` latch makes
+    * replayed microbatches idempotent at the sink). Cross-microbatch
+    * by construction: the click can arrive triggers earlier than the
+    * purchase.
+    */
+  def funnelStateful(events: Dataset[FunnelEv],
+      windowMs: Long = 6L * 60 * 60 * 1000): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.kind))
+          var st = state.getOption
+          val out = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.kind match {
+              case "click" if st.isEmpty =>
+                st = Some(FunnelState(t, converted = false))
+              case "purchase" =>
+                st match {
+                  case Some(FunnelState(c, false)) if t >= c && t - c <= windowMs =>
+                    out += FunnelOut(userId, new Timestamp(c), e.ts, t - c)
+                    st = Some(FunnelState(c, converted = true))
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, sum_value: Double)

@@ -468,6 +468,21 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("row-group stats: footer min/max/nulls are truthful vs the data") {
+    val rows = graft.sources.SchemaAlign.rowGroupStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val (lo, hi, n, nulls) = o
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")), count(lit(1)),
+        sum(col("o_orderkey").isNull.cast("long")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(rows.map(_.getLong(1)).sum === n) // row counts cover the table
+    assert(rows.map(_.getLong(2)).min === lo) // global min appears in some group
+    assert(rows.map(_.getLong(3)).max === hi)
+    assert(rows.map(_.getLong(4)).sum === nulls)
+    for (r <- rows) assert(r.getLong(2) <= r.getLong(3))
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }

@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: first click remembered across batches, one conversion per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FunnelEv]
+    val q = EventStream.funnelStateful(input.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        EventStream.FunnelEv(1L, ts("2024-01-01 10:00:00"), "click"),
+        EventStream.FunnelEv(2L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      input.addData( // purchase in a LATER microbatch: state carried
+        EventStream.FunnelEv(1L, ts("2024-01-01 12:00:00"), "purchase"),
+        // user 2 purchases outside the 6h window
+        EventStream.FunnelEv(2L, ts("2024-01-01 17:00:00"), "purchase"),
+        // user 3 purchases with no prior click
+        EventStream.FunnelEv(3L, ts("2024-01-01 12:30:00"), "purchase"))
+      q.processAllAvailable()
+      input.addData( // second purchase of user 1 must NOT emit again
+        EventStream.FunnelEv(1L, ts("2024-01-01 13:00:00"), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, latency_ms FROM funnel_test ORDER BY user_id").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 1L)
+      assert(rows.head.getLong(1) === 2L * 60 * 60 * 1000)
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars finalize once the watermark passes the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Long, Double)]
