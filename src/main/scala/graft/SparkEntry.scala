@@ -283,7 +283,9 @@ object SparkEntry {
     // them isn't reachable from the fixed-table oracle harness); the
     // spec proves footer truthfulness against the data
     "src_rowgroup_stats" ->
-      ((s, d) => graft.sources.SchemaAlign.rowGroupStats(s, d))
+      ((s, d) => graft.sources.SchemaAlign.rowGroupStats(s, d)),
+    "dedup_semantic_sweep" -> ((s, d) => Dedup.semanticSweep(s, d)),
+    "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d))
   )
 
   private val cutoffValues =
@@ -3555,6 +3557,40 @@ object SparkEntry {
         |       w2 AS (PARTITION BY o_orderpriority
         |              ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, rn""".stripMargin,
-    "src_docgen_count" -> "SELECT CAST(500000000 AS BIGINT) AS n_docs"
+    "src_docgen_count" -> "SELECT CAST(500000000 AS BIGINT) AS n_docs",
+    // One pair scan, three threshold filters; identical IEEE cosines.
+    "dedup_semantic_sweep" ->
+      """WITH p AS (
+        |  SELECT b.vec_id AS id_b,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |n AS (SELECT count(*) AS n_total FROM embeddings),
+        |t(threshold) AS (VALUES (CAST(0.2 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
+        |                        (CAST(0.4 AS DOUBLE))),
+        |sw AS (
+        |  SELECT t.threshold,
+        |         CAST(count(DISTINCT CASE WHEN p.cos >= t.threshold
+        |                                  THEN p.id_b END) AS BIGINT) AS n_dropped
+        |  FROM t LEFT JOIN p ON p.cos >= t.threshold
+        |  GROUP BY t.threshold)
+        |SELECT threshold, n_dropped,
+        |       n_total - n_dropped AS n_survivors
+        |FROM sw CROSS JOIN n ORDER BY threshold""".stripMargin,
+    "q_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |       count(*) AS dau,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |                       AS BIGINT) AS n_returning,
+        |       round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS new_share
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -1699,6 +1699,28 @@ object Analytics {
       .select(col("n_converted"), col("q1_us"), col("med_us"), col("q3_us"))
   }
 
+  /** New vs returning users per day (`q_new_returning`): the product
+    * health split — per day, how many active users are seen for the
+    * FIRST time. First-seen day is one combinable min-aggregate over
+    * the distinct (user, day) table (the q_cume_users rewrite of
+    * running count-distinct); the split is then an integral per-day
+    * count. Two shuffles total, both map-side combinable.
+    */
+  def newReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firstSeen = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ud.join(firstSeen, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum((col("day") === col("first_day")).cast("long")).as("n_new"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("n_new"), (col("dau") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("dau").cast("double"), 6)
+          .as("new_share"))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week seasonality index (`q_seasonality_dow`): per event
     * type, the average events-per-day on each weekday relative to the
     * type's overall daily average. All counting is integral — per-type

@@ -595,4 +595,39 @@ object Dedup {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
   }
+
+  /** Semantic-dedup threshold sweep (`dedup_semantic_sweep`): survivor
+    * counts at several cosine thresholds from ONE pair scan — the
+    * tuning run before committing a SemDeDup pass, the cosine twin of
+    * `dedup_lsh_sweep`'s banding sweep. The label-blocked pair table
+    * (with its cosine) is computed once and cached; each threshold is
+    * then a filter + distinct + count over the cached pairs, so the
+    * sweep costs |thresholds| × a candidate-table pass, not × the
+    * pairwise join. Deterministic (threshold compares on identical
+    * IEEE cosines), so fully oracle-checked unlike the approximate
+    * sweeps.
+    */
+  def semanticSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4)): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nTotal = emb.count()
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .cache()
+    import spark.implicits._
+    val frames = thresholds.map { t =>
+      pairs.filter(col("cos") >= t)
+        .select(col("id_b")).distinct()
+        .agg(count(lit(1)).as("n_dropped"))
+        .select(lit(t).as("threshold"), col("n_dropped"))
+    }
+    frames.reduce(_.unionByName(_))
+      .select(col("threshold"), col("n_dropped"),
+        (lit(nTotal) - col("n_dropped")).as("n_survivors"))
+      .orderBy(col("threshold"))
+  }
 }

@@ -483,6 +483,29 @@ class MixSpec extends SparkSpec {
     for (r <- rows) assert(r.getLong(2) <= r.getLong(3))
   }
 
+  test("semantic sweep: monotone in threshold and consistent with semanticSurvivors") {
+    val rows = graft.operators.Dedup.semanticSweep(spark, sf).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.length === 3)
+    // higher threshold -> fewer dropped
+    for (i <- 1 until rows.length)
+      assert(rows(i).getLong(1) <= rows(i - 1).getLong(1))
+    // the 0.3 row matches the full survivor operator
+    val survivors = graft.operators.Dedup.semanticSurvivors(spark, sf).count()
+    val r03 = rows.find(r => math.abs(r.getDouble(0) - 0.3) < 1e-9).get
+    assert(r03.getLong(2) === survivors)
+  }
+
+  test("new vs returning: every user is new exactly once, splits sum to dau") {
+    val rows = Analytics.newReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nUsers)
+    for (r <- rows) assert(r.getLong(1) === r.getLong(2) + r.getLong(3))
+    assert(rows.head.getLong(3) === 0L) // day one: everyone is new
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
