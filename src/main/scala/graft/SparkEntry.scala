@@ -285,7 +285,8 @@ object SparkEntry {
     "src_rowgroup_stats" ->
       ((s, d) => graft.sources.SchemaAlign.rowGroupStats(s, d)),
     "dedup_semantic_sweep" -> ((s, d) => Dedup.semanticSweep(s, d)),
-    "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d))
+    "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d)),
+    "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d))
   )
 
   private val cutoffValues =
@@ -3591,6 +3592,14 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
         |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS new_share
         |FROM ud JOIN fs USING (user_id)
-        |GROUP BY day ORDER BY day""".stripMargin
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+        |       max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+        |FROM events WHERE value IS NOT NULL AND user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1699,6 +1699,25 @@ object Analytics {
       .select(col("n_converted"), col("q1_us"), col("med_us"), col("q3_us"))
   }
 
+  /** Typed-Aggregator stats (`q_typed_agg`): per-user value stats
+    * through the Encoder-backed `Aggregator` API registered with
+    * `udaf()` (see RangeStatsAggregator) — associative integer state,
+    * so Catalyst plans the same partial/final HashAggregate pair as a
+    * built-in; the all-BIGINT output is oracle-exact.
+    */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(graft.functions.RangeStatsAggregator)
+    val e = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") < 50)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+    e.groupBy(col("user_id"))
+      .agg(stats(col("cents")).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        col("s.sum_cents").as("sum_cents"), col("s.min_cents").as("min_cents"),
+        col("s.max_cents").as("max_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** New vs returning users per day (`q_new_returning`): the product
     * health split — per day, how many active users are seen for the
     * FIRST time. First-seen day is one combinable min-aggregate over

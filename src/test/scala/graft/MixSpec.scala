@@ -506,6 +506,39 @@ class MixSpec extends SparkSpec {
     assert(rows.head.getLong(3) === 0L) // day one: everyone is new
   }
 
+  test("typed aggregator plans partial aggregation and matches builtin aggregates") {
+    val rows = Analytics.typedAgg(spark, sf)
+    val plan = rows.queryExecution.executedPlan.toString
+    // partial + final pair, like a builtin aggregate
+    assert("(?s).*Aggregate.*Aggregate.*".r.matches(plan) ||
+      plan.contains("ObjectHashAggregate"))
+    val got = rows.collect()
+    val expect = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull && col("user_id") < 50)
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)), sum(col("c")), min(col("c")), max(col("c")))
+      .orderBy(col("user_id")).collect()
+    assert(got.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+  }
+
+  test("observe: pipeline metrics ride along the job without a second scan") {
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val df = graft.sources.Tables.load(spark, sf, "events")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("n_null_value"))
+      .filter(col("event_type") === "click")
+    val clicks = df.count()
+    val m = obs.get
+    // the observation saw EVERY scanned row, not just the filtered ones
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(m("n_rows") === total)
+    assert(clicks < total)
+    val nulls = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNull).count()
+    assert(m("n_null_value") === nulls)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
