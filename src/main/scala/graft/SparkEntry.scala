@@ -286,7 +286,8 @@ object SparkEntry {
       ((s, d) => graft.sources.SchemaAlign.rowGroupStats(s, d)),
     "dedup_semantic_sweep" -> ((s, d) => Dedup.semanticSweep(s, d)),
     "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d)),
-    "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d))
+    "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d)),
+    "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d))
   )
 
   private val cutoffValues =
@@ -3600,6 +3601,34 @@ object SparkEntry {
         |       min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
         |       max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
         |FROM events WHERE value IS NOT NULL AND user_id < 50
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Add-1 bigram LM; per-doc ln-prob sum replayed by the ORDERED
+    // list_reduce (the q_ewma fold protocol).
+    "text_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, generate_subscripts(${textWords()}, 1) AS pos,
+         |         unnest(${textWords()}) AS w
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id, a.pos, a.w AS x, b.w AS y
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |uni AS (SELECT w AS x, count(*) AS c_x FROM toks GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |bi AS (SELECT x, y, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+         |lp AS (
+         |  SELECT p.doc_id, p.pos,
+         |         ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c_x + v AS DOUBLE)) AS lnp
+         |  FROM pairs p
+         |  JOIN bi ON bi.x = p.x AND bi.y = p.y
+         |  JOIN uni ON uni.x = p.x
+         |  CROSS JOIN vv),
+         |f AS (
+         |  SELECT doc_id, count(*) AS n,
+         |         list_reduce(list(lnp ORDER BY pos), (a, b) -> a + b) AS s
+         |  FROM lp GROUP BY doc_id)
+         |SELECT doc_id, n AS n_bigrams, round(-s, 6) AS nll,
+         |       round(exp(-s / n), 6) AS ppl
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

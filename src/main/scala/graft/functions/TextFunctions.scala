@@ -348,6 +348,49 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring (`text_bigram_lm`): the REAL
+    * perplexity filter (text_rarity is its integer-domain stand-in) —
+    * an add-1-smoothed bigram LM trained on the corpus itself scores
+    * every document: p(y|x) = (c_xy + 1)/(c_x + V), NLL = −Σ ln p in
+    * POSITION ORDER. The ln-prob sum is a per-doc typed `mapGroups`
+    * fold over pos-sorted terms (float addition is order-dependent;
+    * an agg sum would be partition-dependent), replayed op-for-op by
+    * DuckDB's ordered list_reduce — the q_ewma protocol. Count tables
+    * join co-keyed on the bigram/unigram; fold state is one double
+    * per doc. Docs with <2 tokens have no bigrams and are absent.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(words(lower(col("text")))).as(Seq("pos", "w")))
+      .cache()
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+        col("a.w").as("x"), col("b.w").as("y"))
+    val uni = toks.groupBy(col("w").as("x")).agg(count(lit(1)).as("c_x"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val scored = pairs
+      .join(bi, Seq("x", "y")).join(uni, Seq("x")).crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        log((col("c_xy") + 1L).cast("double") /
+          (col("c_x") + col("v")).cast("double")).as("lnp"))
+      .as[(Long, Int, Double)]
+    scored.groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val xs = it.toArray.sortBy(_._2).map(_._3)
+        var s = xs.head
+        xs.tail.foreach(x => s = s + x)
+        (doc, xs.length.toLong, s)
+      }
+      .toDF("doc_id", "n_bigrams", "s")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s"), 6).as("nll"),
+        round(exp(-col("s") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sentence-level boilerplate scrub (`text_sentence_dedup`): the
     * CCNet preprocessing step — split each doc into sentences
     * (punctuation runs), hash each normalized sentence to a 60-bit

@@ -539,6 +539,32 @@ class MixSpec extends SparkSpec {
     assert(m("n_null_value") === nulls)
   }
 
+  test("bigram lm: NLL matches a driver-side add-1 model on sample docs") {
+    val rows = TextFunctions.bigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+    val tokenized = docs.map { case (id, t) =>
+      id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for ((_, ts) <- tokenized) {
+      ts.foreach(w => uni(w) += 1)
+      ts.sliding(2).foreach { case Seq(x, y) => bi((x, y)) += 1; case _ => () }
+    }
+    val v = uni.size.toLong
+    val byId = tokenized.toMap
+    for (r <- rows.take(20)) {
+      val ts = byId(r.getLong(0))
+      val lnps = ts.sliding(2).collect { case Seq(x, y) =>
+        math.log((bi((x, y)) + 1).toDouble / (uni(x) + v)) }.toSeq
+      assert(r.getLong(1) === lnps.length.toLong)
+      val s = lnps.reduceLeft(_ + _)
+      assert(math.abs(r.getDouble(2) - (-s)) < 1e-6, s"nll of ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - math.exp(-s / lnps.length)) < 1e-6)
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
