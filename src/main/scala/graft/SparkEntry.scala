@@ -287,7 +287,9 @@ object SparkEntry {
     "dedup_semantic_sweep" -> ((s, d) => Dedup.semanticSweep(s, d)),
     "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d)),
     "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d)),
-    "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d))
+    "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d)),
+    "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+    "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d))
   )
 
   private val cutoffValues =
@@ -3629,6 +3631,68 @@ object SparkEntry {
          |  FROM lp GROUP BY doc_id)
          |SELECT doc_id, n AS n_bigrams, round(-s, 6) AS nll,
          |       round(exp(-s / n), 6) AS ppl
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // The recall-report replay swept over nprobe 1..3.
+    "sim_nprobe_sweep" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |bs AS (SELECT q.q_id, e.vec_id,
+        |              list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                     CAST(e.embedding AS DOUBLE[])) AS cos
+        |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |br AS (SELECT q_id, vec_id,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY cos DESC, vec_id) AS rk
+        |       FROM bs),
+        |exact AS (SELECT q_id, vec_id FROM br WHERE rk <= 5),
+        |pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label),
+        |cellrank AS (
+        |  SELECT q.q_id, q.q_emb, c.label,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                           c.centroid) DESC,
+        |                    c.label) AS cell_rk
+        |  FROM q CROSS JOIN cent c),
+        |np(nprobe) AS (VALUES (1), (2), (3)),
+        |probed AS (
+        |  SELECT np.nprobe, cr.q_id, cr.q_emb, cr.label
+        |  FROM cellrank cr CROSS JOIN np WHERE cr.cell_rk <= np.nprobe),
+        |ivs AS (SELECT p.nprobe, p.q_id, e.vec_id,
+        |               list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        |        FROM probed p JOIN embeddings e ON e.label = p.label
+        |        WHERE e.vec_id <> p.q_id),
+        |ivr AS (SELECT nprobe, q_id, vec_id,
+        |               row_number() OVER (PARTITION BY nprobe, q_id
+        |                                  ORDER BY cos DESC, vec_id) AS rk
+        |        FROM ivs),
+        |approx AS (SELECT nprobe, q_id, vec_id FROM ivr WHERE rk <= 5)
+        |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        |       CAST(count(*) AS BIGINT) AS n_exact,
+        |       round(CAST(count(a.vec_id) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM np CROSS JOIN exact e
+        |LEFT JOIN approx a ON a.nprobe = np.nprobe
+        |  AND a.q_id = e.q_id AND a.vec_id = e.vec_id
+        |GROUP BY np.nprobe ORDER BY nprobe""".stripMargin,
+    "q_heat_grid" ->
+      """WITH c AS (
+        |  SELECT isodow(CAST(ts AS DATE)) AS dow,
+        |         hour(CAST(ts AS TIMESTAMP)) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM c GROUP BY 1)
+        |SELECT CAST(c.dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+        |       n, round(CAST(n AS DOUBLE) / CAST(n_dow AS DOUBLE), 6)
+        |         AS dow_share
+        |FROM c JOIN d USING (dow) ORDER BY dow, hr""".stripMargin
   )
 }

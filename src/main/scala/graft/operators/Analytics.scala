@@ -1718,6 +1718,26 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Activity heat grid (`q_heat_grid`): hour-of-day × ISO-weekday
+    * event counts with each cell's share of its weekday — the
+    * timing-profile matrix behind every usage heatmap. The domain is
+    * fixed (24×7), so the aggregate is one combinable shuffle and the
+    * per-dow normalizer joins back broadcast; integral counting, one
+    * identically-written share division per cell.
+    */
+  def heatGrid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(expr("weekday(to_date(ts)) + 1").cast("long").as("dow"),
+        hour(col("ts").cast("timestamp")).cast("long").as("hr"))
+    val cells = e.groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+    val byDow = cells.groupBy(col("dow")).agg(sum(col("n")).as("n_dow"))
+    cells.join(broadcast(byDow), Seq("dow"))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("n_dow").cast("double"), 6)
+          .as("dow_share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** New vs returning users per day (`q_new_returning`): the product
     * health split — per day, how many active users are seen for the
     * FIRST time. First-seen day is one combinable min-aggregate over

@@ -459,6 +459,32 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** nprobe tuning sweep (`sim_nprobe_sweep`): mean recall@k of the
+    * IVF probe at nprobe ∈ {1, 2, 3} against the exact ranking — the
+    * latency/recall trade-off curve an ANN deployment is tuned on
+    * (the recall twin of dedup_lsh_sweep's banding sweep). The exact
+    * ranking is computed once; each nprobe costs one probed search
+    * over the shared centroid table. Deterministic (label-cell
+    * quantizer), so fully oracle-checked.
+    */
+  def nprobeSweep(spark: SparkSession, dir: String, k: Int = TopK,
+      nprobes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    import spark.implicits._
+    val exact = bruteforceTopK(spark, dir, k)
+      .select(col("q_id"), col("vec_id")).cache()
+    val frames = nprobes.map { np =>
+      val approx = ivfTopK(spark, dir, k, np)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_exact"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** k-NN label classification (`sim_knn_classify`): vectors with
     * vec_id ≡ 0 (mod 5) play the UNLABELED set and are classified by
     * the majority label of their k=5 cosine-nearest LABELED vectors —

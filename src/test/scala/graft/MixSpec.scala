@@ -565,6 +565,27 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("layout invariance: order-sensitive ops agree across partition layouts") {
+    // the scale-correctness property: a different partition layout (as a
+    // cluster would produce) must not change a single byte of output
+    val sc = spark
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val p = sc.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val a1 = canon(TextFunctions.bigramLm(spark, sf))      // ordered fold
+      val b1 = canon(graft.operators.Similarity.sparseCosine(spark, sf))
+      val c1 = canon(Analytics.ewmaDaily(spark, sf))          // ordered fold
+      sc.conf.set("spark.sql.shuffle.partitions", "13")
+      val a2 = canon(TextFunctions.bigramLm(spark, sf))
+      val b2 = canon(graft.operators.Similarity.sparseCosine(spark, sf))
+      val c2 = canon(Analytics.ewmaDaily(spark, sf))
+      assert(a1 === a2, "bigramLm layout-dependent")
+      assert(b1 === b2, "sparseCosine layout-dependent")
+      assert(c1 === c2, "ewma layout-dependent")
+    } finally sc.conf.set("spark.sql.shuffle.partitions", p)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
