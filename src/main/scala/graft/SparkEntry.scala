@@ -289,7 +289,9 @@ object SparkEntry {
     "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d)),
     "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
-    "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d))
+    "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
+    "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
+    "q_psi" -> ((s, d) => Analytics.psi(s, d))
   )
 
   private val cutoffValues =
@@ -3693,6 +3695,56 @@ object SparkEntry {
         |SELECT CAST(c.dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
         |       n, round(CAST(n AS DOUBLE) / CAST(n_dow AS DOUBLE), 6)
         |         AS dow_share
-        |FROM c JOIN d USING (dow) ORDER BY dow, hr""".stripMargin
+        |FROM c JOIN d USING (dow) ORDER BY dow, hr""".stripMargin,
+    // The oracle aggregates raw events STRAIGHT to days — equality
+    // with the minute→hour→day cascade IS the re-aggregability proof.
+    "q_rollup_cascade" ->
+      """SELECT event_type,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    // Reference-population decile edges (stored values), per-bucket
+    // PSI terms — no cross-bucket float sum.
+    "q_psi" ->
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |ref AS (SELECT cents FROM o WHERE o_orderkey % 2 = 0),
+        |cur AS (SELECT cents FROM o WHERE o_orderkey % 2 = 1),
+        |h AS (SELECT cents, count(*) AS c FROM ref GROUP BY 1),
+        |r AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cum FROM h),
+        |nn AS (SELECT count(*) AS n FROM ref),
+        |edges AS (
+        |  SELECT d.d,
+        |         (SELECT min(cents) FROM r CROSS JOIN nn
+        |          WHERE cum >= ceil(CAST(n AS DOUBLE) *
+        |                            (CAST(d.d AS DOUBLE) / 10.0))) AS edge
+        |  FROM (SELECT unnest(range(1, 10)) AS d) d),
+        |bref AS (
+        |  SELECT coalesce((SELECT max(d) FROM edges e
+        |                   WHERE e.edge <= ref.cents), 0) AS bucket,
+        |         count(*) AS n_ref
+        |  FROM ref GROUP BY 1),
+        |bcur AS (
+        |  SELECT coalesce((SELECT max(d) FROM edges e
+        |                   WHERE e.edge <= cur.cents), 0) AS bucket,
+        |         count(*) AS n_cur
+        |  FROM cur GROUP BY 1),
+        |nr AS (SELECT count(*) AS nr FROM ref),
+        |nc AS (SELECT count(*) AS nc FROM cur)
+        |SELECT CAST(coalesce(bref.bucket, bcur.bucket) AS BIGINT) AS bucket,
+        |       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |       CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |       round((CAST(coalesce(n_ref, 0) AS DOUBLE) / nr -
+        |              CAST(coalesce(n_cur, 0) AS DOUBLE) / nc) *
+        |             ln((CAST(coalesce(n_ref, 0) AS DOUBLE) / nr) /
+        |                (CAST(coalesce(n_cur, 0) AS DOUBLE) / nc)), 6)
+        |         AS psi_term
+        |FROM bref FULL OUTER JOIN bcur ON bref.bucket = bcur.bucket
+        |CROSS JOIN nr CROSS JOIN nc
+        |ORDER BY bucket""".stripMargin
   )
 }

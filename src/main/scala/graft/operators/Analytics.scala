@@ -1738,6 +1738,78 @@ object Analytics {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** Cascading rollup pyramid (`q_rollup_cascade`): minute → hour →
+    * day, each level aggregated FROM THE LEVEL BELOW — the
+    * re-aggregability contract every metrics store depends on (store
+    * minutes once, answer hours/days without rescanning raw events).
+    * Counts and integral cents re-sum exactly, so the cascade is
+    * provably identical to aggregating raw data straight to days —
+    * which is exactly what the oracle does. Emits the day level keyed
+    * by type.
+    */
+  def rollupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").filter(col("value").isNotNull)
+    val minutes = e.groupBy(col("event_type"),
+        date_trunc("minute", col("ts").cast("timestamp")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val hours = minutes.groupBy(col("event_type"),
+        date_trunc("hour", col("m")).as("h"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    hours.groupBy(col("event_type"),
+        date_format(date_trunc("day", col("h")), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Population stability index (`q_psi`): the data-drift monitor —
+    * spend-decile distribution of even-key orders (reference) vs
+    * odd-key orders (current), PSI contribution per bucket. Bucket
+    * edges are DISCRETE value-histogram deciles of the reference
+    * population (the q_rfm cut rule — stored values, bit-stable);
+    * counts are integral, and each bucket's (p−q)·ln(p/q) is ONE
+    * identically-written float expression (the q_chi2 no-cross-bucket
+    * -sum protocol — the reader sums 10 rows if they want the scalar).
+    */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ref = o.filter(col("o_orderkey") % 2 === 0)
+    val cur = o.filter(col("o_orderkey") % 2 === 1)
+    // reference decile edges from the value histogram cumsum
+    val w = Window.orderBy(col("cents"))
+    val hist = ref.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("n"))))
+    val edges = (1 to 9).map { d =>
+      hist.filter(col("cum") >= ceil(col("n").cast("double") * lit(d / 10.0))
+          .cast("long"))
+        .agg(min(col("cents")).as("edge")).select(lit(d).as("d"), col("edge"))
+    }.reduce(_.unionByName(_))
+    def bucketed(df: DataFrame, name: String) = df
+      .crossJoin(broadcast(edges.groupBy()
+        .agg(sort_array(collect_list(struct(col("d"), col("edge")))).as("es"))))
+      .withColumn("bucket",
+        aggregate(col("es"), lit(0L),
+          (acc, e) => when(col("cents") >= e.getField("edge"), e.getField("d")
+            .cast("long")).otherwise(acc)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val p = bucketed(ref, "n_ref")
+    val q = bucketed(cur, "n_cur")
+    p.join(q, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("nr"))))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("nc"))))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((col("n_ref").cast("double") / col("nr") -
+          col("n_cur").cast("double") / col("nc")) *
+          log((col("n_ref").cast("double") / col("nr")) /
+            (col("n_cur").cast("double") / col("nc"))), 6).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   /** New vs returning users per day (`q_new_returning`): the product
     * health split — per day, how many active users are seen for the
     * FIRST time. First-seen day is one combinable min-aggregate over

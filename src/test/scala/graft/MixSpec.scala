@@ -586,6 +586,34 @@ class MixSpec extends SparkSpec {
     } finally sc.conf.set("spark.sql.shuffle.partitions", p)
   }
 
+  test("rollup cascade: minute->hour->day equals raw->day") {
+    val cascade = Analytics.rollupCascade(spark, sf).collect().map(_.toSeq)
+    val direct = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("event_type"), col("day")).collect().map(_.toSeq)
+    assert(cascade.toSeq === direct.toSeq)
+  }
+
+  test("psi: buckets partition both populations; near-zero drift on a parity split") {
+    val rows = Analytics.psi(spark, sf).collect()
+    assert(rows.length === 10)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val nRef = o.filter(col("o_orderkey") % 2 === 0).count()
+    val nCur = o.filter(col("o_orderkey") % 2 === 1).count()
+    assert(rows.map(_.getLong(1)).sum === nRef)
+    assert(rows.map(_.getLong(2)).sum === nCur)
+    // a random parity split shouldn't drift: total PSI well under 0.1
+    val psi = rows.map(_.getDouble(3)).sum
+    assert(psi >= 0.0 - 1e-9 && psi < 0.1, s"psi $psi")
+    // reference deciles: each bucket holds ~10% of ref
+    for (r <- rows)
+      assert(math.abs(r.getLong(1).toDouble / nRef - 0.1) < 0.03)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
