@@ -307,6 +307,25 @@ object EventStream {
           out.result().iterator
       }
   }
+  /** Chained streaming window aggregation (the streaming twin of
+    * `q_rollup_cascade`): 10-minute counts re-aggregated into hourly
+    * totals INSIDE one streaming query — Spark ≥3.4's multiple
+    * stateful operators; the second aggregation groups on
+    * `window(window, ...)` (time-window-on-time-window) so the hour
+    * bar finalizes from minute partials, never from raw state.
+    */
+  def cascadeCounts(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val tenMin = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    tenMin
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+  }
+
   final case class FunnelEv(user_id: Long, ts: Timestamp, kind: String)
   final case class FunnelState(firstClickMs: Long, converted: Boolean)
   final case class FunnelOut(user_id: Long, click_ts: Timestamp,

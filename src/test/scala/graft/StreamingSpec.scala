@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained window aggregation: hour bars re-aggregate ten-minute partials") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.cascadeCounts(events)
+      .writeStream.format("memory").queryName("cascade_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 1.0),
+        (ts("2024-01-01 11:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 16:00:00"), "click", 0.0)) // close windows
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT bucket, event_type, n FROM cascade_test ORDER BY bucket")
+        .collect()
+      val clicks10 = rows.find(r =>
+        r.getTimestamp(0) == ts("2024-01-01 10:00:00") && r.getString(1) == "click")
+      assert(clicks10.isDefined && clicks10.get.getLong(2) === 3L)
+      val views11 = rows.find(r =>
+        r.getTimestamp(0) == ts("2024-01-01 11:00:00") && r.getString(1) == "view")
+      assert(views11.isDefined && views11.get.getLong(2) === 1L)
+    } finally q.stop()
+  }
+
   test("streaming funnel: first click remembered across batches, one conversion per user") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.FunnelEv]
