@@ -291,7 +291,8 @@ object SparkEntry {
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
-    "q_psi" -> ((s, d) => Analytics.psi(s, d))
+    "q_psi" -> ((s, d) => Analytics.psi(s, d)),
+    "q_holt" -> ((s, d) => Analytics.holt(s, d))
   )
 
   private val cutoffValues =
@@ -3745,6 +3746,38 @@ object SparkEntry {
         |         AS psi_term
         |FROM bref FULL OUTER JOIN bcur ON bref.bucket = bcur.bucket
         |CROSS JOIN nr CROSS JOIN nc
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    // The Holt recurrence replayed as a RECURSIVE CTE walking the
+    // indexed series — identical op sequence to the mapGroups fold
+    // (lNew recomputed inside the b term gives the same double).
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS d,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+        |         CAST(c AS DOUBLE) AS x
+        |  FROM daily),
+        |nn AS (SELECT event_type, max(i) AS n FROM idx GROUP BY 1),
+        |walk(event_type, i, l, b) AS (
+        |  SELECT i1.event_type, CAST(1 AS BIGINT), i1.x, i2.x - i1.x
+        |  FROM idx i1 JOIN idx i2
+        |    ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+        |  UNION ALL
+        |  SELECT w.event_type, w.i + 1,
+        |         0.5 * ix.x + (1.0 - 0.5) * (w.l + w.b),
+        |         0.25 * ((0.5 * ix.x + (1.0 - 0.5) * (w.l + w.b)) - w.l) +
+        |         (1.0 - 0.25) * w.b
+        |  FROM walk w JOIN idx ix
+        |    ON ix.event_type = w.event_type AND ix.i = w.i + 1)
+        |SELECT w.event_type, nn.n AS n_days,
+        |       round(w.l, 6) AS level, round(w.b, 6) AS trend,
+        |       round(w.l + w.b, 6) AS forecast
+        |FROM walk w JOIN nn ON nn.event_type = w.event_type AND w.i = nn.n
+        |ORDER BY w.event_type""".stripMargin
   )
 }

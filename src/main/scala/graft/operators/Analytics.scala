@@ -1810,6 +1810,45 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Holt double exponential smoothing (`q_holt`): level + trend —
+    * the forecasting step up from q_ewma's single smooth. Doubly
+    * non-associative, so it runs as a per-type typed `mapGroups` fold
+    * over the day-sorted series; the oracle replays the SAME
+    * recurrence as a DuckDB RECURSIVE CTE walking the indexed series
+    * (a third deterministic-sequential-oracle technique next to
+    * list_reduce and unrolled CTEs). α=0.5, β=0.25 written as
+    * identical literals with (1.0 − α) COMPUTED on both engines
+    * (the q_ewma ulp rule). Init: l₁ = x₁, b₁ = x₂ − x₁.
+    */
+  def holt(spark: SparkSession, dir: String,
+      alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    daily.groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
+        var l = xs(0)
+        var b = xs(1) - xs(0)
+        var i = 1
+        while (i < xs.length) {
+          val x = xs(i)
+          val lNew = alpha * x + (1.0 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1.0 - beta) * b
+          l = lNew
+          i += 1
+        }
+        (t, xs.length.toLong, l, b, l + b)
+      }
+      .toDF("event_type", "n_days", "level", "trend", "forecast")
+      .select(col("event_type"), col("n_days"), round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"), round(col("forecast"), 6).as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
   /** New vs returning users per day (`q_new_returning`): the product
     * health split — per day, how many active users are seen for the
     * FIRST time. First-seen day is one combinable min-aggregate over

@@ -614,6 +614,37 @@ class MixSpec extends SparkSpec {
       assert(math.abs(r.getLong(1).toDouble / nRef - 0.1) < 0.03)
   }
 
+  test("holt: fold matches a driver-side recurrence; flat series has zero trend") {
+    val rows = Analytics.holt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    for (r <- rows) {
+      val xs = daily(r.getString(0)).sortBy(_._2).map(_._3.toDouble)
+      var l = xs(0); var b = xs(1) - xs(0)
+      for (i <- 1 until xs.length) {
+        val lNew = 0.5 * xs(i) + 0.5 * (l + b)
+        b = 0.25 * (lNew - l) + 0.75 * b
+        l = lNew
+      }
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - l) < 1e-6, s"level ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - b) < 1e-6, s"trend ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - (l + b)) < 1e-6)
+    }
+    // synthetic flat series: level == the constant, trend -> 0
+    val flat = Array.fill(20)(7.0)
+    var l = flat(0); var b = 0.0
+    for (i <- 1 until flat.length) {
+      val lNew = 0.5 * flat(i) + 0.5 * (l + b)
+      b = 0.25 * (lNew - l) + 0.75 * b; l = lNew
+    }
+    assert(math.abs(l - 7.0) < 1e-9 && math.abs(b) < 1e-9)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
