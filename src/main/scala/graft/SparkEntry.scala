@@ -292,7 +292,8 @@ object SparkEntry {
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
     "q_psi" -> ((s, d) => Analytics.psi(s, d)),
-    "q_holt" -> ((s, d) => Analytics.holt(s, d))
+    "q_holt" -> ((s, d) => Analytics.holt(s, d)),
+    "text_bm25" -> ((s, d) => TextFunctions.bm25(s, d))
   )
 
   private val cutoffValues =
@@ -3778,6 +3779,54 @@ object SparkEntry {
         |       round(w.l, 6) AS level, round(w.b, 6) AS trend,
         |       round(w.l + w.b, 6) AS forecast
         |FROM walk w JOIN nn ON nn.event_type = w.event_type AND w.i = nn.n
-        |ORDER BY w.event_type""".stripMargin
+        |ORDER BY w.event_type""".stripMargin,
+    // BM25 replay: same idf/tf/length expressions, same term-ordered
+    // 0.0-seeded fold (list_prepend + list_reduce == aggregate HOF).
+    "text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |                   AS avgdl
+         |          FROM dl),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |qt AS (
+         |  SELECT q_id, tok, df FROM (
+         |    SELECT tf.doc_id AS q_id, tf.tok, df.df,
+         |           row_number() OVER (PARTITION BY tf.doc_id
+         |                              ORDER BY df.df ASC, tf.tok ASC) AS trk
+         |    FROM tf JOIN df ON tf.tok = df.tok
+         |    WHERE tf.doc_id < 4)
+         |  WHERE trk <= 5),
+         |contrib AS (
+         |  SELECT qt.q_id, tf.doc_id, qt.tok,
+         |         ln((CAST(n_docs AS DOUBLE) - CAST(qt.df AS DOUBLE) + 0.5) /
+         |            (CAST(qt.df AS DOUBLE) + 0.5) + 1.0) *
+         |         (CAST(tf.tf AS DOUBLE) * 2.2) /
+         |         (CAST(tf.tf AS DOUBLE) +
+         |          1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))
+         |           AS c
+         |  FROM qt
+         |  JOIN tf ON tf.tok = qt.tok
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.q_id),
+         |scored AS (
+         |  SELECT q_id, doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |                                  list(c ORDER BY tok)),
+         |                     (a, b) -> a + b) AS score,
+         |         count(*) AS n_terms
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (
+         |  SELECT q_id, doc_id, n_terms, score,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY score DESC, doc_id ASC) AS rk
+         |  FROM scored)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
+         |       CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
+         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   )
 }

@@ -348,6 +348,69 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 retrieval (`text_bm25`): the standard lexical ranking
+    * function, run as a pure inverted-index join — each query (the
+    * first 4 docs, represented by their 5 RAREST distinct tokens:
+    * df asc, token asc — a deterministic keyword extraction) probes
+    * the postings list of its terms only; no document outside the
+    * candidate union is ever touched. idf = ln((N−df+½)/(df+½)+1)
+    * (Robertson), tf saturation k1=1.2, length normalization b=0.75
+    * against avgdl. Per-(query, doc) scores fold the ≤5 term
+    * contributions in TERM ORDER (Spark `aggregate` HOF over the
+    * sorted struct array ≡ DuckDB list_reduce over the ordered list,
+    * both seeded 0.0), so ranking floats are bit-identical and the
+    * (score desc, doc asc) top-5 is stable. Fully oracle-checked.
+    */
+  def bm25(spark: SparkSession, dir: String, topK: Int = 5,
+      nQueries: Int = 4, nTerms: Int = 5): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wTerm = Window.partitionBy(col("q_id")).orderBy(col("df").asc, col("tok").asc)
+    val qTerms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+      .join(df, Seq("tok"))
+      .withColumn("trk", row_number().over(wTerm))
+      .filter(col("trk") <= nTerms)
+      .select(col("q_id"), col("tok"), col("df"))
+    val contribs = qTerms
+      .join(tf, Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("tok"),
+        (log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          // 2.2 as a LITERAL on both engines: k1+1.0 computed at
+          // runtime can land a ulp off the parsed decimal
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(0.25) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("contrib"))
+    val scored = contribs
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("tok"), col("contrib").as("c")))),
+          x => x.getField("c")),
+        lit(0.0), (acc, x) => acc + x).as("score"),
+        count(lit(1)).as("n_terms"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("n_terms"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Bigram language-model scoring (`text_bigram_lm`): the REAL
     * perplexity filter (text_rarity is its integer-domain stand-in) —
     * an add-1-smoothed bigram LM trained on the corpus itself scores

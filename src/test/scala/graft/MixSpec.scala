@@ -645,6 +645,35 @@ class MixSpec extends SparkSpec {
     assert(math.abs(l - 7.0) < 1e-9 && math.abs(b) < 1e-9)
   }
 
+  test("bm25: scores match a driver-side computation for one query") {
+    val rows = TextFunctions.bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+    val tf = docs.map { case (id, t) =>
+      id -> t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = tf.size.toLong
+    val avgdl = tf.values.map(_.values.sum).sum.toDouble / n
+    val q0Terms = tf(0L).keys.toSeq.map(t => (df(t), t)).sorted.take(5).map(_._2)
+    def score(d: Long): Double = {
+      val dlen = tf(d).values.sum.toDouble
+      q0Terms.sorted.flatMap { t =>
+        tf(d).get(t).map { f =>
+          math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+            (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+        }
+      }.foldLeft(0.0)(_ + _)
+    }
+    val expect = tf.keys.filter(_ != 0L).map(d => (d, score(d)))
+      .filter(_._2 > 0.0).toSeq.sortBy { case (d, s) => (-s, d) }.take(5)
+    val got = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(got.map(_.getLong(2)).toSeq === expect.map(_._1))
+    for ((r, (_, s)) <- got.zip(expect))
+      assert(math.abs(r.getDouble(4) - s) < 1e-6)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
