@@ -293,7 +293,9 @@ object SparkEntry {
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
     "q_psi" -> ((s, d) => Analytics.psi(s, d)),
     "q_holt" -> ((s, d) => Analytics.holt(s, d)),
-    "text_bm25" -> ((s, d) => TextFunctions.bm25(s, d))
+    "text_bm25" -> ((s, d) => TextFunctions.bm25(s, d)),
+    "dedup_detector_overlap" -> ((s, d) => Dedup.detectorOverlap(s, d)),
+    "q_intersect_all" -> ((s, d) => Relational.intersectAllClicks(s, d))
   )
 
   private val cutoffValues =
@@ -3827,6 +3829,84 @@ object SparkEntry {
          |  FROM scored)
          |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id,
          |       CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
-         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Pairwise overlap of the three detectors' verified pair sets;
+    // minhash and ngram CTEs replayed, OPH bucketed the same way.
+    "dedup_detector_overlap" -> {
+      val oph =
+        s"""hh2 AS (SELECT doc_id, ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+           |bins AS (SELECT doc_id, h % 16 AS bin, min(h) AS sig
+           |         FROM hh2 GROUP BY 1, 2),
+           |spine AS (SELECT DISTINCT doc_id FROM hh2),
+           |grid AS (SELECT doc_id, b.b AS bin
+           |         FROM spine CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+           |fullg AS (
+           |  SELECT g.doc_id, g.bin,
+           |         coalesce(bins.sig, 1152921504606846976) AS sig
+           |  FROM grid g LEFT JOIN bins
+           |    ON bins.doc_id = g.doc_id AND bins.bin = g.bin),
+           |bstr AS (
+           |  SELECT doc_id, bin // 4 AS band,
+           |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY bin) AS s
+           |  FROM fullg GROUP BY doc_id, bin // 4),
+           |bnd AS (SELECT doc_id,
+           |               md5(concat(CAST(band AS VARCHAR), '_', s)) AS band_hash
+           |        FROM bstr),
+           |ocand AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM bnd x JOIN bnd y
+           |    ON x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+           |shv2 AS (SELECT DISTINCT doc_id, h FROM hh2),
+           |card2 AS (SELECT doc_id, count(*) AS n_sh FROM shv2 GROUP BY doc_id),
+           |inter2 AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           |  FROM shv2 a JOIN shv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |ophp AS (
+           |  SELECT c.id_a, c.id_b FROM ocand c
+           |  JOIN inter2 i ON i.id_a = c.id_a AND i.id_b = c.id_b
+           |  JOIN card2 ca ON ca.doc_id = c.id_a
+           |  JOIN card2 cb ON cb.doc_id = c.id_b
+           |  WHERE CAST(n_inter AS DOUBLE) /
+           |        CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= 0.7)""".stripMargin
+      s"""WITH $duckMinhashCtes,
+         |mhp AS (
+         |  SELECT jac.id_a, jac.id_b
+         |  FROM jac JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+         |  WHERE j >= 0.7),
+         |$oph,
+         |ngp AS (
+         |  SELECT id_a, id_b FROM jac WHERE j >= 0.7),
+         |pairsets AS (
+         |  SELECT 'minhash_vs_oph' AS pairing,
+         |         (SELECT count(*) FROM mhp) AS n_left,
+         |         (SELECT count(*) FROM ophp) AS n_right,
+         |         (SELECT count(*) FROM (SELECT * FROM mhp INTERSECT
+         |                                SELECT * FROM ophp)) AS n_both
+         |  UNION ALL
+         |  SELECT 'minhash_vs_ngram',
+         |         (SELECT count(*) FROM mhp),
+         |         (SELECT count(*) FROM ngp),
+         |         (SELECT count(*) FROM (SELECT * FROM mhp INTERSECT
+         |                                SELECT * FROM ngp))
+         |  UNION ALL
+         |  SELECT 'oph_vs_ngram',
+         |         (SELECT count(*) FROM ophp),
+         |         (SELECT count(*) FROM ngp),
+         |         (SELECT count(*) FROM (SELECT * FROM ophp INTERSECT
+         |                                SELECT * FROM ngp)))
+         |SELECT pairing, CAST(n_left AS BIGINT) AS n_left,
+         |       CAST(n_right AS BIGINT) AS n_right,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       CAST(n_left + n_right - n_both AS BIGINT) AS n_union
+         |FROM pairsets ORDER BY pairing""".stripMargin
+    },
+    "q_intersect_all" ->
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY user_id, d""".stripMargin
   )
 }

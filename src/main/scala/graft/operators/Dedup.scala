@@ -607,6 +607,33 @@ object Dedup {
     * IEEE cosines), so fully oracle-checked unlike the approximate
     * sweeps.
     */
+  /** Detector agreement audit (`dedup_detector_overlap`): pairwise
+    * overlap of the near-dup PAIR sets found by the three text
+    * detectors (classic MinHash, OPH MinHash, n-gram Jaccard at the
+    * same 0.7 threshold) — the QA step before trusting any single
+    * detector at corpus scale: low overlap means the banding knobs
+    * disagree about the same corpus. Pair sets are tiny relative to
+    * the corpus, so the audit is three full-outer joins over
+    * (id_a, id_b) keys; counts integral.
+    */
+  def detectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minhashPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
+    val oph = ophPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
+    val ng = ngramJaccard(spark, dir, threshold = 0.7)
+      .select(col("id_a"), col("id_b")).cache()
+    def stats(name: String, a: DataFrame, b: DataFrame) = {
+      val inter = a.intersect(b).count()
+      Seq((name, a.count(), b.count(), inter,
+        a.count() + b.count() - inter))
+    }
+    (stats("minhash_vs_oph", mh, oph) ++
+      stats("minhash_vs_ngram", mh, ng) ++
+      stats("oph_vs_ngram", oph, ng))
+      .toDF("pairing", "n_left", "n_right", "n_both", "n_union")
+      .orderBy(col("pairing"))
+  }
+
   def semanticSweep(spark: SparkSession, dir: String,
       thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4)): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

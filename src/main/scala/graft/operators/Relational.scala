@@ -65,6 +65,19 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Bag-semantics intersection (`q_intersect_all`): INTERSECT ALL
+    * keeps min(multiplicity) per row — with q_except_all it completes
+    * the bag algebra (the reconciliation question "how many of these
+    * duplicated rows appear in BOTH feeds"). Same aggregate-shaped
+    * plan, no pairwise join.
+    */
+  def intersectAllClicks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    def bag(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+    bag("click").intersectAll(bag("view")).orderBy(col("user_id"), col("d"))
+  }
+
   /** Bag-semantics set difference (`q_except_all`): EXCEPT ALL keeps
     * MULTIPLICITY — a user-day with 3 clicks and 1 view survives twice
     * — which is what reconciliation of duplicated feeds needs (the

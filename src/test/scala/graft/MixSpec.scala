@@ -674,6 +674,36 @@ class MixSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - s) < 1e-6)
   }
 
+  test("detector overlap: counts consistent, intersection bounded by both sides") {
+    val rows = graft.operators.Dedup.detectorOverlap(spark, sf).collect()
+    assert(rows.length === 3)
+    for (r <- rows) {
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)))
+      assert(r.getLong(4) === r.getLong(1) + r.getLong(2) - r.getLong(3))
+    }
+    // both minhash variants verify with the same exact-jaccard rule, so
+    // each of their pair sets is a subset of the full ngram detector's
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val mvn = byName("minhash_vs_ngram")
+    assert(mvn.getLong(3) === mvn.getLong(1)) // minhash ⊆ ngram
+    val ovn = byName("oph_vs_ngram")
+    assert(ovn.getLong(3) === ovn.getLong(1)) // oph ⊆ ngram
+  }
+
+  test("intersect all: multiplicity is per-key min of click and view counts") {
+    val got = graft.operators.Relational.intersectAllClicks(spark, sf).collect()
+      .groupBy(r => (r.getLong(0), r.getString(1))).view.mapValues(_.length).toMap
+    val e = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd")).as[(String, Long, String)].collect()
+    def bag(t: String) = e.filter(_._1 == t).groupBy(x => (x._2, x._3))
+      .view.mapValues(_.length).toMap
+    val (clicks, views) = (bag("click"), bag("view"))
+    val expect = clicks.flatMap { case (k, c) =>
+      val m = math.min(c, views.getOrElse(k, 0)); if (m > 0) Some(k -> m) else None }
+    assert(got === expect)
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
