@@ -295,7 +295,9 @@ object SparkEntry {
     "q_holt" -> ((s, d) => Analytics.holt(s, d)),
     "text_bm25" -> ((s, d) => TextFunctions.bm25(s, d)),
     "dedup_detector_overlap" -> ((s, d) => Dedup.detectorOverlap(s, d)),
-    "q_intersect_all" -> ((s, d) => Relational.intersectAllClicks(s, d))
+    "q_intersect_all" -> ((s, d) => Relational.intersectAllClicks(s, d)),
+    "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
+    "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d))
   )
 
   private val cutoffValues =
@@ -3907,6 +3909,49 @@ object SparkEntry {
         |INTERSECT ALL
         |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
         |FROM events WHERE event_type = 'view'
-        |ORDER BY user_id, d""".stripMargin
+        |ORDER BY user_id, d""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(w, x -> x IN ('el','la','los','que','y'))) AS BIGINT) AS s_es
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |              WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess
+        |  FROM s),
+        |cells AS (
+        |  SELECT d.lang, g.lang_guess, count(*) AS n
+        |  FROM documents d JOIN g ON d.doc_id = g.doc_id
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual
+        |        FROM cells GROUP BY 1)
+        |SELECT cells.lang, lang_guess, n, n_actual,
+        |       round(CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) AS share
+        |FROM cells JOIN tot ON cells.lang = tot.lang
+        |ORDER BY cells.lang, lang_guess""".stripMargin,
+    "sim_centroid_drift" ->
+      """WITH pe AS (
+        |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS par,
+        |         unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, par, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS c
+        |  FROM pe GROUP BY 1, 2, 3),
+        |arr AS (
+        |  SELECT label, par, list(m ORDER BY pos) AS cen,
+        |         CAST(max(c) AS BIGINT) AS n
+        |  FROM cent GROUP BY 1, 2)
+        |SELECT a.label, a.n AS n_even, b.n AS n_odd,
+        |       round(list_cosine_similarity(a.cen, b.cen), 6) AS cos_drift
+        |FROM arr a JOIN arr b
+        |  ON a.label = b.label AND a.par = 0 AND b.par = 1
+        |ORDER BY a.label""".stripMargin
   )
 }

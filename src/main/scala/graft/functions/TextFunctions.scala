@@ -130,6 +130,29 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix (`text_lang_confusion`): the
+    * classifier-evaluation pass — langId's guess against the stored
+    * `lang` label, counted per (actual, predicted) cell plus per-cell
+    * share of the actual class (recall diagonal). Pure integral
+    * counting over a bounded |langs|² domain; one share division per
+    * cell. The QA every heuristic filter needs before it gates a
+    * corpus.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val guesses = langId(spark, dir).select(col("doc_id"), col("lang_guess"))
+    val actual = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val cells = actual.join(guesses, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_actual"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_guess"), col("n"), col("n_actual"),
+        round(col("n").cast("double") / col("n_actual").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
   /** Edit distance between adjacent documents (`text_editdist`):
     * levenshtein is the exact verifier a near-dup pipeline applies to
     * its final candidate pairs. Full pairwise distance is O(n²·len²),

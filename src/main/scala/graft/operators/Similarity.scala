@@ -459,6 +459,35 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Embedding drift monitor (`sim_centroid_drift`): per label, the
+    * cosine between the even-id and odd-id cohort centroids plus a
+    * centroid-shift norm — the vector-space twin of q_psi (a healthy
+    * random split drifts ≈ 0, i.e. cosine ≈ 1). Centroids are per-
+    * position averages (the sim_pair_stats pattern: one combinable
+    * aggregation per cohort, arrays never shuffled whole), and the
+    * comparison is one cosine per label over 8-dim arrays.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def cohortCentroid(parity: Int, name: String) = emb
+      .filter(col("vec_id") % 2 === parity)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"), count(lit(1)).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+        (max(col("c"))).as(s"n_$name"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as(name),
+        col(s"n_$name"))
+    val a = cohortCentroid(0, "cent_even")
+    val b = cohortCentroid(1, "cent_odd")
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_cent_even").as("n_even"),
+        col("n_cent_odd").as("n_odd"),
+        round(cosine(col("cent_even"), col("cent_odd")), 6).as("cos_drift"))
+      .orderBy(col("label"))
+  }
+
   /** nprobe tuning sweep (`sim_nprobe_sweep`): mean recall@k of the
     * IVF probe at nprobe ∈ {1, 2, 3} against the exact ranking — the
     * latency/recall trade-off curve an ANN deployment is tuned on

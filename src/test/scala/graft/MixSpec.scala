@@ -704,6 +704,43 @@ class MixSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("lang confusion: cells partition the corpus; shares sum to 1 per actual") {
+    val rows = TextFunctions.langConfusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3))
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("centroid drift: cosine matches a driver-side centroid recompute") {
+    // NOTE: these embeddings are roughly centered, so cohort centroids
+    // are small noise vectors and their cosine is NOT near 1 — the
+    // check is exactness vs a recompute, plus the [-1, 1] range
+    val rows = graft.operators.Similarity.centroidDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+    for (r <- rows) {
+      assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+      val label = r.get(0).toString.toLong
+      def cent(par: Long): Array[Double] = {
+        val vs = emb.filter(e => e._2 == label && e._1 % 2 == par).map(_._3)
+        val dim = vs.head.length
+        Array.tabulate(dim)(i => vs.map(_(i).toDouble).sum / vs.length)
+      }
+      val (a, b) = (cent(0), cent(1))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(3) - cos) < 1e-5, s"label $label")
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
