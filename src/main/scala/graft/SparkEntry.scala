@@ -297,7 +297,8 @@ object SparkEntry {
     "dedup_detector_overlap" -> ((s, d) => Dedup.detectorOverlap(s, d)),
     "q_intersect_all" -> ((s, d) => Relational.intersectAllClicks(s, d)),
     "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
-    "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d))
+    "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d))
   )
 
   private val cutoffValues =
@@ -3952,6 +3953,18 @@ object SparkEntry {
         |       round(list_cosine_similarity(a.cen, b.cen), 6) AS cos_drift
         |FROM arr a JOIN arr b
         |  ON a.label = b.label AND a.par = 0 AND b.par = 1
-        |ORDER BY a.label""".stripMargin
+        |ORDER BY a.label""".stripMargin,
+    // Integer token-dim hashes mean-pooled exactly (int sum / count).
+    "text_doc_embedding" -> {
+      val dims = (0 until 8).map { i =>
+        val h = duckMd5Bits(s"concat('${i}_', tok)", 1, 7)
+        s"round(CAST(sum($h % 1000) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS d$i"
+      }.mkString(",\n|       ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${textWords()}) AS tok FROM documents)
+         |SELECT doc_id, count(*) AS n_toks,
+         |       $dims
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

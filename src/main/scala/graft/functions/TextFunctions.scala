@@ -371,6 +371,33 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic document embeddings (`text_doc_embedding`): the
+    * text→vector bridge — each token maps to an 8-dim integer vector
+    * (md5-derived, the swappable stand-in for a real token-embedding
+    * lookup), documents mean-pool their tokens per dimension. Pooling
+    * is an INTEGER sum / count per dim, so the embedding is bit-exact
+    * on any engine or layout (float mean-pooling would depend on
+    * summation order); emitted as 8 columns (d0..d7) with the token
+    * count. Feeds the same ANN operators the embeddings table does.
+    */
+  def docEmbedding(spark: SparkSession, dir: String, dims: Int = 8): DataFrame = {
+    import graft.operators.Dedup.md5Bits
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("tok"))
+    // one md5 per (token, dim) — dim baked into the hashed string
+    val dimCols = (0 until dims).map(i =>
+      (md5Bits(concat_ws("_", lit(i.toString), col("tok")), 1, 7) % 1000L).as(s"v$i"))
+    val hashed = toks.select((col("doc_id") +: dimCols): _*)
+    val aggs = (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")) :+
+      count(lit(1)).as("n_toks")
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select((col("doc_id") +: col("n_toks") +:
+        (0 until dims).map(i =>
+          round(col(s"s$i").cast("double") / col("n_toks").cast("double"), 6)
+            .as(s"d$i"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 retrieval (`text_bm25`): the standard lexical ranking
     * function, run as a pure inverted-index join — each query (the
     * first 4 docs, represented by their 5 RAREST distinct tokens:

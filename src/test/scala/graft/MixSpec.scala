@@ -741,6 +741,27 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("doc embedding: integral mean-pool matches a driver recompute; layout invariant") {
+    val rows = TextFunctions.docEmbedding(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect().toMap
+    def md5bits(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 7), 16)
+    }
+    for (r <- rows.take(10)) {
+      val toks = docs(r.getLong(0)).split("[^a-z0-9]+").filter(_.nonEmpty)
+      assert(r.getLong(1) === toks.length.toLong)
+      for (i <- 0 until 8) {
+        val s = toks.map(t => md5bits(s"${i}_$t") % 1000L).sum
+        val expect = math.rint(s.toDouble / toks.length * 1e6) / 1e6
+        assert(math.abs(r.getDouble(2 + i) - expect) < 1e-9, s"dim $i doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
