@@ -167,4 +167,49 @@ object Sink {
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
   }
+
+  /** Versioned snapshot writes with time travel (the lakehouse
+    * pattern a table format provides, expressed with plain parquet +
+    * a version directory scheme): every write lands a NEW immutable
+    * `v=N` snapshot — readers of version N-1 are never disturbed
+    * (no staging swap needed), `readLatest` resolves the max version
+    * at open time, `readVersion` time-travels, and `expireVersions`
+    * is the retention pass that keeps the last K snapshots. Version
+    * resolution is one directory listing (a table format stores the
+    * same fact in a metadata file).
+    */
+  def writeVersioned(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val next = listVersions(spark, path).lastOption.getOrElse(-1L) + 1L
+    df.write.mode("errorifexists").parquet(s"$path/v=$next")
+    next
+  }
+
+  def listVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+  }
+
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    spark.read.parquet(s"$path/v=$version")
+
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val vs = listVersions(spark, path)
+    require(vs.nonEmpty, s"no versions under $path")
+    readVersion(spark, path, vs.last)
+  }
+
+  def expireVersions(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    val vs = listVersions(spark, path)
+    val doomed = vs.dropRight(keep)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+    doomed
+  }
 }

@@ -167,6 +167,23 @@ class SinkSpec extends SparkSpec {
     assert(joined.collect().length == 1)
   }
 
+  test("versioned snapshots: time travel, latest resolution, retention expiry") {
+    val p = tmpDir()
+    assert(Sink.writeVersioned(Seq((1L, "a")).toDF("k", "v"), p) === 0L)
+    assert(Sink.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p) === 1L)
+    assert(Sink.writeVersioned(Seq((9L, "z")).toDF("k", "v"), p) === 2L)
+    assert(Sink.listVersions(spark, p) === Seq(0L, 1L, 2L))
+    // time travel: old snapshots are immutable and still readable
+    assert(Sink.readVersion(spark, p, 0L).count() === 1L)
+    assert(Sink.readVersion(spark, p, 1L).count() === 2L)
+    assert(Sink.readLatest(spark, p).as[(Long, String)].collect().toSeq ===
+      Seq((9L, "z")))
+    // retention: keep the last 2, version 0 expires
+    assert(Sink.expireVersions(spark, p, keep = 2) === Seq(0L))
+    assert(Sink.listVersions(spark, p) === Seq(1L, 2L))
+    assert(Sink.readLatest(spark, p).count() === 1L)
+  }
+
   test("dedupUpsert keeps the latest version per key across writes") {
     val p = tmpDir()
     Sink.dedupUpsert(spark, p,
