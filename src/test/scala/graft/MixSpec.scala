@@ -576,13 +576,16 @@ class MixSpec extends SparkSpec {
       val a1 = canon(TextFunctions.bigramLm(spark, sf))      // ordered fold
       val b1 = canon(graft.operators.Similarity.sparseCosine(spark, sf))
       val c1 = canon(Analytics.ewmaDaily(spark, sf))          // ordered fold
+      val d1 = canon(TextFunctions.bm25(spark, sf))
       sc.conf.set("spark.sql.shuffle.partitions", "13")
       val a2 = canon(TextFunctions.bigramLm(spark, sf))
       val b2 = canon(graft.operators.Similarity.sparseCosine(spark, sf))
       val c2 = canon(Analytics.ewmaDaily(spark, sf))
+      val d2 = canon(TextFunctions.bm25(spark, sf))
       assert(a1 === a2, "bigramLm layout-dependent")
       assert(b1 === b2, "sparseCosine layout-dependent")
       assert(c1 === c2, "ewma layout-dependent")
+      assert(d1 === d2, "bm25 layout-dependent")
     } finally sc.conf.set("spark.sql.shuffle.partitions", p)
   }
 
