@@ -298,7 +298,8 @@ object SparkEntry {
     "q_intersect_all" -> ((s, d) => Relational.intersectAllClicks(s, d)),
     "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
     "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
-    "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d))
+    "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d)),
+    "q_overlap_join" -> ((s, d) => Temporal.overlapJoin(s, d))
   )
 
   private val cutoffValues =
@@ -3965,6 +3966,25 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_toks,
          |       $dims
          |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_overlap_join" -> {
+      val promoValues = graft.operators.Temporal.promoWindows
+        .map { case (id, s, e) =>
+          s"($id, TIMESTAMP '$s', TIMESTAMP '$e')" }.mkString(", ")
+      s"""WITH promos(promo_id, p0t, p1t) AS (VALUES $promoValues),
+         |p AS (SELECT promo_id, epoch_us(p0t) AS p0, epoch_us(p1t) AS p1
+         |      FROM promos),
+         |spans AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |         min(epoch_us(CAST(ts AS TIMESTAMP))) AS a0,
+         |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS a1
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |       CAST(promo_id AS BIGINT) AS promo_id,
+         |       least(a1, p1) - greatest(a0, p0) AS overlap_us
+         |FROM spans JOIN p ON a0 < p1 AND p0 < a1
+         |WHERE least(a1, p1) - greatest(a0, p0) > 0
+         |ORDER BY user_id, day, promo_id""".stripMargin
     }
   )
 }

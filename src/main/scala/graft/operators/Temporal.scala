@@ -242,6 +242,43 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Inline promo windows for the interval-overlap join. */
+  val promoWindows: Seq[(Int, String, String)] = Seq(
+    (1, "2024-01-03 06:00:00", "2024-01-05 18:00:00"),
+    (2, "2024-01-10 00:00:00", "2024-01-12 00:00:00"),
+    (3, "2024-01-17 12:00:00", "2024-01-21 12:00:00"),
+    (4, "2024-01-26 00:00:00", "2024-01-27 06:00:00"))
+
+  /** Interval × interval overlap join (`q_overlap_join`): each user-
+    * day activity interval [first event, last event] against a small
+    * promo-window calendar, keeping pairs with POSITIVE overlap and
+    * emitting the overlap duration — the campaign-exposure join
+    * (range join is point-in-interval; this is the two-sided
+    * generalization with predicate a.start < b.end AND b.start <
+    * a.end). The promo side broadcasts; the user-day intervals come
+    * from one combinable min/max aggregation; overlap arithmetic is
+    * integral µs.
+    */
+  def overlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promos = promoWindows.toDF("promo_id", "start_s", "end_s")
+      .select(col("promo_id"),
+        unix_micros(to_timestamp_ntz(col("start_s")).cast("timestamp")).as("p0"),
+        unix_micros(to_timestamp_ntz(col("end_s")).cast("timestamp")).as("p1"))
+    val spans = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("a0"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("a1"))
+    spans.join(broadcast(promos),
+        col("a0") < col("p1") && col("p0") < col("a1"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("promo_id").cast("long").as("promo_id"),
+        (least(col("a1"), col("p1")) - greatest(col("a0"), col("p0")))
+          .as("overlap_us"))
+      .filter(col("overlap_us") > 0L)
+      .orderBy(col("user_id"), col("day"), col("promo_id"))
+  }
+
   /** Inline interval calendar for the range join (wk → [start, end)). */
   val weekRanges: Seq[(Int, String, String)] = Seq(
     (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),

@@ -765,6 +765,23 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("overlap join: durations positive, bounded by both intervals, spot-checked") {
+    val rows = graft.operators.Temporal.overlapJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val promos = graft.operators.Temporal.promoWindows.map { case (id, s, e) =>
+      id.toLong -> (java.sql.Timestamp.valueOf(s), java.sql.Timestamp.valueOf(e))
+    }.toMap
+    for (r <- rows) {
+      val (p0, p1) = promos(r.getLong(2))
+      val pLen = (micros(p1) - micros(p0))
+      assert(r.getLong(3) > 0L && r.getLong(3) <= pLen)
+      // the overlapping day must fall within [promo start - 1d, promo end]
+      val d = java.time.LocalDate.parse(r.getString(1))
+      assert(!d.isBefore(p0.toLocalDateTime.toLocalDate))
+      assert(!d.isAfter(p1.toLocalDateTime.toLocalDate))
+    }
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
