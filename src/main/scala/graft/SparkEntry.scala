@@ -299,7 +299,8 @@ object SparkEntry {
     "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
     "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d)),
-    "q_overlap_join" -> ((s, d) => Temporal.overlapJoin(s, d))
+    "q_overlap_join" -> ((s, d) => Temporal.overlapJoin(s, d)),
+    "q_constraint_audit" -> ((s, d) => Relational.constraintAudit(s, d))
   )
 
   private val cutoffValues =
@@ -3985,6 +3986,55 @@ object SparkEntry {
          |FROM spans JOIN p ON a0 < p1 AND p0 < a1
          |WHERE least(a1, p1) - greatest(a0, p0) > 0
          |ORDER BY user_id, day, promo_id""".stripMargin
-    }
+    },
+    "q_constraint_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_pk' AS check_name, count(*) AS n_checked,
+        |         count(*) - count(DISTINCT c_custkey) AS n_violations
+        |  FROM customer
+        |  UNION ALL SELECT 'orders_pk', count(*),
+        |         count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'lineitem_pk', count(*),
+        |         count(*) - (SELECT count(*) FROM
+        |           (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |  FROM lineitem
+        |  UNION ALL SELECT 'part_pk', count(*),
+        |         count(*) - count(DISTINCT p_partkey) FROM part
+        |  UNION ALL SELECT 'orders_custkey_fk', count(*),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', count(*),
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL SELECT 'lineitem_partkey_fk', count(*),
+        |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |    ON l.l_partkey = p.p_partkey
+        |  UNION ALL SELECT 'lineitem_suppkey_fk', count(*),
+        |         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |    ON l.l_suppkey = s.s_suppkey
+        |  UNION ALL SELECT 'customer_nationkey_fk', count(*),
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL SELECT 'supplier_nationkey_fk', count(*),
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON s.s_nationkey = n.n_nationkey
+        |  UNION ALL SELECT 'nation_regionkey_fk', count(*),
+        |         CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+        |    ON n.n_regionkey = r.r_regionkey
+        |) ORDER BY check_name""".stripMargin
   )
 }

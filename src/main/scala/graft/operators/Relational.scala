@@ -65,6 +65,46 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Constraint audit (`q_constraint_audit`): primary-key uniqueness
+    * and foreign-key integrity across the star schema, one row per
+    * constraint — the data-quality gate a migration (the reference's
+    * two-lineage fusion) runs before trusting joins. PK violations =
+    * n_rows − n_distinct(key); FK orphans = LEFT ANTI count against
+    * the parent key set. Every check is one combinable aggregation or
+    * one anti-join; all counts integral.
+    */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(name: String) = Tables.load(spark, dir, name)
+    def pk(check: String, df: DataFrame, keys: Seq[String]) = {
+      val n = df.count()
+      val d = df.select(keys.map(col): _*).distinct().count()
+      (check, n, n - d)
+    }
+    def fk(check: String, child: DataFrame, ck: String,
+        parent: DataFrame, pkCol: String) = {
+      val n = child.count()
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pkCol).as(ck)).distinct(), Seq(ck), "left_anti")
+        .count()
+      (check, n, orphans)
+    }
+    val rows = Seq(
+      pk("customer_pk", t("customer"), Seq("c_custkey")),
+      pk("orders_pk", t("orders"), Seq("o_orderkey")),
+      pk("lineitem_pk", t("lineitem"), Seq("l_orderkey", "l_linenumber")),
+      pk("part_pk", t("part"), Seq("p_partkey")),
+      fk("orders_custkey_fk", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      fk("lineitem_orderkey_fk", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      fk("lineitem_partkey_fk", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+      fk("lineitem_suppkey_fk", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      fk("customer_nationkey_fk", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      fk("supplier_nationkey_fk", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      fk("nation_regionkey_fk", t("nation"), "n_regionkey", t("region"), "r_regionkey"))
+    rows.toDF("check_name", "n_checked", "n_violations")
+      .orderBy(col("check_name"))
+  }
+
   /** Bag-semantics intersection (`q_intersect_all`): INTERSECT ALL
     * keeps min(multiplicity) per row — with q_except_all it completes
     * the bag algebra (the reconciliation question "how many of these

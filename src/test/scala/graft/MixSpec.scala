@@ -782,6 +782,27 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("constraint audit: FK edges clean, PK violations match a recompute") {
+    val rows = graft.operators.Relational.constraintAudit(spark, sf).collect()
+    assert(rows.length === 11)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // the synthetic star schema is referentially clean on every FK edge
+    for (r <- rows if r.getString(0).endsWith("_fk"))
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} violations")
+    // single-column PKs are unique; the synthetic lineitem genuinely
+    // REUSES (l_orderkey, l_linenumber) — the audit detects it, and the
+    // count must equal an independent recompute
+    for (n <- Seq("customer_pk", "orders_pk", "part_pk"))
+      assert(byName(n).getLong(2) === 0L, s"$n violations")
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val dups = li.count() -
+      li.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(byName("lineitem_pk").getLong(2) === dups)
+    assert(byName("orders_pk").getLong(1) ===
+      graft.sources.Tables.load(spark, sf, "orders").count())
+    assert(byName("lineitem_orderkey_fk").getLong(1) === li.count())
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
