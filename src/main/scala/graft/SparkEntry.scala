@@ -300,7 +300,8 @@ object SparkEntry {
     "sim_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d)),
     "q_overlap_join" -> ((s, d) => Temporal.overlapJoin(s, d)),
-    "q_constraint_audit" -> ((s, d) => Relational.constraintAudit(s, d))
+    "q_constraint_audit" -> ((s, d) => Relational.constraintAudit(s, d)),
+    "text_contamination_pairs" -> ((s, d) => TextFunctions.contaminationPairs(s, d))
   )
 
   private val cutoffValues =
@@ -4035,6 +4036,23 @@ object SparkEntry {
         |              AS BIGINT)
         |  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
         |    ON n.n_regionkey = r.r_regionkey
-        |) ORDER BY check_name""".stripMargin
+        |) ORDER BY check_name""".stripMargin,
+    "text_contamination_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(w) >= 8
+         |         THEN list_transform(range(len(w) - 7),
+         |                i -> array_to_string(w[i+1:i+8], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS s
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM win),
+         |ev AS (SELECT doc_id AS eval_doc, h FROM g WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_doc, h FROM g WHERE doc_id % 10 <> 0)
+         |SELECT train_doc, eval_doc,
+         |       CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared
+         |FROM tr JOIN ev ON tr.h = ev.h
+         |GROUP BY 1, 2 HAVING count(DISTINCT tr.h) >= 3
+         |ORDER BY train_doc, eval_doc""".stripMargin
   )
 }

@@ -726,6 +726,38 @@ object TextFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination provenance (`text_contamination_pairs`): WHICH
+    * eval document leaked into which training document — the
+    * actionable form of `text_contamination`'s per-doc fraction
+    * (knowing a benchmark leaked is what lets you pull it). Same
+    * 8-token 60-bit window hashes; the (train, eval) pair emerges
+    * from the gram equi-join (train grams ⋈ broadcast eval grams —
+    * never pairwise docs) and survives at ≥ minShared distinct
+    * shared windows. Linear in corpus gram volume.
+    */
+  def contaminationPairs(spark: SparkSession, dir: String, window: Int = 8,
+      minShared: Int = 3): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    // a tenth of the corpus held out (the % 97 slice of
+    // text_contamination happens to share no 8-gram with this
+    // synthetic training set — vacuous provenance)
+    val isEval = col("doc_id") % 10 === 0
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(tokenWindows(col("toks"), window))).as("s"))
+      .select(col("doc_id"), graft.operators.Dedup.md5Bits(col("s"), 1, 15).as("h"))
+    val evalGrams = grams(d.filter(isEval))
+      .select(col("doc_id").as("eval_doc"), col("h")).distinct()
+    grams(d.filter(!isEval))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   /** Whole-stack filter verdict (`text_filter_verdict`): the composed
     * quality pipeline as ONE job — Gopher structural rules ∧ low
     * repetition ∧ English ∧ uncontaminated — per-document component

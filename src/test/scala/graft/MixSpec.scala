@@ -803,6 +803,30 @@ class MixSpec extends SparkSpec {
     assert(byName("lineitem_orderkey_fk").getLong(1) === li.count())
   }
 
+  test("contamination pairs: each reported pair really shares >= 3 distinct 8-grams") {
+    val rows = TextFunctions.contaminationPairs(spark, sf).collect()
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect().toMap
+    def grams(id: Long): Set[String] = {
+      val w = docs(id).split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (w.length < 8) Set.empty else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    for (r <- rows) {
+      assert(r.getLong(0) % 10 != 0 && r.getLong(1) % 10 == 0)
+      val shared = (grams(r.getLong(0)) & grams(r.getLong(1))).size.toLong
+      assert(shared === r.getLong(2), s"pair ${r.getLong(0)},${r.getLong(1)}")
+      assert(shared >= 3L)
+    }
+    // completeness: no qualifying pair is missed (driver-side sweep)
+    val evals = docs.keys.filter(_ % 10 == 0).toSeq
+    val trains = docs.keys.filter(_ % 10 != 0).toSeq
+    val evalGrams = evals.map(e => e -> grams(e)).filter(_._2.nonEmpty)
+    val reported = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (t <- trains; g = grams(t); if g.nonEmpty; (e, eg) <- evalGrams
+         if (g & eg).size >= 3)
+      assert(reported.contains((t, e)), s"missed $t,$e")
+  }
+
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 }
