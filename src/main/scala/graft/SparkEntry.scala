@@ -2604,11 +2604,12 @@ object SparkEntry {
     "q_weighted_median" ->
       """WITH cum AS (
         |  SELECT l_returnflag, l_extendedprice,
-        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
         |           PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
-        |         sum(CAST(l_quantity AS BIGINT)) OVER (
-        |           PARTITION BY l_returnflag) AS total_w
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |           AS BIGINT) AS cw,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS BIGINT) AS total_w
         |  FROM lineitem)
         |SELECT l_returnflag, total_w, min(l_extendedprice) AS weighted_median
         |FROM cum WHERE cw * 2 >= total_w
@@ -3091,18 +3092,23 @@ object SparkEntry {
          |  SELECT doc_id, source,
          |         CAST(len(${textWords()}) AS BIGINT) AS n_toks
          |  FROM documents),
-         |per_src AS (SELECT source, sum(n_toks) AS tok_s FROM d GROUP BY 1),
-         |tot AS (SELECT sum(tok_s) AS tok_total FROM per_src),
+         |per_src AS (SELECT source,
+         |                   CAST(sum(n_toks) AS BIGINT) AS tok_s
+         |            FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS tok_total FROM per_src),
          |rates AS (
          |  SELECT source, tok_s,
-         |         ((tok_total * 40 // 100) *
-         |          (CASE source $weightCase ELSE 0 END)) // 1000 AS budget_s
+         |         CAST(((tok_total * 40 // 100) *
+         |          (CASE source $weightCase ELSE 0 END)) // 1000 AS BIGINT)
+         |           AS budget_s
          |  FROM per_src CROSS JOIN tot),
          |r2 AS (SELECT source, tok_s, budget_s,
-         |              least(1000, budget_s * 1000 // tok_s) AS accept_permille
+         |              CAST(least(1000, budget_s * 1000 // tok_s) AS BIGINT)
+         |                AS accept_permille
          |       FROM rates),
          |kept AS (
-         |  SELECT d.source, count(*) AS n_docs_kept, sum(d.n_toks) AS tok_kept
+         |  SELECT d.source, count(*) AS n_docs_kept,
+         |         CAST(sum(d.n_toks) AS BIGINT) AS tok_kept
          |  FROM d JOIN r2 ON d.source = r2.source
          |  WHERE ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 1000
          |        < accept_permille
