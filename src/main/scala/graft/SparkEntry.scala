@@ -467,10 +467,13 @@ object SparkEntry {
     s"""WITH $duckShingles,
        |shh AS (SELECT DISTINCT doc_id,
        |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
-       |card AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+       |hot AS (SELECT h FROM shh GROUP BY h
+       |        HAVING count(*) > ${graft.operators.Dedup.MaxShingleDf}),
+       |kept AS (SELECT * FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-       |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |       round(CAST(n_inter AS DOUBLE) /

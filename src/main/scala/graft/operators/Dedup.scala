@@ -76,8 +76,20 @@ object Dedup {
     }
   }
 
+  /** Default document-frequency cap for the pairwise shingle join.
+    * The self-join emits sum(df²) rows, so one stop-phrase shingle in m
+    * docs costs m² join rows — quadratic in the hottest key. Capping df
+    * (the CCNet convention: ubiquitous shingles carry no near-dup
+    * signal) keeps pair volume linear in corpus size; the uncapped
+    * exact formulation remains available via maxDf = None, and
+    * minhash/OPH LSH is the scale path when even capped pair volume is
+    * too large.
+    */
+  val MaxShingleDf = 50
+
   def ngramJaccard(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, maxDf: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.4,
+      maxDf: Option[Int] = Some(MaxShingleDf)): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // Set semantics per doc need no data movement: array_distinct on
     // the in-row shingle array replaces the corpus-wide distinct
@@ -620,7 +632,10 @@ object Dedup {
     import spark.implicits._
     val mh = minhashPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
     val oph = ophPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
-    val ng = ngramJaccard(spark, dir, threshold = 0.7)
+    // maxDf = None: the audit's ground-truth detector is EXACT n-gram
+    // Jaccard — capping df here would fold the cap's recall loss into
+    // the very overlap numbers meant to measure the LSH detectors.
+    val ng = ngramJaccard(spark, dir, threshold = 0.7, maxDf = None)
       .select(col("id_a"), col("id_b")).cache()
     def stats(name: String, a: DataFrame, b: DataFrame) = {
       val inter = a.intersect(b).count()

@@ -104,6 +104,26 @@ class DedupSpec extends SparkSpec {
     assert(over == 0)
   }
 
+  test("default df cap keeps hot-shingle pair volume linear") {
+    // 60 docs all sharing ONE trigram ("hot shared phrase"), otherwise
+    // unique. Uncapped, that single shingle makes every pair a
+    // candidate — 60*59/2 = 1770 join rows from one key (quadratic in
+    // its df). The default MaxShingleDf cap (50 < 60) drops it, so no
+    // candidate pairs survive at all: pair volume tracks the capped
+    // per-shingle df, not the hottest key.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle")
+    val hot = (1 to 60).map { i =>
+      (i.toLong, s"hot shared phrase u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "text")
+    hot.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.MaxShingleDf < 60)
+    val uncapped =
+      Dedup.ngramJaccard(spark, dir.toString, threshold = 0.0, maxDf = None)
+    assert(uncapped.count() == 60L * 59 / 2)
+    val capped = Dedup.ngramJaccard(spark, dir.toString, threshold = 0.0)
+    assert(capped.count() == 0)
+  }
+
   test("dedup report echoes the per-method counts") {
     val rep = Dedup.dedupReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
