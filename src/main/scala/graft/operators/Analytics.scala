@@ -842,9 +842,8 @@ object Analytics {
           floor(col("value") * 100).cast("long")).otherwise(0L)).as("spend_c"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"))
     val hist = users.groupBy(col("spend_c")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("spend_c").desc)
     val tot = hist.agg(sum(col("c")).as("n_total"))
-    val cut = hist.withColumn("cum", sum(col("c")).over(w))
+    val cut = Prefix.runningSum(hist, col("c"), "cum", Seq(col("spend_c").desc))
       .crossJoin(broadcast(tot))
       .select(col("spend_c"),
         ceil(col("cum") * lit(buckets.toLong) / col("n_total")).cast("long")
@@ -873,8 +872,9 @@ object Analytics {
     * value v with count c at cumulative offset b, Σ rank·x over its
     * run is v·(c·b + c(c+1)/2), so the whole coefficient
     * G = (2·S1 − (n+1)·S) / (n·S) assembles from EXACT integer
-    * aggregates (cents), one double division at the end. The window
-    * runs over DISTINCT spend values (q_rfm pattern), never users.
+    * aggregates (cents), one double division at the end. The cumulative
+    * offsets come from Prefix.runningSum over the distinct-value
+    * histogram — scale-safe even when spend cents are near-unique.
     */
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
@@ -882,9 +882,7 @@ object Analytics {
       .agg(sum(when(col("event_type") === "purchase",
         floor(col("value") * 100).cast("long")).otherwise(0L)).as("v"))
     val hist = users.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-    val withBase = hist
-      .withColumn("cum", sum(col("c")).over(w))
+    val withBase = Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
       .withColumn("base", col("cum") - col("c"))
       // DIV keeps the whole term in BIGINT (Column `/` would go double
       // and make the S1 sum order-sensitive); c(c+1) is always even.
@@ -1285,20 +1283,19 @@ object Analytics {
   /** Equi-depth histogram (`q_histogram_equi`): ANALYZE-style decile
     * statistics WITHOUT ntile's single-partition global sort — the
     * table first collapses to a (value, count) histogram (one shuffle,
-    * map-side combinable), the cumulative-count window then runs over
-    * DISTINCT VALUES only (the q_rfm pattern: bounded by the value
-    * domain, never the table), and each value's bucket is the integer
-    * ceil(cum·B/n) — so bucket membership is a pure function of the
-    * value, bit-reproducible under ties, and the bounds are
-    * pass-through doubles.
+    * map-side combinable), cumulative counts come from
+    * Prefix.runningSum over the distinct values (scale-safe even for a
+    * continuous price domain whose distinct count tracks row count),
+    * and each value's bucket is the integer ceil(cum·B/n) — so bucket
+    * membership is a pure function of the value, bit-reproducible
+    * under ties, and the bounds are pass-through doubles.
     */
   def equiDepthHistogram(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val hist = o.groupBy(col("o_totalprice").as("v"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
     val tot = hist.agg(sum(col("c")).as("n_total"))
-    hist.withColumn("cum", sum(col("c")).over(w))
+    Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
       .crossJoin(broadcast(tot))
       .withColumn("bucket",
         ceil(col("cum") * lit(buckets.toLong) / col("n_total")).cast("long"))
@@ -1545,9 +1542,9 @@ object Analytics {
   /** Mann–Whitney U test (`q_mwu_test`): nonparametric cohort
     * comparison (even vs odd user ids) of event values per type — the
     * rank-based complement of q_ab_test's proportion z. Midranks come
-    * from the VALUE HISTOGRAM (per-(type, cents) counts + a cumsum
-    * over distinct values — the q_rfm pattern, never a per-row rank
-    * window), and everything stays integral by carrying DOUBLED rank
+    * from the VALUE HISTOGRAM (per-(type, cents) counts + a
+    * Prefix.runningSum cumsum over distinct values — never a per-row
+    * rank window), and everything stays integral by carrying DOUBLED rank
     * sums: 2·midrank(v) = 2·cum_before + c_v + 1, 2·U_A = Σ a_v·2mr −
     * n_A(n_A+1). The z statistic (no tie correction; documented rule)
     * is one identical double expression.
@@ -1559,10 +1556,10 @@ object Analytics {
         (col("user_id") % 2 === 0).cast("long").as("in_a"))
     val hist = e.groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("c"), sum(col("in_a")).as("a_v"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = hist
-      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+    val ranked = Prefix
+      .runningSum(hist, col("c"), "cum", Seq(col("cents")),
+        partCols = Seq("event_type"))
+      .withColumn("cum_before", col("cum") - col("c"))
       .withColumn("mr2", lit(2L) * col("cum_before") + col("c") + 1L)
     val agg = ranked.groupBy(col("event_type")).agg(
       sum(col("a_v")).as("n_a"),
@@ -1671,9 +1668,9 @@ object Analytics {
     * DISCRETE quartiles of the latency distribution — the
     * conversion-latency report every funnel owner asks for. Latencies
     * are integral µs; quartiles are stored values picked at ceil(n·p)
-    * over the latency histogram cumsum (the percentileDisc rule), so
-    * the whole report is bit-stable. Two aggregates co-keyed on user,
-    * one bounded distinct-value window.
+    * over the latency histogram's Prefix.runningSum cumsum (the
+    * percentileDisc rule), so the whole report is bit-stable and never
+    * single-partition even with near-unique µs latencies.
     */
   def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
@@ -1686,10 +1683,8 @@ object Analytics {
       .filter(col("us") >= col("click_us"))
       .groupBy(col("user_id"))
       .agg((min(col("us")) - min(col("click_us"))).as("lat_us"))
-    val w = Window.orderBy(col("lat_us"))
-    val ranked = conv.groupBy(col("lat_us")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = conv.groupBy(col("lat_us")).agg(count(lit(1)).as("c"))
+    val ranked = Prefix.runningSum(hist, col("c"), "cum", Seq(col("lat_us")))
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
     def pick(p: Double) = min(when(
       col("cum") >= ceil(col("n").cast("double") * lit(p)).cast("long"),

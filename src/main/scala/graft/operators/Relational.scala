@@ -600,19 +600,15 @@ object Relational {
     * its value histogram: counts per distinct value (one combinable
     * shuffle), a running cumsum over the distinct-value frame, then
     * cut(p) = min value whose cumulative count reaches position
-    * ceil(n·p) — exactly DuckDB's quantile_disc rule. The
-    * global window orders DISTINCT values, not rows, so its partition
-    * is bounded by the value domain (days, order counts), never the
-    * table.
+    * ceil(n·p) — exactly DuckDB's quantile_disc rule. The cumsum runs
+    * through Prefix.runningSum (range-partitioned two-phase prefix
+    * sum), so even a continuous metric whose distinct-value count
+    * approaches row count never lands on a single task.
     */
   private def discCuts(df: DataFrame, metric: String): DataFrame = {
     val hist = df.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cum = Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
     def cut(p: Double) = min(when(
       col("cum") >= ceil(col("n").cast("double") * lit(p)), col("v")))
     cum.agg(cut(0.25).as(s"${metric}_q25"), cut(0.5).as(s"${metric}_q50"),
