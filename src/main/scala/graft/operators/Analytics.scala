@@ -542,9 +542,13 @@ object Analytics {
       .filter(col("t_a") < col("t_b"))
       .groupBy(col("t_a"), col("t_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    est.join(exactInter, Seq("t_a", "t_b"))
+    // LEFT join: a disjoint pair has no exactInter row but its sketch
+    // estimate is still a data point — the overlap matrix must show it
+    // (exact 0, est possibly nonzero) rather than silently omit it.
+    est.join(exactInter, Seq("t_a", "t_b"), "left")
       .select(col("t_a"), col("t_b"),
-        col("est_inter").cast("long").as("est_inter"), col("exact_inter"),
+        col("est_inter").cast("long").as("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
         col("est_union").cast("long").as("est_union"))
       .orderBy(col("t_a"), col("t_b"))
   }
@@ -1824,19 +1828,25 @@ object Analytics {
       .agg(count(lit(1)).as("c"))
       .as[(String, Long, Long)]
     daily.groupByKey(_._1)
-      .mapGroups { (t, it) =>
+      .flatMapGroups { (t, it) =>
         val xs = it.toArray.sortBy(_._2).map(_._3.toDouble)
-        var l = xs(0)
-        var b = xs(1) - xs(0)
-        var i = 1
-        while (i < xs.length) {
-          val x = xs(i)
-          val lNew = alpha * x + (1.0 - alpha) * (l + b)
-          b = beta * (lNew - l) + (1.0 - beta) * b
-          l = lNew
-          i += 1
+        // The trend init b₁ = x₂ − x₁ needs two points; a one-point
+        // series is omitted, matching the oracle CTE whose base case
+        // starts at i=2 and so never emits such groups.
+        if (xs.length < 2) Iterator.empty
+        else {
+          var l = xs(0)
+          var b = xs(1) - xs(0)
+          var i = 1
+          while (i < xs.length) {
+            val x = xs(i)
+            val lNew = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1.0 - beta) * b
+            l = lNew
+            i += 1
+          }
+          Iterator.single((t, xs.length.toLong, l, b, l + b))
         }
-        (t, xs.length.toLong, l, b, l + b)
       }
       .toDF("event_type", "n_days", "level", "trend", "forecast")
       .select(col("event_type"), col("n_days"), round(col("level"), 6).as("level"),

@@ -280,6 +280,11 @@ object Fusion {
         least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       iter += 1
     }
+    // The oracle is a full transitive closure: a component whose
+    // propagation distance exceeds maxIter would silently diverge from
+    // it, so non-convergence must fail loudly, not return wrong labels.
+    require(changed == 0,
+      s"entityResolution did not converge in $maxIter iterations")
     val resolved = names
       .join(labels.withColumnRenamed("name", "p_name"), Seq("p_name"), "left")
       .select(col("p_name").as("name"),

@@ -181,7 +181,17 @@ object Sink {
   def writeVersioned(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val next = listVersions(spark, path).lastOption.getOrElse(-1L) + 1L
-    df.write.mode("errorifexists").parquet(s"$path/v=$next")
+    // Stage outside the v= namespace, then one atomic rename publishes
+    // the snapshot: readers can never observe a half-written v=N (the
+    // _temporary dirs of an in-flight job live only under the staging
+    // path, which listVersions ignores). Rename failure = a concurrent
+    // writer claimed N first — surface it rather than corrupt.
+    val staging = new Path(s"$path/.staging-v=$next")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(s"$path/v=$next")
+    require(!fs.exists(target) && fs.rename(staging, target),
+      s"versioned publish of v=$next lost a race at $path")
     next
   }
 
@@ -206,6 +216,7 @@ object Sink {
   }
 
   def expireVersions(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"expireVersions(keep=$keep) would delete the live snapshot")
     val vs = listVersions(spark, path)
     val doomed = vs.dropRight(keep)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -203,7 +203,8 @@ case class DocGenPartition(start: Long, end: Long) extends InputPartition
   */
 class DocGenMicroBatchStream(lo: Long, hi: Long, parts: Int,
     required: StructType, rowsPerBatch: Long)
-    extends streaming.MicroBatchStream {
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
   private case class DocGenOffset(pos: Long) extends streaming.Offset {
     override def json(): String = pos.toString
   }
@@ -212,11 +213,28 @@ class DocGenMicroBatchStream(lo: Long, hi: Long, parts: Int,
   override def initialOffset(): streaming.Offset = DocGenOffset(lo)
   override def deserializeOffset(json: String): streaming.Offset =
     DocGenOffset(json.toLong)
-  override def latestOffset(): streaming.Offset = {
-    // guarded add: a huge rowsPerBatch must clamp to hi, not overflow
-    available = if (rowsPerBatch >= hi - available) hi else available + rowsPerBatch
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.allAvailable()
+  /** Admission-controlled offset advance: progress is tracked relative
+    * to the RESTART point. A fresh stream instance recovering from a
+    * checkpoint receives the committed offset as `start` and advances
+    * from there — never below it — so no committed range is ever
+    * re-planned (exactly-once across restarts, not just within a run).
+    */
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    available = math.max(available, start.json().toLong)
+    val cap = limit match {
+      case r: streaming.ReadMaxRows => math.min(rowsPerBatch, r.maxRows())
+      case _                        => rowsPerBatch
+    }
+    // guarded add: a huge cap must clamp to hi, not overflow
+    available = if (cap >= hi - available) hi else available + cap
     DocGenOffset(available)
   }
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled path")
   override def planInputPartitions(start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
     val (s0, e0) = (start.json().toLong, end.json().toLong)
