@@ -830,9 +830,14 @@ object TextFunctions {
     * data curriculum samples along. The ntile sort key is a single
     * IEEE division of two integers (identical in every engine) with a
     * doc_id tie-break, and the emitted stats are all integral, so the
-    * bucketing is bit-stable. The per-source ntile is a per-group
-    * sort; a source too large to sort would swap in the two-phase
-    * rank used by text_batch_pack.
+    * bucketing is bit-stable. The per-source rank is the TWO-PHASE
+    * prefix rank (Prefix.runningSum over a constant-1 column, ordered
+    * by the unique (mean_cnt desc, doc_id) key), not an ntile window —
+    * one source can be most of a corpus, and ntile's per-group sort
+    * would funnel it through a single task. ntile's bucket-boundary
+    * rule (first N%B buckets get the extra row) is then replayed as
+    * closed-form integer arithmetic on the rank, so the output is
+    * bit-identical to the window formulation the oracle runs.
     */
   def curriculumBuckets(spark: SparkSession, dir: String,
       nBuckets: Int = 4): DataFrame = {
@@ -849,9 +854,22 @@ object TextFunctions {
         when(coalesce(col("n_toks"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("sum_cnt").cast("double") / col("n_toks").cast("double"))
           .as("mean_cnt"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("mean_cnt").desc, col("doc_id"))
-    scored.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    val ranked = graft.operators.Prefix.runningSum(
+      scored.withColumn("__one", lit(1L)), col("__one"), "__rank",
+      Seq(col("mean_cnt").desc, col("doc_id")), partCols = Seq("source"))
+    val n = ranked.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    // ntile(B) closed-form: q = N div B, rem = N mod B; ranks up to
+    // rem*(q+1) fall in the first rem (size q+1) buckets, the rest in
+    // size-q buckets. All-integer ceil via floor((r + d - 1) / d).
+    val qq = (col("__n") - (col("__n") % nBuckets)) / nBuckets
+    val rem = col("__n") % nBuckets
+    val cut = rem * (qq + lit(1L))
+    val bucket = when(col("__rank") <= cut,
+        floor((col("__rank") + qq) / (qq + lit(1L))))
+      .otherwise(rem + floor((col("__rank") - cut + qq - lit(1L)) / qq))
+      .cast("long")
+    ranked.join(broadcast(n), Seq("source"))
+      .withColumn("bucket", bucket)
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_volume"))
       .orderBy(col("source"), col("bucket"))
@@ -877,7 +895,10 @@ object TextFunctions {
       .partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val local = d.withColumn("local_cum", sum(col("n_tok")).over(w)).cache()
+    // localCheckpoint, not cache: pins pid against recompute without
+    // leaving a CacheManager entry for the session's lifetime.
+    val local = d.withColumn("local_cum", sum(col("n_tok")).over(w))
+      .localCheckpoint(eager = true)
     // Partition totals are numParts rows — the only driver-side data.
     val totals = local.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("ptotal"))

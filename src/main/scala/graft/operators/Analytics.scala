@@ -1776,20 +1776,23 @@ object Analytics {
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
     val ref = o.filter(col("o_orderkey") % 2 === 0)
     val cur = o.filter(col("o_orderkey") % 2 === 1)
-    // reference decile edges from the value histogram cumsum
-    val w = Window.orderBy(col("cents"))
-    val hist = ref.groupBy(col("cents")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // reference decile edges from the value histogram cumsum — the
+    // two-phase prefix sum (cents is a near-unique continuous domain,
+    // so a bare Window.orderBy would be a single-task cumsum), then
+    // ONE conditional aggregate picks all nine edges in a single pass.
+    val hist = Prefix.runningSum(
+        ref.groupBy(col("cents")).agg(count(lit(1)).as("c")),
+        col("c"), "cum", Seq(col("cents")))
       .crossJoin(broadcast(ref.agg(count(lit(1)).as("n"))))
-    val edges = (1 to 9).map { d =>
-      hist.filter(col("cum") >= ceil(col("n").cast("double") * lit(d / 10.0))
-          .cast("long"))
-        .agg(min(col("cents")).as("edge")).select(lit(d).as("d"), col("edge"))
-    }.reduce(_.unionByName(_))
+    val edgeExprs = (1 to 9).map { d =>
+      min(when(col("cum") >= ceil(col("n").cast("double") * lit(d / 10.0))
+        .cast("long"), col("cents"))).as(s"e$d")
+    }
+    val edgeRow = hist.agg(edgeExprs.head, edgeExprs.tail: _*)
+    val es = edgeRow.select(array((1 to 9).map(d =>
+      struct(lit(d).as("d"), col(s"e$d").as("edge"))): _*).as("es"))
     def bucketed(df: DataFrame, name: String) = df
-      .crossJoin(broadcast(edges.groupBy()
-        .agg(sort_array(collect_list(struct(col("d"), col("edge")))).as("es"))))
+      .crossJoin(broadcast(es))
       .withColumn("bucket",
         aggregate(col("es"), lit(0L),
           (acc, e) => when(col("cents") >= e.getField("edge"), e.getField("d")

@@ -49,10 +49,16 @@ object Prefix {
       .partitionBy(col("__pid") +: partCols.map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // cached: totals and the final join both read it, and __pid must be
-    // observed exactly once (a recompute under AQE could re-plan the
-    // exchange).
-    val local = keyed.withColumn("__cum_local", sum(value).over(wLocal)).cache()
+    // localCheckpoint (NOT cache): totals and the final join both read
+    // it, and __pid must be observed exactly once (a recompute under
+    // AQE could re-plan the exchange). Checkpointing truncates lineage
+    // so recompute is impossible, leaves no CacheManager entry behind
+    // (cache() pins the frame for the session's lifetime unless
+    // explicitly unpersisted), and the stored blocks are
+    // reference-counted away by the ContextCleaner once the query's
+    // RDDs are unreachable.
+    val local = keyed.withColumn("__cum_local", sum(value).over(wLocal))
+      .localCheckpoint(eager = true)
     val totals = local
       .groupBy(col("__pid") +: partCols.map(col): _*)
       .agg(sum(value).as("__ptotal"))

@@ -143,4 +143,39 @@ class TextSpec extends SparkSpec {
     val frac = s.filter(col("split") === "train").count().toDouble / n
     assert(frac > 0.6 && frac < 0.95)
   }
+
+  test("curriculum buckets equal the ntile window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // Recompute the per-source quartiles with the window ntile the
+    // two-phase closed-form rank replaced (VERDICT r4 item 3) — the
+    // outputs must be bit-identical, including the boundary rule that
+    // hands the first N%B buckets the extra row.
+    for (b <- Seq(3, 4, 7)) {
+      val got = TextFunctions.curriculumBuckets(spark, sf, nBuckets = b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val d = graft.sources.Tables.load(spark, sf, "documents")
+      val occ = d.select(col("doc_id"),
+        explode(TextFunctions.words(lower(col("text")))).as("tok"))
+      val vocab = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val perDoc = occ.join(vocab, Seq("tok"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_cnt"))
+      val scored = d.select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          when(coalesce(col("n_toks"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("sum_cnt").cast("double") / col("n_toks").cast("double"))
+            .as("mean_cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("mean_cnt").desc, col("doc_id"))
+      val expected = scored
+        .withColumn("bucket", ntile(b).over(w).cast("long"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_volume"))
+        .orderBy(col("source"), col("bucket"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == expected.toSeq, s"nBuckets=$b")
+    }
+  }
 }
