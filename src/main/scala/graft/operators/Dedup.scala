@@ -564,17 +564,63 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cell-bounded label-blocked candidate pairs (id_a, id_b, emb_a,
+    * emb_b): cells at or under `maxCell` get the exact all-pairs
+    * self-join (pair volume ≤ Σ min(cell, maxCell)²); OVERSIZED cells —
+    * a skewed quantizer cluster that would otherwise go quadratic at
+    * corpus scale — are sub-blocked through the data-independent
+    * random-hyperplane bands of `sim_rp_lsh` (candidates = any shared
+    * (band, value) bucket WITHIN the cell), so a giant cell costs a
+    * linear band table plus bucket-bounded self-joins instead of
+    * cell². The exact-verify contract is unchanged: every emitted
+    * candidate still carries both embeddings for the caller's true
+    * cosine filter, so banding can only MISS low-probability pairs in
+    * oversized cells (documented approximate recall there), never
+    * admit a false positive anywhere.
+    */
+  private[graft] def cellBoundedPairs(emb: DataFrame, maxCell: Int): DataFrame = {
+    val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("__n_cell"))
+    // #labels = #quantizer cells — bounded, broadcastable at any corpus size
+    val tagged = emb.join(broadcast(sizes), Seq("label"))
+    def sides(df: DataFrame) = (
+      df.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+      df.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b")))
+    val small = tagged.filter(col("__n_cell") <= maxCell).drop("__n_cell")
+    val big = tagged.filter(col("__n_cell") > maxCell).drop("__n_cell")
+    val (sa, sb) = sides(small)
+    val smallPairs = sa.join(sb, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+    val sigs = Similarity.rpSignatures(big.select(col("vec_id"), col("embedding")))
+    val bandArr = array((0 until 4).map { b =>
+      shiftright(col("rp_sig"), b * 8).bitwiseAND(lit(0xFFL))
+    }: _*)
+    val bands = sigs
+      .select(col("vec_id"), posexplode(bandArr).as(Seq("band_idx", "band_val")))
+      .join(big.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("label", "band_idx", "band_val"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val (ba, bb) = sides(big)
+    val bigPairs = cand
+      .join(ba.drop("label"), Seq("id_a"))
+      .join(bb.drop("label"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+    smallPairs.unionByName(bigPairs)
+  }
+
   /** Embedding-cosine near-dup pairs, label-blocked (IVF-style: the
     * label is the coarse quantizer cell; only same-cell pairs are
-    * scored). Cosine runs in the native codegen expression.
+    * scored) and CELL-BOUNDED — see `cellBoundedPairs` for the
+    * oversized-cell RP-LSH fallback. Cosine runs in the native codegen
+    * expression.
     */
   def embeddingPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    cellBoundedPairs(emb, maxCell)
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
@@ -587,20 +633,19 @@ object Dedup {
     * cluster), a vector is DROPPED iff some lower-id vector in the same
     * cell is ≥ τ cosine-similar — a deterministic keep-lowest rule that
     * needs no transitive closure (unlike graph survivorship, the
-    * dominance test is per-pair). The pair scan is label-blocked, so
-    * candidate volume is Σ cell² not corpus²; survivors come from one
-    * LEFT ANTI against the distinct dominated-id set, so the embedding
-    * table itself is never shuffled by the pair join. Reference analog:
-    * the keep-one-per-PK rule of reference.py:1-12 lifted to semantic
-    * keys.
+    * dominance test is per-pair). The pair scan is label-blocked AND
+    * cell-bounded (`cellBoundedPairs`: all-pairs under maxCell, RP-LSH
+    * sub-blocking above it), so candidate volume is
+    * Σ min(cell, maxCell)·cell-ish, never corpus²; survivors come from
+    * one LEFT ANTI against the distinct dominated-id set, so the
+    * embedding table itself is never shuffled by the pair join.
+    * Reference analog: the keep-one-per-PK rule of reference.py:1-12
+    * lifted to semantic keys.
     */
   def semanticSurvivors(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val dominated = a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    val dominated = cellBoundedPairs(emb, maxCell)
       .filter(graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(dominated, Seq("vec_id"), "left_anti")
@@ -650,16 +695,16 @@ object Dedup {
   }
 
   def semanticSweep(spark: SparkSession, dir: String,
-      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4)): DataFrame = {
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4),
+      maxCell: Int = 4096): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val nTotal = emb.count()
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    // localCheckpoint, not cache: the pair table is scanned once per
+    // threshold and must not stay pinned after the sweep returns.
+    val pairs = cellBoundedPairs(emb, maxCell)
       .select(col("id_b"),
         graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
-      .cache()
+      .localCheckpoint(eager = true)
     import spark.implicits._
     val frames = thresholds.map { t =>
       pairs.filter(col("cos") >= t)

@@ -142,4 +142,38 @@ class DedupSpec extends SparkSpec {
     val bad = pairsOf(p).filter { case (a, b) => emb(a) != emb(b) }
     assert(bad.isEmpty)
   }
+
+  test("cell cap: a skewed cell is RP-LSH sub-blocked, small cells stay exact") {
+    import spark.implicits._
+    // One deliberately oversized "hot" cell (label 1, 80 vectors) and
+    // one under-cap "cold" cell (label 2, 10 vectors). Vectors are
+    // deterministic pseudo-random; vec 1000 and 1001 are planted
+    // identical so the banding MUST keep them (identical vectors have
+    // identical signatures in every band).
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(j => (((seed * 31 + j * 17) % 19) - 9).toFloat)
+    val hot = (0 until 80).map(i =>
+      (1000L + i, if (i == 1) vec(1000) else vec(1000 + i), 1))
+    val cold = (0 until 10).map(i => (2000L + i, vec(i), 2))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    val maxCell = 20
+    val got = Dedup.cellBoundedPairs(emb, maxCell)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    // Small cell: bit-exact all-pairs survive the cap untouched.
+    val coldExact = (for {
+      a <- cold.map(_._1); b <- cold.map(_._1) if a < b
+    } yield (a, b)).toSet
+    assert(got.filter(_._1 >= 2000L) == coldExact)
+    // Oversized cell: candidate volume is cut below the quadratic
+    // all-pairs count (the scan is banded, not cell²)...
+    val hotGot = got.filter(p => p._1 < 2000L && p._2 < 2000L)
+    val hotQuadratic = 80L * 79 / 2
+    assert(hotGot.nonEmpty && hotGot.size < hotQuadratic,
+      s"expected banding to prune below $hotQuadratic, got ${hotGot.size}")
+    // ...while the planted identical pair is guaranteed to collide.
+    assert(hotGot.contains((1000L, 1001L)))
+    // No cross-cell leakage in either path.
+    assert(got.forall(p => (p._1 < 2000L) == (p._2 < 2000L)))
+  }
 }
