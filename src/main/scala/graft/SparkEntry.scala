@@ -30,6 +30,11 @@ object SparkEntry {
     "src_dynamic_projection" -> ((s, d) => Ingest.dynamicProjection(s, d)),
     "src_lineage_column" -> ((s, d) => Ingest.lineageColumn(s, d)),
     "src_json_props_extract" -> ((s, d) => Ingest.jsonPropsExtract(s, d)),
+    "src_jdbc_roundtrip" -> ((s, d) => Ingest.jdbcRoundtrip(s, d)),
+    "src_ddl_bootstrap" ->
+      ((s, d) => graft.sources.Ddl.ddlColumns(s, d,
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem"))),
     // §2.2 relational / ETL core
     "q_min_per_key" -> ((s, d) => Validity.firstEventQuery(s, d)),
     "q_year_coalesce" -> ((s, d) => Fusion.caseYear(s, d)),
@@ -614,6 +619,26 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "src_sample_ingest" ->
       "SELECT * FROM orders ORDER BY o_orderkey LIMIT 888",
+    // The round-trip goes through an embedded Derby DB on the Spark
+    // side; the oracle is simply the source table — the property under
+    // test is that the batched JDBC write + partitioned JDBC read is
+    // lossless.
+    "src_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // The Spark side derives DDL column plans from parquet footers via
+    // the ANSI dialect; the oracle is DuckDB's OWN catalog over the
+    // same files — two engines independently agreeing on the emitted
+    // DDL type for every column.
+    "src_ddl_bootstrap" ->
+      """SELECT table_name, CAST(ordinal_position AS BIGINT) AS ordinal,
+        |       column_name, CAST(data_type AS VARCHAR) AS ddl_type,
+        |       is_nullable
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |                     'part', 'orders', 'lineitem')
+        |ORDER BY table_name, ordinal""".stripMargin,
     "src_catalog_columns" ->
       """SELECT table_name, column_name, CAST(data_type AS VARCHAR) AS data_type
         |FROM information_schema.columns

@@ -100,6 +100,24 @@ object Ingest {
     (clean, quarantine, () => { raw.unpersist(); () })
   }
 
+  /** JDBC round-trip (`src_jdbc_roundtrip`): batch-write a dimension
+    * table into an embedded Derby database through the batched JDBC
+    * sink, read it back through the partitioned JDBC source — the
+    * reference's whole DB-to-DB loop (helper_db_operation.py:9-157) as
+    * one verified query. Derby stands in for the reference's
+    * PostgreSQL target; the read comes back through `loadPartitioned`
+    * so the per-partition range-query path (the 100 TB read shape) is
+    * what the oracle checks, not just a single-cursor fetch.
+    */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = JdbcConfig("jdbc:derby:memory:graftjdbc;create=true", "nation_rt")
+    Jdbc.write(Tables.load(spark, dir, "nation"), cfg,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    Jdbc.loadPartitioned(spark, cfg, "n_nationkey",
+        lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Semi-structured property extraction: pull typed fields out of a
     * JSON string column with an explicit schema (no schema inference
     * pass — at 100 TB a second inference scan is a full extra read).

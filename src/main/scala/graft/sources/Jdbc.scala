@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JDBC source/sink surface: the Spark-first re-expression of the
+  * reference's DB-to-DB I/O layer (helper_db_operation.py:9-157 —
+  * OracleDB / AnalyticsDB (MS SQL) / PostgreSQLDB clients, row-batched
+  * inserts at :142).
+  *
+  * Scale posture: a single-cursor fetch (the reference's
+  * `query_without_param`) cannot feed a cluster — reads here go through
+  * Spark's JDBC source, which (a) generates ONE bounded-range query per
+  * partition (`loadPartitioned`) or one per caller predicate
+  * (`loadByPredicates`) so 1000 executors pull disjoint slices in
+  * parallel, and (b) pushes the column projection and eligible filters
+  * into the generated SELECT, so pruning happens in the database, not
+  * after transfer. Writes batch statements (`batchsize`) per partition —
+  * the `execute_batch` posture, but issued from every executor
+  * concurrently instead of one driver loop.
+  */
+final case class JdbcConfig(
+    url: String,
+    table: String,
+    user: Option[String] = None,
+    password: Option[String] = None,
+    driver: Option[String] = None,
+    options: Map[String, String] = Map.empty) {
+
+  def properties: Properties = {
+    val p = new Properties()
+    user.foreach(p.setProperty("user", _))
+    password.foreach(p.setProperty("password", _))
+    driver.foreach(p.setProperty("driver", _))
+    options.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+}
+
+object Jdbc {
+
+  /** Oracle-source normalization: the engine-side analog of
+    * `map_oracle_to_postgres` (helper_db_operation.py:199-237). A JDBC
+    * read of Oracle surfaces NUMBER(p) as DecimalType(p,0) — integral
+    * keys and counts — which widen to LongType so downstream arithmetic
+    * is uniform; NUMBER(p,s) stays exact decimal (the NUMBER→NUMERIC
+    * row), BINARY_FLOAT widens to double (FLOAT→DOUBLE PRECISION row).
+    */
+  val fromOracle: TypePolicy = TypePolicy({
+    case d: DecimalType if d.scale == 0 && d.precision <= 18 => Some(LongType)
+    case FloatType => Some(DoubleType)
+    case _ => None
+  })
+
+  /** MS SQL-source normalization: the engine-side analog of
+    * `map_analytics_db_to_postgres` (helper_db_operation.py:161-197).
+    * int/smallint/tinyint widen to long (the INTEGER/SMALLINT rows with
+    * the canonical-policy widening stance), real widens to double;
+    * bit→BooleanType and the string/temporal types already land on the
+    * canonical Spark types.
+    */
+  val fromMsSql: TypePolicy = TypePolicy({
+    case ByteType | ShortType | IntegerType => Some(LongType)
+    case FloatType => Some(DoubleType)
+    case _ => None
+  })
+
+  /** Whole-table read (small dimension tables — the bounded side a join
+    * would broadcast). `policy` applies the dialect normalization in the
+    * same select, so pruning still reaches the generated query.
+    */
+  def load(spark: SparkSession, cfg: JdbcConfig,
+      policy: TypePolicy = TypePolicy.canonical): DataFrame =
+    policy(spark.read.jdbc(cfg.url, cfg.table, cfg.properties))
+
+  /** Range-partitioned read: `numPartitions` bounded-range queries on a
+    * numeric/temporal column — the scale path for a fact table. Bounds
+    * only steer the split points; rows outside [lower, upper] are still
+    * read (Spark's stride semantics), so the read is complete.
+    */
+  def loadPartitioned(spark: SparkSession, cfg: JdbcConfig,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      policy: TypePolicy = TypePolicy.canonical): DataFrame =
+    policy(spark.read.jdbc(cfg.url, cfg.table, partitionColumn,
+      lowerBound, upperBound, numPartitions, cfg.properties))
+
+  /** Predicate-partitioned read: one query per caller predicate (e.g.
+    * per month, per status) — the split strategy when no single numeric
+    * column ranges evenly. Predicates must tile the table disjointly or
+    * rows duplicate, and are passed verbatim into the target's WHERE
+    * clause — quote identifiers per the target dialect (Spark's JDBC
+    * writer creates case-preserving quoted columns, so an unquoted name
+    * may not resolve).
+    */
+  def loadByPredicates(spark: SparkSession, cfg: JdbcConfig,
+      predicates: Seq[String],
+      policy: TypePolicy = TypePolicy.canonical): DataFrame =
+    policy(spark.read.jdbc(cfg.url, cfg.table, predicates.toArray,
+      cfg.properties))
+
+  /** Batched write: per-partition JDBC statement batching (`batchsize`,
+    * the reference's `batch_insert` / psycopg2 `execute_batch` posture at
+    * helper_db_operation.py:142) from every executor in parallel.
+    * `SaveMode.Overwrite` + `truncate` empties and refills in place,
+    * preserving DDL (indexes, grants) — the fusion refresh pattern.
+    */
+  def write(df: DataFrame, cfg: JdbcConfig,
+      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+      truncate: Boolean = false): Unit =
+    df.write.mode(mode)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", truncate.toString)
+      .jdbc(cfg.url, cfg.table, cfg.properties)
+}
+
+/** DDL bootstrap: emit CREATE TABLE text from a Spark schema — the
+  * engine-side re-expression of the reference's target-table creation
+  * from introspected source schemas
+  * (create_empty_tables_for_ecollision_fusion.py:18-47,
+  * ingest_ecollision_oracle_data.py:16-46). The schema here comes from
+  * the engine's own catalog (parquet footers / JDBC metadata) instead of
+  * information_schema queries; the emitted DDL is plain ANSI so any
+  * target (PostgreSQL, DuckDB, Derby) executes it.
+  */
+object Ddl {
+
+  sealed trait Dialect {
+    def typeName(dt: DataType): String
+  }
+
+  /** ANSI core — executable by DuckDB and Derby as-is. */
+  case object Ansi extends Dialect {
+    def typeName(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType | _: TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other =>
+        throw new IllegalArgumentException(s"no ANSI DDL type for $other")
+    }
+  }
+
+  /** PostgreSQL — the reference's actual target dialect: TEXT for
+    * strings, BYTEA for binary, DOUBLE PRECISION
+    * (map_analytics_db_to_postgres / map_oracle_to_postgres rows).
+    */
+  case object Postgres extends Dialect {
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "TEXT"
+      case BinaryType => "BYTEA"
+      case DoubleType => "DOUBLE PRECISION"
+      case other => Ansi.typeName(other)
+    }
+  }
+
+  /** Derby — the embedded database the sandbox can actually execute
+    * against: requires an explicit VARCHAR length and has no unbounded
+    * string type short of CLOB.
+    */
+  case object Derby extends Dialect {
+    def typeName(dt: DataType): String = dt match {
+      case StringType => "VARCHAR(4000)"
+      case other => Ansi.typeName(other)
+    }
+  }
+
+  /** CREATE TABLE for `schema`, one column per field, NOT NULL from the
+    * schema's nullability, optional SOURCE lineage column (every fusion
+    * table carries one, create_empty_tables_for_ecollision_fusion
+    * .py:32) and primary key.
+    */
+  def createTable(name: String, schema: StructType, dialect: Dialect,
+      primaryKey: Option[String] = None, ifNotExists: Boolean = true,
+      withSourceColumn: Boolean = false): String = {
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${f.name} ${dialect.typeName(f.dataType)}$nn"
+    }
+    val source = if (withSourceColumn)
+      Seq(s"source ${dialect.typeName(StringType)}") else Nil
+    val pk = primaryKey.map(k => s"PRIMARY KEY ($k)").toSeq
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ine$name (${(cols.toSeq ++ source ++ pk).mkString(", ")})"
+  }
+
+  /** Catalog-as-DDL-columns: the bootstrap's column plan as a queryable
+    * frame (table, ordinal, column, DDL type, nullable) — metadata only,
+    * no data scan. This is what `src_ddl_bootstrap` exposes so the
+    * driver can cross-check the type mapping against another engine's
+    * information_schema over the same files.
+    */
+  def ddlColumns(spark: SparkSession, dir: String, tables: Seq[String],
+      dialect: Dialect = Ansi): DataFrame = {
+    import spark.implicits._
+    tables.sorted.flatMap { t =>
+      Tables.load(spark, dir, t).schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          (t, (i + 1).toLong, f.name, dialect.typeName(f.dataType),
+            if (f.nullable) "YES" else "NO")
+      }
+    }.toDF("table_name", "ordinal", "column_name", "ddl_type", "is_nullable")
+      .orderBy("table_name", "ordinal")
+  }
+}
+
+/** Dev-suffix table lifecycle: the reference's operating workflow —
+  * fusion tables are created under a prefix, suffixed `_dev` in dev
+  * mode, optionally dropped first
+  * (create_empty_tables_for_ecollision_fusion.py:20-60 `dev_mode` /
+  * `drop_existing`; ingest_ecollision_oracle_data.py:19 `oracle_`
+  * prefix). `bootstrapSql` emits the full statement sequence for one
+  * table; callers hand it to the target DB (or `Jdbc.write` the data
+  * after running it).
+  */
+final case class TableLifecycle(
+    prefix: String = "fusion_",
+    devMode: Boolean = false,
+    dropExisting: Boolean = false) {
+
+  def physicalName(table: String): String =
+    s"$prefix$table${if (devMode) "_dev" else ""}"
+
+  def bootstrapSql(table: String, schema: StructType,
+      dialect: Ddl.Dialect = Ddl.Postgres,
+      primaryKey: Option[String] = None): Seq[String] = {
+    val name = physicalName(table)
+    val drop = if (dropExisting) Seq(s"DROP TABLE IF EXISTS $name") else Nil
+    drop :+ Ddl.createTable(name, schema, dialect, primaryKey,
+      ifNotExists = !dropExisting, withSourceColumn = true)
+  }
+}

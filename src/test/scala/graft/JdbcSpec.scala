@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Ddl, Ingest, Jdbc, JdbcConfig, TableLifecycle, Tables}
+
+/** JDBC surface against embedded Derby — the closest the sandbox gets
+  * to the reference's Oracle/MSSQL/PostgreSQL loop. Derby ships with
+  * Spark, so the write→read round-trip, the partitioned read, the
+  * predicate-split read, and DDL bootstrap are all REAL here, not
+  * compile-checked stubs.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(table: String) =
+    JdbcConfig("jdbc:derby:memory:graftspec;create=true", table)
+
+  test("write → load round-trips a dimension table losslessly") {
+    val nation = Tables.load(spark, sf, "nation")
+    Jdbc.write(nation, cfg("nation_full"), mode = SaveMode.Overwrite)
+    val back = Jdbc.load(spark, cfg("nation_full"))
+    // canonical policy widened the int keys; values must be untouched
+    assert(back.schema("n_nationkey").dataType == LongType)
+    val a = nation.select(col("n_nationkey").cast("long"), col("n_name"))
+      .orderBy("n_nationkey").collect().toSeq
+    val b = back.select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("partitioned read splits into range queries without loss or dup") {
+    val nation = Tables.load(spark, sf, "nation")
+    Jdbc.write(nation, cfg("nation_part"), mode = SaveMode.Overwrite)
+    val back = Jdbc.loadPartitioned(spark, cfg("nation_part"),
+      "n_nationkey", lowerBound = 5L, upperBound = 20L, numPartitions = 4)
+    // bounds steer split points only — the read must still be complete
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == nation.count())
+    assert(back.select(sum(col("n_nationkey"))).as[Long].head() ==
+      nation.select(sum(col("n_nationkey").cast("long"))).as[Long].head())
+  }
+
+  test("predicate-split read tiles the table disjointly") {
+    // identifiers quoted: Spark's JDBC writer created case-preserving
+    // quoted columns, so the raw predicate must quote them too
+    val back = Jdbc.loadByPredicates(spark, cfg("nation_part"),
+      Seq("\"n_regionkey\" < 2", "\"n_regionkey\" >= 2"))
+    assert(back.rdd.getNumPartitions == 2)
+    assert(back.count() == Tables.load(spark, sf, "nation").count())
+  }
+
+  test("dialect policies express the reference type maps") {
+    // Oracle NUMBER(p) → long, NUMBER(p,s) stays exact decimal,
+    // BINARY_FLOAT → double (map_oracle_to_postgres rows)
+    val oracleish = spark.range(1).select(
+      col("id").cast(DecimalType(10, 0)).as("pk"),
+      col("id").cast(DecimalType(12, 2)).as("amount"),
+      col("id").cast(FloatType).as("score"))
+    val o = Jdbc.fromOracle(oracleish)
+    assert(o.schema("pk").dataType == LongType)
+    assert(o.schema("amount").dataType == DecimalType(12, 2))
+    assert(o.schema("score").dataType == DoubleType)
+    // MSSQL int/smallint/tinyint → long, real → double, bit stays boolean
+    val mssqlish = spark.range(1).select(
+      col("id").cast(IntegerType).as("n"),
+      col("id").cast(ShortType).as("s"),
+      col("id").cast(FloatType).as("r"),
+      (col("id") === 0).as("flag"))
+    val m = Jdbc.fromMsSql(mssqlish)
+    assert(m.schema("n").dataType == LongType)
+    assert(m.schema("s").dataType == LongType)
+    assert(m.schema("r").dataType == DoubleType)
+    assert(m.schema("flag").dataType == BooleanType)
+  }
+
+  test("ddl bootstrap round-trips a schema through a real database") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("n", IntegerType),
+      StructField("ok", BooleanType)))
+    val lc = TableLifecycle(prefix = "fusion_", devMode = true,
+      dropExisting = false)
+    assert(lc.physicalName("trips") == "fusion_trips_dev")
+    val stmts = lc.bootstrapSql("trips", schema, Ddl.Derby,
+      primaryKey = Some("id"))
+    // execute the emitted DDL verbatim in Derby (Derby lacks
+    // IF NOT EXISTS, so strip the ANSI clause for execution — the
+    // statement text itself is the artifact under test)
+    val conn = DriverManager.getConnection(
+      "jdbc:derby:memory:graftspec;create=true")
+    try {
+      stmts.foreach { s =>
+        val st = conn.createStatement()
+        try st.execute(s.replace("IF NOT EXISTS ", ""))
+        finally st.close()
+      }
+      // the created table accepts a write through the JDBC sink and
+      // surfaces the SOURCE lineage column the bootstrap appended
+      val rows = Seq((1L, "a", 1.5, 7, true, "eCollision Oracle"))
+        .toDF("id", "name", "score", "n", "ok", "source")
+      Jdbc.write(rows, cfg("fusion_trips_dev"), mode = SaveMode.Append)
+      val back = Jdbc.load(spark, cfg("fusion_trips_dev"))
+      assert(back.columns.toSeq ==
+        Seq("id", "name", "score", "n", "ok", "source"))
+      assert(back.count() == 1L)
+    } finally conn.close()
+  }
+
+  test("dropExisting lifecycle emits drop-then-create") {
+    val lc = TableLifecycle(dropExisting = true)
+    val stmts = lc.bootstrapSql("t",
+      StructType(Seq(StructField("id", LongType))), Ddl.Postgres)
+    assert(stmts.head == "DROP TABLE IF EXISTS fusion_t")
+    assert(stmts(1).startsWith("CREATE TABLE fusion_t ("))
+    assert(stmts(1).contains("source TEXT"))
+  }
+
+  test("jdbc round-trip query equals the source table") {
+    val rt = Ingest.jdbcRoundtrip(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect().toSeq
+    val src = Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey").collect().toSeq
+    assert(rt == src)
+  }
+
+  test("ddlColumns agrees with the ANSI dialect over every footer") {
+    val d = Ddl.ddlColumns(spark, sf, Seq("region", "orders"))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(d.contains(("region", "r_regionkey", "INTEGER")) ||
+      d.contains(("region", "r_regionkey", "BIGINT")))
+    assert(d.exists(t => t._1 == "orders" && t._3 == "TIMESTAMP"))
+    assert(d.exists(t => t._1 == "orders" && t._3 == "DOUBLE"))
+  }
+}
