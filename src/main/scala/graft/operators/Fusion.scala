@@ -44,17 +44,22 @@ object Fusion {
   }
 
   /** Rename + date-string + lineage literal (etl_…collisions.py:90-97:
-    * fatal_comment→fatal_comments, strftime('%Y-%m-%d'), SOURCE col).
+    * fatal_comment→fatal_comments, strftime('%Y-%m-%d'), SOURCE col),
+    * driven by a declarative `ColumnMapping` — the reference's mapping
+    * spreadsheet as data (supplementary/column_mapping_btw_analytics_
+    * and_oracle_tables.xlsx) instead of a hardcoded one-off select.
     */
-  def renameDerive(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-    o.select(
-        col("o_orderkey"),
-        col("o_totalprice").as("total_price"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_datestring"),
-        lit("eCollision Oracle").as("source"))
+  val orderMapping: graft.sources.ColumnMapping = graft.sources.ColumnMapping(
+    renames = Map("o_totalprice" -> "total_price"),
+    derives = Seq(
+      "order_datestring" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "source" -> lit("eCollision Oracle")))
+
+  def renameDerive(spark: SparkSession, dir: String): DataFrame =
+    orderMapping(Tables.load(spark, dir, "orders"))
+      .select(col("o_orderkey"), col("total_price"),
+        col("order_datestring"), col("source"))
       .orderBy(col("o_orderkey"))
-  }
 
   /** Keep rows whose key is in a filter set: LEFT SEMI join, the
     * distributed replacement for the reference's collect()+isin

@@ -61,6 +61,34 @@ object TypePolicy {
   })
 }
 
+/** Declarative column mapping: the reference drives its cross-DB renames
+  * from a MAINTAINED mapping artifact (supplementary/column_mapping_btw_
+  * analytics_and_oracle_tables.xlsx) but hardcodes the one it needs
+  * (fatal_comment→fatal_comments, etl_ecollision_fusion_table_collisions
+  * .py:90-97). This is that artifact as data — renames, per-column
+  * casts, and derived columns — applied in ONE `select`, so pruning and
+  * pushdown still reach the scan and a 500-column mapping costs the
+  * same plan shape as one rename.
+  */
+final case class ColumnMapping(
+    renames: Map[String, String] = Map.empty,
+    casts: Map[String, DataType] = Map.empty,
+    derives: Seq[(String, Column)] = Nil) {
+
+  /** Rename + cast every source column (casts key on the POST-rename
+    * name, like the mapping spreadsheet's target side), then append the
+    * derived columns.
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val base: Seq[Column] = df.columns.toIndexedSeq.map { c =>
+      val renamed = renames.getOrElse(c, c)
+      casts.get(renamed).fold(col(c))(col(c).cast).as(renamed)
+    }
+    val derived = derives.map { case (name, e) => e.as(name) }
+    df.select(base ++ derived: _*)
+  }
+}
+
 /** Schema alignment: project a frame onto a target schema — matching
   * columns cast into place, missing columns null-filled, extras dropped.
   * Spark-first analog of the reference's dynamic column intersection
@@ -78,6 +106,16 @@ object SchemaAlign {
     }
     df.select(cols: _*)
   }
+
+  /** Project through a column mapping: apply the declarative
+    * rename/cast/derive step, THEN align onto the target — the full
+    * "source table → mapped names → target schema" hop the reference
+    * performs between its Oracle and Analytics lineages. Catalyst
+    * collapses both selects into one projection.
+    */
+  def project(df: DataFrame, target: StructType,
+      mapping: ColumnMapping): DataFrame =
+    project(mapping(df), target)
 
   /** Union two lineages by name, null-filling the non-shared columns —
     * how fusion tables absorb both sources (create_empty_tables_for_

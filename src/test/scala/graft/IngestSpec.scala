@@ -129,4 +129,35 @@ class IngestSpec extends SparkSpec {
     assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       Ingest.projectionTarget.fields.map(f => (f.name, f.dataType)).toSeq)
   }
+
+  test("ColumnMapping renames, casts, and derives in one projection") {
+    import spark.implicits._
+    import graft.sources.ColumnMapping
+    val df = Seq((1, "a", 2.5f)).toDF("fatal_comment", "name", "score")
+    val m = ColumnMapping(
+      renames = Map("fatal_comment" -> "fatal_comments"),
+      casts = Map("fatal_comments" -> LongType, "score" -> DoubleType),
+      derives = Seq("source" -> lit("eCollision Oracle")))
+    val out = m(df)
+    assert(out.columns.toSeq ==
+      Seq("fatal_comments", "name", "score", "source"))
+    assert(out.schema("fatal_comments").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    val r = out.head()
+    assert(r.getLong(0) == 1L && r.getString(3) == "eCollision Oracle")
+  }
+
+  test("project through a mapping lands mapped names on the target") {
+    import spark.implicits._
+    import graft.sources.ColumnMapping
+    val src = Seq((7, "x")).toDF("fatal_comment", "extra")
+    val target = StructType(Seq(
+      StructField("fatal_comments", LongType),
+      StructField("missing_col", StringType)))
+    val out = SchemaAlign.project(src, target,
+      ColumnMapping(renames = Map("fatal_comment" -> "fatal_comments")))
+    assert(out.schema.fieldNames.toSeq == Seq("fatal_comments", "missing_col"))
+    val r = out.head()
+    assert(r.getLong(0) == 7L && r.isNullAt(1))
+  }
 }
