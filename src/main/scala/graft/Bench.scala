@@ -23,7 +23,12 @@ object Bench {
     "q_attribution", "sim_rrf_fusion", "text_boilerplate",
     // round-3 session-5 additions
     "q_ship_priority", "q_region_volume", "sim_sparse_cosine",
-    "text_keywords", "dedup_minhash_oph", "text_sentence_dedup")
+    "text_keywords", "dedup_minhash_oph", "text_sentence_dedup",
+    // round-5 additions: the two-phase prefix-sum family, tracked
+    // round-over-round so the scale-safe cumsum's constant cost stays
+    // visible (VERDICT r4 item 9)
+    "q_decile_lift", "q_gini", "q_mwu_test", "q_time_to_convert",
+    "q_rfm", "q_psi")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
@@ -40,34 +45,49 @@ object Bench {
     // runs time the plan, not classloading.
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
-    // min of three runs per query: the first pays plan compilation and
-    // codegen, the rest are steady-state samples — the min discards
-    // ambient host noise (virtualized timing varies 2x run-to-run).
-    // A run that throws contributes NO timing — a fast failure must not
-    // make the benchmark look faster; failed queries are reported and
-    // fail the process.
-    val results = picked.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 3).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-          }
+    // Three timing passes, interleaved ROUND-ROBIN across queries (pass
+    // 1 over every query, then pass 2, then pass 3) rather than
+    // back-to-back per query: on a shared host, one contention window
+    // then degrades one sample of many queries a little instead of all
+    // three samples of one query 13x — the per-query min recovers, and
+    // the min/median gap self-diagnoses how noisy the run was.
+    // The first pass still pays plan compilation + codegen, later
+    // passes are steady-state. A run that throws contributes NO timing —
+    // a fast failure must not make the benchmark look faster; failed
+    // queries are reported and fail the process.
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; name <- picked) {
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> times.minOption
       }
     }
-    val ok = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val ok = picked.filter(n =>
+      SparkEntry.queries.contains(n) && times(n).nonEmpty)
+    val failed = picked.filter(n =>
+      SparkEntry.queries.contains(n) && times(n).isEmpty)
+    val qs = ok.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+      .mkString("{", ",", "}")
+    val qsMedian = ok.map(n => "\"" + n + "\":" + f"${median(times(n))}%.3f")
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = ok.map(times(_).min).sum
+    val totalMedian = ok.map(n => median(times(n))).sum
+    // "queries"/"value" stay the per-query MIN (round-over-round
+    // comparable with r3/r4); "queries_median"/"value_median" expose the
+    // noise level of the run itself.
+    println(f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMedian,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
