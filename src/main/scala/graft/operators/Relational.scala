@@ -631,10 +631,17 @@ object Relational {
         count(lit(1)).as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
     val mx = per.agg(max(col("last_d")).as("corpus_max"))
+    // localCheckpoint: the per-customer frame feeds FOUR consumers (the
+    // final projection + three quartile-cut histograms) — without it
+    // each one re-runs the orders scan + groupBy; with it the orders
+    // aggregation happens once and the (much smaller) per-customer
+    // frame is served from storage. No CacheManager entry, blocks
+    // reclaimed by the ContextCleaner.
     val cust = per.crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("corpus_max"), col("last_d")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
+      .localCheckpoint(eager = true)
     def score(v: Column, q25: Column, q50: Column, q75: Column): Column =
       lit(1) + when(v > q25, 1).otherwise(0) + when(v > q50, 1).otherwise(0) +
         when(v > q75, 1).otherwise(0)
