@@ -841,10 +841,14 @@ object Analytics {
     */
   def decileLift(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
     val e = Tables.load(spark, dir, "events")
+    // localCheckpoint: three consumers (value histogram, its total, and
+    // the decile join) would otherwise each re-run the events scan +
+    // per-user groupBy; the per-user frame is the small one to keep.
     val users = e.groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100).cast("long")).otherwise(0L)).as("spend_c"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"))
+      .localCheckpoint(eager = true)
     val hist = users.groupBy(col("spend_c")).agg(count(lit(1)).as("c"))
     val tot = hist.agg(sum(col("c")).as("n_total"))
     val cut = Prefix.runningSum(hist, col("c"), "cum", Seq(col("spend_c").desc))
@@ -1682,11 +1686,14 @@ object Analytics {
         unix_micros(col("ts").cast("timestamp")).as("us"))
     val firstClick = e.filter(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    // localCheckpoint: the latency frame feeds both the histogram and
+    // the broadcast total — one events join instead of two.
     val conv = e.filter(col("event_type") === "purchase")
       .join(firstClick, Seq("user_id"))
       .filter(col("us") >= col("click_us"))
       .groupBy(col("user_id"))
       .agg((min(col("us")) - min(col("click_us"))).as("lat_us"))
+      .localCheckpoint(eager = true)
     val hist = conv.groupBy(col("lat_us")).agg(count(lit(1)).as("c"))
     val ranked = Prefix.runningSum(hist, col("c"), "cum", Seq(col("lat_us")))
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
@@ -1771,19 +1778,24 @@ object Analytics {
     * -sum protocol — the reader sums 10 rows if they want the scalar).
     */
   def psi(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"),
+    // ONE orders scan builds a per-population value histogram; every
+    // downstream step (decile edges, bucket counts, population totals)
+    // aggregates the histogram, never the table — the old formulation
+    // re-scanned orders five times. The histogram is checkpointed: four
+    // consumers, and at 100 TB it is the already-reduced frame.
+    val hist2 = Tables.load(spark, dir, "orders")
+      .select((col("o_orderkey") % 2 === 0).as("is_ref"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-    val ref = o.filter(col("o_orderkey") % 2 === 0)
-    val cur = o.filter(col("o_orderkey") % 2 === 1)
+      .groupBy(col("is_ref"), col("cents")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val refHist = hist2.filter(col("is_ref")).select(col("cents"), col("c"))
+    val curHist = hist2.filter(!col("is_ref")).select(col("cents"), col("c"))
     // reference decile edges from the value histogram cumsum — the
     // two-phase prefix sum (cents is a near-unique continuous domain,
     // so a bare Window.orderBy would be a single-task cumsum), then
     // ONE conditional aggregate picks all nine edges in a single pass.
-    val hist = Prefix.runningSum(
-        ref.groupBy(col("cents")).agg(count(lit(1)).as("c")),
-        col("c"), "cum", Seq(col("cents")))
-      .crossJoin(broadcast(ref.agg(count(lit(1)).as("n"))))
+    val hist = Prefix.runningSum(refHist, col("c"), "cum", Seq(col("cents")))
+      .crossJoin(broadcast(refHist.agg(sum(col("c")).as("n"))))
     val edgeExprs = (1 to 9).map { d =>
       min(when(col("cum") >= ceil(col("n").cast("double") * lit(d / 10.0))
         .cast("long"), col("cents"))).as(s"e$d")
@@ -1791,19 +1803,19 @@ object Analytics {
     val edgeRow = hist.agg(edgeExprs.head, edgeExprs.tail: _*)
     val es = edgeRow.select(array((1 to 9).map(d =>
       struct(lit(d).as("d"), col(s"e$d").as("edge"))): _*).as("es"))
-    def bucketed(df: DataFrame, name: String) = df
+    def bucketed(h: DataFrame, name: String) = h
       .crossJoin(broadcast(es))
       .withColumn("bucket",
         aggregate(col("es"), lit(0L),
           (acc, e) => when(col("cents") >= e.getField("edge"), e.getField("d")
             .cast("long")).otherwise(acc)))
-      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
-    val p = bucketed(ref, "n_ref")
-    val q = bucketed(cur, "n_cur")
+      .groupBy(col("bucket")).agg(sum(col("c")).as(name))
+    val p = bucketed(refHist, "n_ref")
+    val q = bucketed(curHist, "n_cur")
     p.join(q, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-      .crossJoin(broadcast(ref.agg(count(lit(1)).as("nr"))))
-      .crossJoin(broadcast(cur.agg(count(lit(1)).as("nc"))))
+      .crossJoin(broadcast(refHist.agg(sum(col("c")).as("nr"))))
+      .crossJoin(broadcast(curHist.agg(sum(col("c")).as("nc"))))
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round((col("n_ref").cast("double") / col("nr") -
           col("n_cur").cast("double") / col("nc")) *
