@@ -1302,9 +1302,12 @@ object Analytics {
     val o = Tables.load(spark, dir, "orders")
     val hist = o.groupBy(col("o_totalprice").as("v"))
       .agg(count(lit(1)).as("c"))
-    val tot = hist.agg(sum(col("c")).as("n_total"))
-    Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
-      .crossJoin(broadcast(tot))
+    val rs = Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
+    // n_total = the largest inclusive running total — read from the
+    // (checkpointed) prefix-sum output instead of re-aggregating the
+    // orders histogram, which would re-scan the table.
+    val tot = rs.agg(max(col("cum")).as("n_total"))
+    rs.crossJoin(broadcast(tot))
       .withColumn("bucket",
         ceil(col("cum") * lit(buckets.toLong) / col("n_total")).cast("long"))
       .groupBy(col("bucket"))

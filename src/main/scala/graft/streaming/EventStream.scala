@@ -163,6 +163,28 @@ object EventStream {
       }
       .start()
 
+  /** Streaming JDBC sink via foreachBatch: every microbatch is
+    * batch-inserted into the target database through `Jdbc.write` —
+    * the streaming continuation of the reference's DB-to-DB loop
+    * (helper_db_operation.py batch_insert:142). Appends are
+    * AT-LEAST-ONCE on replay (plain INSERT has no merge key); point a
+    * replayed stream at an idempotent target (PK + ON CONFLICT, or a
+    * staging table merged by the DB) for exactly-once effects — the
+    * checkpoint guarantees each source offset is processed, not that
+    * the insert is not retried.
+    */
+  def jdbcEachBatch(events: DataFrame, cfg: graft.sources.JdbcConfig,
+      checkpoint: String, batchSize: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Jdbc.write(batch.toDF(), cfg,
+          mode = org.apache.spark.sql.SaveMode.Append, batchSize = batchSize)
+      }
+      .start()
+
   /** Incremental file ETL with Trigger.AvailableNow: drain every file
     * the checkpoint has not seen, apply the transform, append to the
     * parquet target, then STOP — the batch-cadence shape of a 100 TB

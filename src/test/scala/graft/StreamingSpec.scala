@@ -382,6 +382,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch jdbc sink lands every microbatch row in the database") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_stream").toString
+    val cfg = graft.sources.JdbcConfig(
+      "jdbc:derby:memory:graftstream;create=true", "stream_sink")
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF().toDF("id", "payload")
+    val q = EventStream.jdbcEachBatch(events, cfg, s"$dir/ckpt")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = graft.sources.Jdbc.load(spark, cfg)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("topkStateful tracks the running top-k and emits only on change") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Ev]
