@@ -13,6 +13,17 @@ import graft.sources.Tables
   * The bucket tables are (bucket_key, doc_id) shuffles that scale
   * linearly with corpus size; the verify join is bounded by bucket
   * occupancy, which the band/shingle width controls.
+  *
+  * Caching policy: the `.cache()` calls in this family are DELIBERATE
+  * cross-query substrate sharing, not leaks — the CacheManager dedupes
+  * by canonical plan, so `minhashPairs` built for `dedup_minhash` is
+  * reused by `dedup_clusters` / `dedup_report` / `dedup_apply` /
+  * `dedup_detector_overlap` in the same session ("Asked to cache
+  * already cached data" in the logs is a REUSE HIT). Converting these
+  * to `localCheckpoint` was measured 3× slower across the full query
+  * surface (round 5) because every consumer rebuilt the substrate.
+  * Only per-call-unique frames (the two-phase prefix-sum internals)
+  * use localCheckpoint, where no cross-query reuse exists to lose.
   */
 object Dedup {
 
