@@ -101,6 +101,42 @@ object Jdbc {
     policy(spark.read.jdbc(cfg.url, cfg.table, predicates.toArray,
       cfg.properties))
 
+  /** Catalog introspection over a live JDBC connection — the
+    * reference's `get_table_columns` (helper_db_operation.py:32-43
+    * against all_tab_columns, :91-100 against information_schema) via
+    * the portable DatabaseMetaData API, so the same call works on
+    * Oracle, MS SQL, PostgreSQL, or Derby. One metadata round-trip on
+    * the driver (column lists are catalog-sized); emitted as a frame so
+    * it composes with `Ddl.createTable` for the bootstrap flow.
+    */
+  def catalogColumns(spark: SparkSession, cfg: JdbcConfig,
+      table: String): DataFrame = {
+    import spark.implicits._
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+    try {
+      def fetch(name: String) = {
+        val rs = conn.getMetaData.getColumns(null, null, name, null)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, String, String, Long, String)]
+        while (rs.next()) buf += ((
+          table,
+          rs.getInt("ORDINAL_POSITION").toLong,
+          rs.getString("COLUMN_NAME"),
+          rs.getString("TYPE_NAME"),
+          rs.getInt("COLUMN_SIZE").toLong,
+          rs.getString("IS_NULLABLE")))
+        rs.close()
+        buf.toSeq
+      }
+      // unquoted identifiers are case-normalized by most catalogs
+      // (Derby/Oracle fold up); try the stored spelling first
+      val rows = Seq(table, table.toUpperCase, table.toLowerCase)
+        .distinct.iterator.map(fetch).find(_.nonEmpty).getOrElse(Seq.empty)
+      rows.toDF("table_name", "ordinal", "column_name", "type_name",
+        "column_size", "is_nullable").orderBy("ordinal")
+    } finally conn.close()
+  }
+
   /** Batched write: per-partition JDBC statement batching (`batchsize`,
     * the reference's `batch_insert` / psycopg2 `execute_batch` posture at
     * helper_db_operation.py:142) from every executor in parallel.

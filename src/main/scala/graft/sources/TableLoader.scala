@@ -89,6 +89,32 @@ final case class ColumnMapping(
   }
 }
 
+object ColumnMapping {
+  /** Load the mapping from a maintained CSV artifact — the reference's
+    * column_mapping_btw_analytics_and_oracle_tables.xlsx as a plain
+    * `from,to[,cast]` file. The file is catalog-sized, so it reads with
+    * an explicit schema and collects on the driver; cast names are the
+    * engine's DDL vocabulary (`CatalystSqlParser` types: bigint,
+    * double, varchar/string, date, timestamp, decimal(p,s), ...).
+    */
+  def fromCsv(spark: org.apache.spark.sql.SparkSession,
+      path: String): ColumnMapping = {
+    val schema = StructType(Seq(
+      StructField("from", StringType, nullable = false),
+      StructField("to", StringType, nullable = false),
+      StructField("cast", StringType, nullable = true)))
+    val rows = spark.read.schema(schema).option("header", "true").csv(path)
+      .collect()
+    val renames = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    val casts = rows.filter(!_.isNullAt(2)).map { r =>
+      r.getString(1) ->
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(r.getString(2))
+    }.toMap
+    ColumnMapping(renames = renames, casts = casts)
+  }
+}
+
 /** Schema alignment: project a frame onto a target schema — matching
   * columns cast into place, missing columns null-filled, extras dropped.
   * Spark-first analog of the reference's dynamic column intersection

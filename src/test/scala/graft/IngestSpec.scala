@@ -147,6 +147,21 @@ class IngestSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getString(3) == "eCollision Oracle")
   }
 
+  test("ColumnMapping loads from a maintained CSV artifact") {
+    import spark.implicits._
+    import graft.sources.ColumnMapping
+    val dir = java.nio.file.Files.createTempDirectory("graft_colmap").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mapping.csv"),
+      "from,to,cast\nfatal_comment,fatal_comments,bigint\nscore,score,double\n")
+    val m = ColumnMapping.fromCsv(spark, s"$dir/mapping.csv")
+    val out = m(Seq((1, "x", 2.5f)).toDF("fatal_comment", "name", "score"))
+    assert(out.columns.toSeq == Seq("fatal_comments", "name", "score"))
+    assert(out.schema("fatal_comments").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.head().getLong(0) == 1L)
+  }
+
   test("project through a mapping lands mapped names on the target") {
     import spark.implicits._
     import graft.sources.ColumnMapping

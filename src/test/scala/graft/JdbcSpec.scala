@@ -133,6 +133,18 @@ class JdbcSpec extends SparkSpec {
     assert(rt == src)
   }
 
+  test("catalogColumns introspects a live table through DatabaseMetaData") {
+    val nation = Tables.load(spark, sf, "nation")
+    Jdbc.write(nation, cfg("nation_cat"), mode = SaveMode.Overwrite)
+    val cols = Jdbc.catalogColumns(spark, cfg("nation_cat"), "nation_cat")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(5)))
+    // Spark's Derby writer quotes column names, preserving case
+    assert(cols.map(_._2).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(cols.forall(_._3 == "YES"))
+    assert(cols.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("ddlColumns agrees with the ANSI dialect over every footer") {
     val d = Ddl.ddlColumns(spark, sf, Seq("region", "orders"))
       .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
