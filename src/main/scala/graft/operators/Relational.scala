@@ -596,23 +596,35 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Discrete quartile cut points of an INTEGRAL column, computed on
-    * its value histogram: counts per distinct value (one combinable
-    * shuffle), a running cumsum over the distinct-value frame, then
+  /** Discrete quartile cut points of several INTEGRAL columns at once,
+    * computed on a metric-tagged value histogram: counts per distinct
+    * (metric, value), ONE running cumsum partitioned by metric through
+    * Prefix.runningSum (range-partitioned two-phase prefix sum — even
+    * a continuous metric whose distinct-value count approaches row
+    * count never lands on a single task), then
     * cut(p) = min value whose cumulative count reaches position
-    * ceil(n·p) — exactly DuckDB's quantile_disc rule. The cumsum runs
-    * through Prefix.runningSum (range-partitioned two-phase prefix
-    * sum), so even a continuous metric whose distinct-value count
-    * approaches row count never lands on a single task.
+    * ceil(n·p) — exactly DuckDB's quantile_disc rule. The per-metric
+    * total is max(cum) over the checkpointed prefix output (no second
+    * histogram pass), and the pivot emits one broadcastable row named
+    * `<metric>_q25/_q50/_q75` — three metrics cost one prefix sum,
+    * not three.
     */
-  private def discCuts(df: DataFrame, metric: String): DataFrame = {
-    val hist = df.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
-    val cum = Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+  private def discCuts(df: DataFrame, metrics: Seq[String]): DataFrame = {
+    val hist = metrics.map(m =>
+        df.select(lit(m).as("metric"), col(m).as("v")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("c"))
+    val rs = Prefix.runningSum(hist, col("c"), "cum", Seq(col("v")),
+      partCols = Seq("metric"))
+    val n = rs.groupBy(col("metric")).agg(max(col("cum")).as("n"))
     def cut(p: Double) = min(when(
       col("cum") >= ceil(col("n").cast("double") * lit(p)), col("v")))
-    cum.agg(cut(0.25).as(s"${metric}_q25"), cut(0.5).as(s"${metric}_q50"),
-      cut(0.75).as(s"${metric}_q75"))
+    rs.join(broadcast(n), Seq("metric"))
+      .groupBy(col("metric"))
+      .agg(cut(0.25).as("q25"), cut(0.5).as("q50"), cut(0.75).as("q75"))
+      .groupBy().pivot("metric", metrics)
+      .agg(first(col("q25")).as("q25"), first(col("q50")).as("q50"),
+        first(col("q75")).as("q75"))
   }
 
   /** RFM segmentation (`q_rfm`): recency / frequency / monetary per
@@ -646,9 +658,8 @@ object Relational {
       lit(1) + when(v > q25, 1).otherwise(0) + when(v > q50, 1).otherwise(0) +
         when(v > q75, 1).otherwise(0)
     cust
-      .crossJoin(broadcast(discCuts(cust, "recency_days")))
-      .crossJoin(broadcast(discCuts(cust, "frequency")))
-      .crossJoin(broadcast(discCuts(cust, "monetary_cents")))
+      .crossJoin(broadcast(discCuts(cust,
+        Seq("recency_days", "frequency", "monetary_cents"))))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
         (lit(5) - score(col("recency_days"), col("recency_days_q25"),
