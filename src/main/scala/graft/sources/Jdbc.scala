@@ -70,10 +70,28 @@ object Jdbc {
   /** Whole-table read (small dimension tables — the bounded side a join
     * would broadcast). `policy` applies the dialect normalization in the
     * same select, so pruning still reaches the generated query.
+    *
+    * `limit` pushes a row bound INTO the source database — the
+    * reference's `sample_size=888` dev ingest
+    * (ingest_ecollision_oracle_data.py:96) without transferring the
+    * table: the read routes through a derived-table subquery
+    * `(SELECT * FROM t FETCH FIRST n ROWS ONLY)`, so a bounded
+    * dev-ingest of a billion-row table ships n rows over the wire, not
+    * all of them. FETCH FIRST is SQL:2008 — Derby, PostgreSQL, and
+    * Oracle 12c+ all execute it verbatim. The bound is a row-count cap,
+    * not a deterministic sample: which n rows come back is the
+    * database's choice (same as the reference's unordered LIMIT).
     */
   def load(spark: SparkSession, cfg: JdbcConfig,
-      policy: TypePolicy = TypePolicy.canonical): DataFrame =
-    policy(spark.read.jdbc(cfg.url, cfg.table, cfg.properties))
+      policy: TypePolicy = TypePolicy.canonical,
+      limit: Option[Int] = None): DataFrame = {
+    val table = limit match {
+      case Some(n) =>
+        s"(SELECT * FROM ${cfg.table} FETCH FIRST $n ROWS ONLY) graft_bounded"
+      case None => cfg.table
+    }
+    policy(spark.read.jdbc(cfg.url, table, cfg.properties))
+  }
 
   /** Range-partitioned read: `numPartitions` bounded-range queries on a
     * numeric/temporal column — the scale path for a fact table. Bounds
@@ -150,6 +168,114 @@ object Jdbc {
       .option("batchsize", batchSize.toString)
       .option("truncate", truncate.toString)
       .jdbc(cfg.url, cfg.table, cfg.properties)
+
+  /** Keyed upsert: apply a change feed into a LIVE JDBC table — the
+    * composition of `q_merge`'s change-feed semantics with the JDBC
+    * sink. The reference only knows whole-table delete-then-insert
+    * (etl_ecollision_fusion_table_collisions.py:124-135); this is that
+    * done surgically: per row, DELETE by key, then (unless the row
+    * carries the delete flag) INSERT the new values — net effect is
+    * update-or-insert for data rows, removal for flagged rows.
+    *
+    * Transactional shape: the feed is repartitioned BY KEY first, so
+    * any one key is owned by exactly one partition — no cross-partition
+    * interleaving can delete another partition's fresh insert. Each
+    * partition runs one connection with autocommit off, batching the
+    * DELETEs and INSERTs (`batchSize` per round) and committing once at
+    * partition end — per-partition atomicity, all-executors-parallel,
+    * the same posture as `write`. Contract: one feed row per key (the
+    * usual compacted change-feed shape); duplicate keys within a feed
+    * make the outcome order-dependent.
+    *
+    * Identifiers are quoted (SQL-standard double quotes) so
+    * reserved-word or case-preserving columns — which Spark's own JDBC
+    * writer creates — resolve correctly.
+    */
+  def upsert(df: DataFrame, cfg: JdbcConfig, keys: Seq[String],
+      deleteFlag: Option[String] = None, batchSize: Int = 1000): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val dataCols = df.columns.filterNot(deleteFlag.contains).toSeq
+    val keyIdx = keys.map(k => df.columns.indexOf(k))
+    val dataIdx = dataCols.map(c => df.columns.indexOf(c))
+    val flagIdx = deleteFlag.map(f => df.columns.indexOf(f))
+    require(keyIdx.forall(_ >= 0) && flagIdx.forall(_ >= 0),
+      s"key/flag columns must exist in ${df.columns.mkString(",")}")
+    def q(ident: String) = "\"" + ident.replace("\"", "\"\"") + "\""
+    val deleteSql = s"DELETE FROM ${cfg.table} WHERE " +
+      keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO ${cfg.table} " +
+      dataCols.map(q).mkString("(", ", ", ")") +
+      s" VALUES ${dataCols.map(_ => "?").mkString("(", ", ", ")")}"
+    val (url, props) = (cfg.url, cfg.properties)
+    // JDBC setObject can't take Spark's java.time externals or Scala
+    // BigDecimal — normalize to the java.sql types every driver accepts.
+    def jdbcValue(v: Any): Any = v match {
+      case i: java.time.Instant => java.sql.Timestamp.from(i)
+      case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+      case dt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(dt)
+      case b: scala.math.BigDecimal => b.bigDecimal
+      case other => other
+    }
+    // NULLs need an explicit java.sql type (Derby rejects a bare
+    // setObject(i, null)) — derive it once per column from the schema.
+    def sqlType(dt: DataType): Int = dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType | ByteType => java.sql.Types.SMALLINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case DateType => java.sql.Types.DATE
+      case _: TimestampType | _: TimestampNTZType => java.sql.Types.TIMESTAMP
+      case BinaryType => java.sql.Types.VARBINARY
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case _ => java.sql.Types.VARCHAR
+    }
+    val keyTypes = keyIdx.map(i => sqlType(df.schema(i).dataType))
+    val dataTypes = dataIdx.map(i => sqlType(df.schema(i).dataType))
+    df.repartition(keys.map(df(_)): _*).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(deleteSql)
+            val ins = conn.prepareStatement(insertSql)
+            try {
+              var pending = 0
+              def flush(): Unit = {
+                // all DELETEs of a round land before its INSERTs; keys
+                // are unique per feed so later rounds never delete an
+                // earlier round's insert
+                del.executeBatch(); ins.executeBatch(); pending = 0
+              }
+              def bind(st: java.sql.PreparedStatement, pi: Int, v: Any,
+                  tpe: Int): Unit =
+                if (v == null) st.setNull(pi, tpe)
+                else st.setObject(pi, jdbcValue(v))
+              rows.foreach { row =>
+                keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                  bind(del, pi + 1, row.get(ci), keyTypes(pi))
+                }
+                del.addBatch()
+                val isDelete = flagIdx.exists(i => row.getBoolean(i))
+                if (!isDelete) {
+                  dataIdx.zipWithIndex.foreach { case (ci, pi) =>
+                    bind(ins, pi + 1, row.get(ci), dataTypes(pi))
+                  }
+                  ins.addBatch()
+                }
+                pending += 1
+                if (pending >= batchSize) flush()
+              }
+              if (pending > 0) flush()
+              conn.commit()
+            } catch { case e: Throwable => conn.rollback(); throw e
+            } finally { del.close(); ins.close() }
+          } finally conn.close()
+        }
+    }
+  }
 }
 
 /** DDL bootstrap: emit CREATE TABLE text from a Spark schema — the
@@ -165,6 +291,32 @@ object Ddl {
 
   sealed trait Dialect {
     def typeName(dt: DataType): String
+
+    /** SQL-standard double-quoted identifier, embedded quotes doubled.
+      * Column names are ALWAYS emitted quoted: Spark's own JDBC writer
+      * creates case-preserving quoted columns, so quoting here makes
+      * bootstrap DDL and Spark writes agree — and reserved words
+      * (a column named `order`) stay valid. Table names are left to the
+      * caller verbatim: quoting one would change its case-folding and
+      * break unquoted references elsewhere (Jdbc.write passes the name
+      * through unquoted).
+      */
+    def quoteIdent(name: String): String =
+      "\"" + name.replace("\"", "\"\"") + "\""
+
+    /** Whether the target parses `IF NOT EXISTS` / `IF EXISTS`
+      * existence clauses (Derby does not) — dialect-owned so the
+      * emitted DDL runs unmodified on its declared target.
+      */
+    def supportsIfExists: Boolean = true
+
+    /** Conditional drop where the dialect has one; a plain DROP on
+      * Derby (caller catches the table-absent error — Derby offers no
+      * conditional form).
+      */
+    def dropTableSql(name: String): String =
+      if (supportsIfExists) s"DROP TABLE IF EXISTS $name"
+      else s"DROP TABLE $name"
   }
 
   /** ANSI core — executable by DuckDB and Derby as-is. */
@@ -209,6 +361,7 @@ object Ddl {
       case StringType => "VARCHAR(4000)"
       case other => Ansi.typeName(other)
     }
+    override def supportsIfExists: Boolean = false
   }
 
   /** CREATE TABLE for `schema`, one column per field, NOT NULL from the
@@ -221,12 +374,19 @@ object Ddl {
       withSourceColumn: Boolean = false): String = {
     val cols = schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s"${f.name} ${dialect.typeName(f.dataType)}$nn"
+      s"${dialect.quoteIdent(f.name)} ${dialect.typeName(f.dataType)}$nn"
     }
     val source = if (withSourceColumn)
-      Seq(s"source ${dialect.typeName(StringType)}") else Nil
-    val pk = primaryKey.map(k => s"PRIMARY KEY ($k)").toSeq
-    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+      Seq(s"${dialect.quoteIdent("source")} ${dialect.typeName(StringType)}")
+    else Nil
+    val pk = primaryKey.map(k =>
+      "PRIMARY KEY (" +
+        k.split(",").map(c => dialect.quoteIdent(c.trim)).mkString(", ") +
+        ")").toSeq
+    // existence clause is dialect-owned: Derby cannot parse IF NOT
+    // EXISTS, so its emitted DDL omits it and runs verbatim
+    val ine = if (ifNotExists && dialect.supportsIfExists)
+      "IF NOT EXISTS " else ""
     s"CREATE TABLE $ine$name (${(cols.toSeq ++ source ++ pk).mkString(", ")})"
   }
 
@@ -271,7 +431,7 @@ final case class TableLifecycle(
       dialect: Ddl.Dialect = Ddl.Postgres,
       primaryKey: Option[String] = None): Seq[String] = {
     val name = physicalName(table)
-    val drop = if (dropExisting) Seq(s"DROP TABLE IF EXISTS $name") else Nil
+    val drop = if (dropExisting) Seq(dialect.dropTableSql(name)) else Nil
     drop :+ Ddl.createTable(name, schema, dialect, primaryKey,
       ifNotExists = !dropExisting, withSourceColumn = true)
   }
