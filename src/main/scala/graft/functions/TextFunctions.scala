@@ -866,16 +866,22 @@ object TextFunctions {
     val n = ranked.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     // ntile(B) closed-form: q = N div B, rem = N mod B; ranks up to
     // rem*(q+1) fall in the first rem (size q+1) buckets, the rest in
-    // size-q buckets. All-integer ceil via floor((r + d - 1) / d).
-    val qq = (col("__n") - (col("__n") % nBuckets)) / nBuckets
-    val rem = col("__n") % nBuckets
-    val cut = rem * (qq + lit(1L))
-    val bucket = when(col("__rank") <= cut,
-        floor((col("__rank") + qq) / (qq + lit(1L))))
-      .otherwise(rem + floor((col("__rank") - cut + qq - lit(1L)) / qq))
-      .cast("long")
+    // size-q buckets. TRUE integral arithmetic (`div`, not `/` — Spark's
+    // `/` on longs is IEEE double division, which is only rank-exact
+    // below 2^53): bucket replay stays bit-identical to ntile at ANY
+    // cardinality. The `div __q` branch is unreachable when __q = 0
+    // (then every rank <= __cut = N), and CaseWhen evaluates branches
+    // lazily per row, so no division by zero fires under ANSI.
     ranked.join(broadcast(n), Seq("source"))
-      .withColumn("bucket", bucket)
+      .withColumn("__q", expr(s"__n div $nBuckets"))
+      .withColumn("__rem", col("__n") % nBuckets)
+      .withColumn("__cut", col("__rem") * (col("__q") + lit(1L)))
+      .withColumn("bucket",
+        when(col("__rank") <= col("__cut"),
+          expr("(__rank + __q) div (__q + 1)"))
+        .otherwise(col("__rem") +
+          expr("(__rank - __cut + __q - 1) div __q"))
+        .cast("long"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_volume"))
       .orderBy(col("source"), col("bucket"))

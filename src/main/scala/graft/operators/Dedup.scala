@@ -586,11 +586,33 @@ object Dedup {
     * cell². The exact-verify contract is unchanged: every emitted
     * candidate still carries both embeddings for the caller's true
     * cosine filter, so banding can only MISS low-probability pairs in
-    * oversized cells (documented approximate recall there), never
-    * admit a false positive anywhere.
+    * oversized cells, never admit a false positive anywhere. The miss
+    * rate is MEASURED, not argued: DedupSpec's recall test plants
+    * cosine-0.99 pairs in a forced-oversized cell and holds the 4x8-bit
+    * banding to >= 0.9 recall at tau 0.8; and every run reports
+    * n_cells_banded / max_cell / n_cells through observe() (below), so
+    * production knows the moment a grown corpus enters the approximate
+    * regime.
     */
+  /** Monotone id so each cellBoundedPairs call site gets a unique
+    * observe() metric name (duplicate names in one plan — e.g. a sweep
+    * unioning several pair scans — would fail analysis).
+    */
+  private val cellObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def cellBoundedPairs(emb: DataFrame, maxCell: Int): DataFrame = {
+    // observe() makes the exact/approximate boundary VISIBLE per run:
+    // n_cells_banded > 0 means some cells took the RP-LSH recall
+    // (approximate) path, so a production job can alarm when a grown
+    // corpus silently crosses from exact into banded territory. The
+    // metrics surface through QueryExecutionListener /
+    // SparkListenerSQLExecutionEnd as "cell_bounded_pairs_<n>".
     val sizes = emb.groupBy(col("label")).agg(count(lit(1)).as("__n_cell"))
+      .observe(s"cell_bounded_pairs_${cellObsId.incrementAndGet()}",
+        sum(when(col("__n_cell") > maxCell, 1L).otherwise(0L))
+          .as("n_cells_banded"),
+        max(col("__n_cell")).as("max_cell"),
+        count(lit(1)).as("n_cells"))
     // #labels = #quantizer cells — bounded, broadcastable at any corpus size
     val tagged = emb.join(broadcast(sizes), Seq("label"))
     def sides(df: DataFrame) = (

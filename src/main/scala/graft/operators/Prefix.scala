@@ -57,6 +57,17 @@ object Prefix {
     // explicitly unpersisted), and the stored blocks are
     // reference-counted away by the ContextCleaner once the query's
     // RDDs are unreachable.
+    //
+    // The trade-off of truncated lineage: localCheckpoint blocks are
+    // NON-REPLICATED and unrecoverable — on a real cluster, losing one
+    // executor (failure OR dynamic-allocation decommission) while the
+    // query is in flight fails the whole query instead of recomputing
+    // the lost partitions. Acceptable here because the checkpointed
+    // frame lives only for the two immediately-following reads of one
+    // query; a deployment that runs with dynamic allocation or spot
+    // executors should instead pass a replicated storage level
+    // (persist(MEMORY_AND_DISK_2) + explicit unpersist) or a reliable
+    // checkpoint dir — same plan shape, recoverable blocks.
     val local = keyed.withColumn("__cum_local", sum(value).over(wLocal))
       .localCheckpoint(eager = true)
     val totals = local

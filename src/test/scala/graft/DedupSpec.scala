@@ -176,4 +176,80 @@ class DedupSpec extends SparkSpec {
     // No cross-cell leakage in either path.
     assert(got.forall(p => (p._1 < 2000L) == (p._2 < 2000L)))
   }
+
+  test("oversized-cell RP-LSH fallback recall is >= 0.9 at tau 0.8") {
+    import spark.implicits._
+    // One synthetic cell far over the cap, with 150 PLANTED near-dup
+    // pairs at cosine ~0.99 (base + 15% gaussian noise, dim 32, seeded
+    // so the measurement is reproducible). Exact truth = the all-pairs
+    // path (cap above the cell size); measured = the same cell forced
+    // through the RP-LSH banding (cap below). Both verify with the
+    // exact cosine, so the only possible loss is banding recall.
+    val rng = new scala.util.Random(42)
+    def gauss(): Float = rng.nextGaussian().toFloat
+    val rows = (0 until 150).flatMap { i =>
+      val base = Array.fill(32)(gauss())
+      val dup = base.map(v => v + 0.15f * gauss())
+      Seq((i.toLong * 2, base, 1), (i.toLong * 2 + 1, dup, 1))
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairsAtTau(maxCell: Int): Set[(Long, Long)] =
+      Dedup.cellBoundedPairs(emb, maxCell)
+        .filter(graft.functions.VectorFunctions
+          .cosine(col("emb_a"), col("emb_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairsAtTau(1000)
+    val banded = pairsAtTau(50)
+    assert(exact.size >= 150, s"planted pairs missing from truth: ${exact.size}")
+    // no false positives ever — banding only prunes candidates
+    assert(banded.subsetOf(exact))
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"4x8-bit band recall $recall (${banded.size}/${exact.size}) < 0.9")
+  }
+
+  test("n_cells_banded observe() metric reports the approximate regime") {
+    import spark.implicits._
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j * 7) % 11 - 5).toFloat),
+        if (i < 50) 1 else 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def metricAfter(maxCell: Int): org.apache.spark.sql.Row = {
+        seen.clear()
+        Dedup.cellBoundedPairs(emb, maxCell).count()
+        // metrics arrive via the async listener bus — poll briefly
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var row: Option[org.apache.spark.sql.Row] = None
+        while (row.isEmpty && System.nanoTime() < deadline) {
+          import scala.jdk.CollectionConverters._
+          row = seen.asScala.collectFirst {
+            case (k, v) if k.startsWith("cell_bounded_pairs_") => v
+          }
+          if (row.isEmpty) Thread.sleep(100)
+        }
+        row.getOrElse(fail("observe() metric never arrived"))
+      }
+      // cap below the hot cell: exactly one banded cell, max cell 50
+      val banded = metricAfter(20)
+      assert(banded.getAs[Long]("n_cells_banded") == 1L)
+      assert(banded.getAs[Long]("max_cell") == 50L)
+      assert(banded.getAs[Long]("n_cells") == 2L)
+      // cap above every cell: fully exact regime
+      assert(metricAfter(100).getAs[Long]("n_cells_banded") == 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
