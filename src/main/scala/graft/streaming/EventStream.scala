@@ -185,6 +185,29 @@ object EventStream {
       }
       .start()
 
+  /** Keyed streaming JDBC sink with EXACTLY-ONCE observable effects:
+    * each microbatch goes through `Jdbc.upsert` (per-key DELETE +
+    * INSERT in per-partition transactions), so a batch re-delivered
+    * after a failure between sink write and checkpoint commit
+    * re-applies the same key-wise replacement and the target converges
+    * to the same state — the idempotent counterpart of
+    * `jdbcEachBatch`'s at-least-once append. Requires a replayable
+    * source (file/Kafka offsets): idempotence holds because a replayed
+    * epoch re-delivers the SAME rows for the same offsets. Contract as
+    * `Jdbc.upsert`: one row per key within a microbatch.
+    */
+  def jdbcUpsertEachBatch(events: DataFrame, cfg: graft.sources.JdbcConfig,
+      keys: Seq[String], checkpoint: String, batchSize: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Jdbc.upsert(batch.toDF(), cfg, keys,
+          deleteFlag = None, batchSize = batchSize)
+      }
+      .start()
+
   /** Incremental file ETL with Trigger.AvailableNow: drain every file
     * the checkpoint has not seen, apply the transform, append to the
     * parquet target, then STOP — the batch-cadence shape of a 100 TB

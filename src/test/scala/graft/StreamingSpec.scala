@@ -2,7 +2,9 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 
@@ -399,6 +401,70 @@ class StreamingSpec extends SparkSpec {
         .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
       assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     } finally q.stop()
+  }
+
+  test("replayed microbatch: upsert sink converges, append sink duplicates") {
+    // A REAL checkpoint replay, not a simulation: run a file-source
+    // stream to completion, then delete the checkpoint's commit marker
+    // for the last batch — exactly the on-disk state left by a crash
+    // between the foreachBatch write and the commit — and restart. The
+    // source log re-delivers the same batch; the keyed upsert sink
+    // must absorb it (exactly-once effects), while the plain append
+    // sink demonstrably duplicates (its documented at-least-once).
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val in = s"$dir/in"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    spark.range(0, 5)
+      .select(col("id"), concat(lit("p"), col("id")).as("payload"))
+      .write.mode("append").parquet(in)
+    def dropLastCommit(ckpt: String): Unit = {
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      assert(commits.nonEmpty, "no commit marker to drop")
+      val last = commits.last
+      // the local checksum FS keeps a hidden .N.crc sidecar; leaving it
+      // behind blocks the re-commit rename on restart
+      val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+      assert(last.delete())
+    }
+    def streamInto(sink: DataFrame => org.apache.spark.sql.streaming
+        .StreamingQuery): Unit = {
+      val q = sink(spark.readStream.schema(schema).parquet(in))
+      try q.processAllAvailable() finally q.stop()
+      // stop() can return before the manager deregisters the run; the
+      // restart below reuses the SAME checkpoint, so wait it out
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!spark.streams.active.exists(_.id == q.id))
+    }
+    // keyed upsert sink: batch 0 delivered, then REPLAYED
+    val upCfg = graft.sources.JdbcConfig(
+      "jdbc:derby:memory:graftstream;create=true", "replay_upsert")
+    graft.sources.Jdbc.write(
+      spark.range(0).select(col("id"), lit("").as("payload")), upCfg)
+    streamInto(EventStream.jdbcUpsertEachBatch(_, upCfg, Seq("id"),
+      s"$dir/ckpt_up"))
+    dropLastCommit(s"$dir/ckpt_up")
+    streamInto(EventStream.jdbcUpsertEachBatch(_, upCfg, Seq("id"),
+      s"$dir/ckpt_up"))
+    val up = graft.sources.Jdbc.load(spark, upCfg)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(up.toSeq == (0L until 5L).map(i => (i, s"p$i")),
+      s"upsert sink did not converge under replay: ${up.toSeq}")
+    // plain append sink, same replay: every row lands twice
+    val apCfg = graft.sources.JdbcConfig(
+      "jdbc:derby:memory:graftstream;create=true", "replay_append")
+    streamInto(EventStream.jdbcEachBatch(_, apCfg, s"$dir/ckpt_ap"))
+    dropLastCommit(s"$dir/ckpt_ap")
+    streamInto(EventStream.jdbcEachBatch(_, apCfg, s"$dir/ckpt_ap"))
+    assert(graft.sources.Jdbc.load(spark, apCfg).count() == 10L,
+      "append sink is expected to duplicate on replay (at-least-once)")
   }
 
   test("topkStateful tracks the running top-k and emits only on change") {
