@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale soak: materialize K-times-sf0.1 datasets and run the
+  * scale-critical operator families at 1x / 10x / 100x, so the "would
+  * survive 100x" claims in the operator docs are CURVES, not prose
+  * (docs/SCALING.md holds the recorded results).
+  *
+  * Scaled data (under /tmp/graft_soak/x<K>, generated once, reused):
+  *
+  *  - `documents` — K disjoint copies of the corpus. Copy 0 is the
+  *    original; copy k > 0 keeps every column but deterministically
+  *    PERMUTES the token order (sort by xxhash64(text, copy, position),
+  *    pure array codegen — no shuffle). Token multisets — and so
+  *    lengths, quality stats, Zipf mass — are preserved; shingle sets
+  *    are randomized, so near-dup detectors do NOT pair a copy with its
+  *    original and candidate volume stays linear, which is exactly the
+  *    property real corpus growth has. Seeding the permutation by TEXT
+  *    (not doc_id) keeps planted exact-dup groups intact within every
+  *    copy, so dedup_exact's group structure scales linearly too.
+  *  - `embeddings` — K copies with vec_id and label shifted per copy:
+  *    cell SIZE stays constant while cell COUNT grows K-fold (what a
+  *    grown corpus under the same quantizer does), so label-blocked
+  *    pair volume must scale linearly, never quadratically.
+  *  - `orders` / `events` / `lineitem` — K copies with keys shifted
+  *    into disjoint ranges; o_totalprice gets +0.01*copy so the
+  *    distinct-value count (the prefix-sum family's scale dimension)
+  *    grows with K instead of saturating.
+  *  - dimension tables are copied verbatim (they stay broadcast-sized
+  *    at any corpus scale — that is their design point).
+  *
+  * Usage: runMain graft.Soak [scales] [queries]
+  *   scales  comma list, default "1,10,100"
+  *   queries comma list, default the soak set below
+  * Emits one JSON line per (scale, query) AS IT FINISHES (partial runs
+  * still yield data) plus a per-scale total, and appends everything to
+  * soak_results.jsonl.
+  */
+object Soak {
+
+  /** The scale-critical set: the most expensive headline queries plus
+    * the whole prefix-sum and dedup families (VERDICT r5 next-round
+    * item 2).
+    */
+  val soakQueries: Seq[String] = Seq(
+    // classic scan-agg baseline
+    "q1_pricing_summary",
+    // prefix-sum family (two-phase cumsum discipline)
+    "q_histogram_equi", "q_rfm", "q_psi", "q_decile_lift", "q_gini",
+    "q_mwu_test", "q_time_to_convert",
+    // dedup family
+    "dedup_exact", "dedup_minhash_oph", "dedup_ngram_jaccard",
+    "dedup_span", "dedup_containment", "dedup_semantic", "dedup_embedding",
+    // text curation
+    "text_quality", "text_boilerplate", "text_keywords",
+    "text_curriculum", "text_sentence_dedup",
+    // similarity + multimodal packing
+    "sim_bruteforce_topk", "mm_shard_pack")
+
+  private val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private val root = "/tmp/graft_soak"
+
+  private def copies(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("copy", explode(sequence(lit(0), lit(k - 1))))
+
+  /** Deterministic per-copy token permutation — see class doc. */
+  private def permutedDocs(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val permuted = array_join(
+      transform(
+        array_sort(
+          transform(toks, (t, i) =>
+            struct(xxhash64(col("text"), col("copy"), i).as("h"), t.as("t")))),
+        s => s.getField("t")),
+      " ")
+    copies(docs, k)
+      .select(
+        (col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+        when(col("copy") === 0, col("text")).otherwise(permuted).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def materialize(spark: SparkSession, k: Int): String = {
+    val dir = s"$root/x$k"
+    val done = new java.io.File(s"$dir/_SOAK_READY")
+    if (done.exists()) return dir
+    System.err.println(s"[soak] materializing $dir ...")
+    new java.io.File(dir).mkdirs()
+    def t(name: String) = graft.sources.Tables.load(spark, base, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+    write(permutedDocs(t("documents"), k), "documents")
+    write(copies(t("embeddings"), k).select(
+      (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+      col("embedding"),
+      (col("label") + col("copy") * 10000).cast("int").as("label")),
+      "embeddings")
+    write(copies(t("orders"), k).select(
+      (col("o_orderkey") + col("copy") * 100000000L).as("o_orderkey"),
+      (col("o_custkey") + col("copy") * 10000000L).as("o_custkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") + col("copy") * 0.01, 2).as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")), "orders")
+    write(copies(t("events"), k).select(
+      (col("event_id") + col("copy") * 100000000L).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("copy") * 10000000L).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+    write(copies(t("lineitem"), k)
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * 100000000L)
+      .drop("copy"), "lineitem")
+    for (name <- Seq("region", "nation", "customer", "supplier", "part"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$base/$name.parquet"),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    done.createNewFile()
+    System.err.println(s"[soak] $dir ready")
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 10, 100))
+    val picked = args.drop(1).headOption.filter(_.nonEmpty)
+      .map(_.split(",").toSeq.filter(soakQueries.contains))
+      .getOrElse(soakQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sink = new java.io.PrintWriter(
+      new java.io.FileWriter("soak_results.jsonl", true))
+    def emit(line: String): Unit = {
+      println(line); sink.println(line); sink.flush()
+    }
+    // codegen warm-up on the smallest data so scale-1 timings are plans,
+    // not classloading
+    SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    for (k <- scales.sorted) {
+      val dir = materialize(spark, k)
+      var total = 0.0
+      // two passes at small scales so the plan-compile/codegen constant
+      // (~seconds) does not masquerade as sub-linear scaling; at 100x a
+      // single pass is fine — the constant is noise there and the plans
+      // are already codegen-warm from the smaller scales
+      val passes = if (k <= 10) 2 else 1
+      for (name <- picked) {
+        SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            val times = (1 to passes).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val sec = times.min
+            total += sec
+            emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f}""")
+          } catch { case e: Throwable =>
+            emit(s"""{"metric":"soak","scale":$k,"query":"$name","error":"${
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\n]", " ").take(160)}"}""")
+          }
+        }
+      }
+      emit(f"""{"metric":"soak_total","scale":$k,"sec":$total%.3f,"n":${picked.size}}""")
+    }
+    sink.close()
+    spark.stop()
+  }
+}
