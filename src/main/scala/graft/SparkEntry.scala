@@ -3462,12 +3462,14 @@ object SparkEntry {
          |    ON bins.doc_id = g.doc_id AND bins.bin = g.bin),
          |bstr AS (
          |  SELECT doc_id, bin // 4 AS band,
-         |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY bin) AS s
+         |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY bin) AS s,
+         |         min(sig) AS min_sig
          |  FROM fullg GROUP BY doc_id, bin // 4),
          |bnd AS (
          |  SELECT doc_id,
          |         md5(concat(CAST(band AS VARCHAR), '_', s)) AS band_hash
-         |  FROM bstr),
+         |  FROM bstr
+         |  WHERE min_sig < 1152921504606846976),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bnd x JOIN bnd y

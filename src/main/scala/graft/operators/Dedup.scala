@@ -283,9 +283,13 @@ object Dedup {
     * |shingles| hash-ops, the big cost of the dedup pass. Empty bins
     * take a 2^60 sentinel (the simplest densification; biases sparse
     * docs toward fewer candidate hits — acceptable for near-dup
-    * detection where docs are long). Banding = 4 bands × 4
-    * consecutive bins, same md5 bucket keys, same exact-Jaccard
-    * verify as `dedup_minhash`; DuckDB replays every stage.
+    * detection where docs are long), and bands that are ENTIRELY
+    * sentinel are excluded from banding — a constant band value would
+    * otherwise bucket every sparse doc together and go quadratic in
+    * the short-doc count (measured by the 100x soak; see SCALING.md).
+    * Banding = 4 bands × 4 consecutive bins, same md5 bucket keys,
+    * same exact-Jaccard verify as `dedup_minhash`; DuckDB replays
+    * every stage.
     */
   def ophPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
@@ -307,7 +311,16 @@ object Dedup {
     val bands = full.groupBy(col("doc_id"), col("band"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("bin"), col("sig").cast("string").as("s")))),
-        x => x.getField("s")), "_").as("sigstr"))
+        x => x.getField("s")), "_").as("sigstr"),
+        min(col("sig")).as("__min_sig"))
+      // An ALL-EMPTY band (every bin at the 2^60 sentinel) is
+      // signal-free and CONSTANT across documents, so it would bucket
+      // every sparse doc in the corpus into one universal collision
+      // cell — quadratic in the short-doc count (the 100x soak measured
+      // this as 316x growth per 10x data). Dropping such bands costs no
+      // true positives with signal: any two docs sharing real shingles
+      // still collide on the band holding them.
+      .filter(col("__min_sig") < lit(1L << 60))
       .select(col("doc_id"),
         md5(concat_ws("_", col("band").cast("string"), col("sigstr"))
           .cast("binary")).as("band_hash"))
