@@ -89,8 +89,16 @@ object Soak {
     System.err.println(s"[soak] materializing $dir ...")
     new java.io.File(dir).mkdirs()
     def t(name: String) = graft.sources.Tables.load(spark, base, name)
+    // Repartition before writing: the expansion starts from a
+    // single-file read (1 input split), and writing THAT back produces
+    // one output file — which then caps every downstream scan at one
+    // task regardless of cluster width. The first soak run hit exactly
+    // this: a 53 MB single-file 100x documents table serialized the
+    // whole shingle pipeline onto one core (160 s of a 231 s query).
+    // File layout is part of the scale contract.
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/$name.parquet")
 
     write(permutedDocs(t("documents"), k), "documents")
     write(copies(t("embeddings"), k).select(

@@ -253,6 +253,10 @@ object Dedup {
     * the native `graft_jaccard` expression — O(|candidates|·doclen),
     * never the Σdf² of a shingle self-join.
     */
+  /** Probe-only alias of [[verifyJaccard]] (ProbeOph stage timing). */
+  private[graft] def verifyJaccardProbe(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = verifyJaccard(sh, cand, threshold)
+
   private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("doc_id"))
