@@ -1419,8 +1419,11 @@ object SparkEntry {
          |  FROM t),
          |g AS (SELECT DISTINCT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM win),
          |n AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY doc_id),
+         |k AS (SELECT g.doc_id, g.h FROM g
+         |      JOIN (SELECT h FROM g GROUP BY h HAVING count(*) <= 1000) hc
+         |        ON g.h = hc.h),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-         |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared,
          |       round(CAST(n_shared AS DOUBLE) / na.n_g, 6) AS contain_a,

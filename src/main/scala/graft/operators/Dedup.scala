@@ -555,34 +555,47 @@ object Dedup {
     * detector Jaccard misses (a short doc fully embedded in a long one
     * has high containment but low Jaccard, so MinHash LSH never pairs
     * them). Blocking is the gram equi-join itself: only pairs sharing
-    * at least one 8-gram meet, and 8-token windows are rare enough
-    * that the pair table stays near-linear (stopword 1-grams would
-    * explode; window length IS the blocking knob). Same gram pipeline
-    * as text_contamination: per-doc array_distinct before the explode,
-    * md5 after it.
+    * at least one 8-gram meet, plus a document-frequency cap (`maxDf`):
+    * a window shared verbatim by more than `maxDf` docs is boilerplate,
+    * and every such gram contributes df^2/2 candidate pairs — the ONE
+    * quadratic term in this operator, so it is excluded from the pair
+    * join (true quote-inclusion grams have df ~ 2 and are untouched).
+    * `n_g` denominators stay the UNCAPPED per-doc gram cardinality, so
+    * containment scores for surviving pairs are exact. Same gram
+    * pipeline as text_contamination: per-doc array_distinct before the
+    * explode, md5 after it.
+    *
+    * Scale shape: `n_g` is computed as `size(array_distinct(...))` on
+    * the un-exploded gram array and rides along with every gram row, so
+    * the pair aggregation needs NO join back to a corpus-sized per-doc
+    * sizes table. (The earlier form joined the pair table against a
+    * `sizes` frame and left strategy choice to AQE; at the 100x soak
+    * scale AQE tried to BROADCAST the corpus-scaled pair table and
+    * OOMed — neither side of that join is broadcast-sized at scale, so
+    * the join had to go, not get a hint.)
     */
   def containmentPairs(spark: SparkSession, dir: String,
-      window: Int = 8, tau: Double = 0.2): DataFrame = {
+      window: Int = 8, tau: Double = 0.2, maxDf: Int = 1000): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val g = docs
-      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokenWindows(col("toks"), window))).as("s"))
-      .select(col("doc_id"), md5Bits(col("s"), 1, 15).as("h"))
+        array_distinct(TextFunctions.tokenWindows(
+          TextFunctions.words(lower(col("text"))), window)).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_g"),
+        explode(col("grams")).as("s"))
+      .select(col("doc_id"), col("n_g"), md5Bits(col("s"), 1, 15).as("h"))
       .cache()
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
-    val shared = g.select(col("doc_id").as("id_a"), col("h"))
-      .join(g.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+    // shuffle semi-join on h (both sides corpus-scaled — never broadcast)
+    val kept = g.join(
+      g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("h")),
+      Seq("h"), "left_semi")
+    kept.select(col("doc_id").as("id_a"), col("n_g").as("n_a"), col("h"))
+      .join(kept.select(col("doc_id").as("id_b"), col("n_g").as("n_b"), col("h")),
+        Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
-    // sizes is corpus-cardinality (NOT broadcastable at scale); the
-    // pair table is the small side, so AQE turns these into broadcast
-    // joins from the shared side on its own.
-    shared
-      .join(sizes.withColumnsRenamed(
-        Map("doc_id" -> "id_a", "n_g" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(
-        Map("doc_id" -> "id_b", "n_g" -> "n_b")), Seq("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_a").cast("double"), 6)
           .as("contain_a"),
