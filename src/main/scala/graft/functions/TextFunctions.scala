@@ -53,6 +53,16 @@ object TextFunctions {
     transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 
+  /** Token n-gram windows hashed straight to 64-bit ids — for
+    * detectors whose gram identity never surfaces in the output
+    * (dedup_containment). Delegates to the native codegen'd kernel
+    * (TokenWindowHashes): the composed HOF form — transform over
+    * slice+hash — runs interpreted and measured as the dominant cost
+    * of the containment scan at the 100x soak scale.
+    */
+  def hashedTokenWindows(toks: Column, n: Int): Column =
+    TokenWindowHash.tokenWindowHashes(toks, n)
+
   /** Per-document token counts (`text_tokens`). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

@@ -577,23 +577,51 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String,
       window: Int = 8, tau: Double = 0.2, maxDf: Int = 1000): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // Gram ids come from hashedTokenWindows (xxhash64 of the token
+    // slice): h is internal to this operator — only distinct-gram
+    // COUNTS surface (n_g, n_shared) — so identity does not need the
+    // md5 ids other detectors expose, and skipping the window-string
+    // build + md5→hex→conv chain cut the 100x gram-build from 37 s to
+    // single digits.
+    // toks materializes in its OWN projection first (the boilerplate
+    // lesson, TextFunctions.scala: inlined under the transform, the
+    // regex tokenizer re-runs once per WINDOW — interpreted lambdas
+    // get no CSE).
     val g = docs
       .select(col("doc_id"),
-        array_distinct(TextFunctions.tokenWindows(
-          TextFunctions.words(lower(col("text"))), window)).as("grams"))
+        TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          TextFunctions.hashedTokenWindows(col("toks"), window)).as("grams"))
       .select(col("doc_id"), size(col("grams")).as("n_g"),
-        explode(col("grams")).as("s"))
-      .select(col("doc_id"), col("n_g"), md5Bits(col("s"), 1, 15).as("h"))
+        explode(col("grams")).as("h"))
       .cache()
-    // shuffle semi-join on h (both sides corpus-scaled — never broadcast)
-    val kept = g.join(
-      g.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("h")),
-      Seq("h"), "left_semi")
-    kept.select(col("doc_id").as("id_a"), col("n_g").as("n_a"), col("h"))
-      .join(kept.select(col("doc_id").as("id_b"), col("n_g").as("n_b"), col("h")),
-        Seq("h"))
-      .filter(col("id_a") < col("id_b"))
+    // The df cap comes from a count-over-window on h, NOT a
+    // groupBy+semi-join: the window's hash-exchange + sort on h is
+    // exactly the distribution the pair self-join needs, so the join's
+    // two branches land on ReusedExchange and the whole scan costs ONE
+    // shuffle-sort of the gram table instead of three (df aggregate +
+    // two SMJ sorts). The pair join is pinned to sort-merge with an
+    // explicit hint — size ESTIMATES cannot be trusted here: the
+    // frames sit behind a cache + window + narrow projection, which
+    // shrinks the planner's sizeInBytes under the broadcast threshold;
+    // at the 100x soak scale the static planner broadcast the
+    // corpus-scaled pair-join sides into an 8 GB driver and died. A
+    // hint is the contract the estimator can't override.
+    val kept = g
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    // Self-join via ALIASES, renaming only after the join: both join
+    // branches are then the identical subplan (alias-only differences
+    // canonicalize away), so ReuseExchange collapses them onto one
+    // physical shuffle-sort of the gram table.
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b.hint("merge"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_g").as("n_a"), col("b.n_g").as("n_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("id_a"), col("id_b"), col("n_shared"),

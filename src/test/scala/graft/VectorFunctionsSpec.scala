@@ -83,6 +83,50 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
+  test("token window hashes: shape, determinism, distinct identity") {
+    import graft.functions.TokenWindowHash.tokenWindowHashes
+    val docs = Seq(
+      (1L, Array("a", "b", "c", "d", "e")),
+      (2L, Array("a", "b", "c")),          // exactly n tokens -> 1 window
+      (3L, Array("a", "b")),               // shorter than n -> empty
+      (4L, Array("a", "b", "c", "a", "b", "c")) // repeated trigram
+    ).toDF("id", "toks")
+    val got = docs.select(col("id"), tokenWindowHashes(col("toks"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).length == 3 && got(2L).length == 1 && got(3L).isEmpty)
+    // same token window -> same id, regardless of document/position
+    assert(got(4L).head == got(4L)(3) && got(2L).head == got(1L).head)
+    // different windows -> different ids (all 3 windows of doc 1 distinct)
+    assert(got(1L).distinct.length == 3)
+    // window identity matches position-sensitive content: "b c d" != "a b c"
+    assert(got(1L)(1) != got(1L).head)
+  }
+
+  test("token window hashes: codegen and interpreted eval agree") {
+    import graft.functions.TokenWindowHash.tokenWindowHashes
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, (0 to (i % 11)).map(k => s"tok${(k * 7 + i) % 5}").toArray))
+      .toDF("id", "toks")
+    // size() over the hashes forces an eval through codegen; compare
+    // against a collect()-side recomputation via the interpreted path
+    val viaDf = docs.select(col("id"), tokenWindowHashes(col("toks"), 4).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val expr = graft.functions.TokenWindowHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 4)
+    docs.collect().foreach { r =>
+      val toks = r.getSeq[String](1)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val interp = expr.nullSafeEval(arr)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toList
+      assert(interp == viaDf(r.getLong(0)),
+        s"codegen/interpreted mismatch for ${toks.mkString(" ")}")
+    }
+  }
+
   test("agreement on real embeddings") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
     val diff = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(5))
