@@ -57,7 +57,14 @@ object Soak {
     "text_quality", "text_boilerplate", "text_keywords",
     "text_curriculum", "text_sentence_dedup",
     // similarity + multimodal packing
-    "sim_bruteforce_topk", "mm_shard_pack")
+    "sim_bruteforce_topk", "mm_shard_pack",
+    // joins whose shape is the scale story: streaming-merge as-of,
+    // bucket-bounded range, salt-split skew join, star broadcast
+    "q_asof_join", "q_range_join", "q_salted_join_agg", "q_star_join_agg",
+    // event-sequence + graph + basket self-joins
+    "q_sessionize", "q_market_basket", "q_pagerank",
+    // banded embedding pairs + benchmark-contamination gram join
+    "sim_rp_lsh", "text_contamination")
 
   private val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val root = "/tmp/graft_soak"
@@ -153,11 +160,15 @@ object Soak {
     for (k <- scales.sorted) {
       val dir = materialize(spark, k)
       var total = 0.0
-      // two passes at small scales so the plan-compile/codegen constant
-      // (~seconds) does not masquerade as sub-linear scaling; at 100x a
-      // single pass is fine — the constant is noise there and the plans
-      // are already codegen-warm from the smaller scales
-      val passes = if (k <= 10) 2 else 1
+      // Two passes at EVERY scale, reported separately: sec_cold is
+      // the first pass (includes substrate cache build + codegen),
+      // sec is the min. Growth factors must compare cold-to-cold —
+      // the first soak design ran one pass at 100x but min-of-two at
+      // smaller scales, and the warm substrate cache (the deliberate
+      // Dedup cross-query cache) made the 10x points reflect CACHED
+      // re-runs, inflating the 10x->100x factor into a spurious
+      // super-linear flag for the dedup family.
+      val passes = 2
       for (name <- picked) {
         SparkEntry.queries.get(name).foreach { fn =>
           try {
@@ -168,7 +179,7 @@ object Soak {
             }
             val sec = times.min
             total += sec
-            emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f}""")
+            emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f,"sec_cold":${times.head}%.3f}""")
           } catch { case e: Throwable =>
             emit(s"""{"metric":"soak","scale":$k,"query":"$name","error":"${
               Option(e.getMessage).getOrElse(e.getClass.getName)

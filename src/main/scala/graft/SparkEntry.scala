@@ -1682,7 +1682,11 @@ object SparkEntry {
         |FROM r WHERE rk = 1
         |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin,
     "sim_rp_lsh" ->
-      s"""WITH el AS (
+      s"""WITH bwsel AS (
+         |  SELECT CASE WHEN count(*) <= ${Similarity.RpAdaptiveCutoff}
+         |              THEN 8 ELSE 16 END AS bw
+         |  FROM embeddings),
+         |el AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          |         CAST(unnest(embedding) AS DOUBLE) AS v
          |  FROM embeddings),
@@ -1694,7 +1698,8 @@ object SparkEntry {
          |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
          |         END AS s
          |  FROM (SELECT DISTINCT pos FROM el) p
-         |  CROSS JOIN (SELECT unnest(range(${Similarity.RpBits})) AS j) j),
+         |  CROSS JOIN (SELECT unnest(range(
+         |                4 * (SELECT bw FROM bwsel))) AS j) j),
          |d AS (
          |  SELECT el.vec_id, hp.j, sum(el.v * hp.s) AS dj
          |  FROM el JOIN hp ON el.pos = hp.pos GROUP BY el.vec_id, hp.j),
@@ -1706,7 +1711,10 @@ object SparkEntry {
          |  FROM d GROUP BY vec_id),
          |bv AS (
          |  SELECT vec_id, b.b AS band_idx,
-         |         (rp_sig >> CAST(b.b * 8 AS INTEGER)) & 255 AS band_val
+         |         (rp_sig >> CAST(b.b * (SELECT bw FROM bwsel) AS INTEGER))
+         |           & ((CAST(1 AS BIGINT)
+         |               << CAST((SELECT bw FROM bwsel) AS INTEGER)) - 1)
+         |           AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b

@@ -311,56 +311,91 @@ object Similarity {
 
   val RpBits = 32 // 4 bands × 8 bits
 
+  /** Corpus size above which rpLshPairs widens its bands from 8 to 16
+    * bits. With FIXED 8-bit bands, bucket occupancy is ~n/256 per
+    * band — LINEAR in corpus size — so candidate pairs grow ~n²/256:
+    * the 100x soak (200k vectors) ground for >16 minutes generating
+    * ~300M bucket pairs before being killed. Band width has to grow
+    * with log(n) to hold occupancy constant; the cutoff keeps the
+    * correctness-gate corpora (≤ 2k vectors) on the original 8-bit
+    * banding bit-for-bit.
+    */
+  val RpAdaptiveCutoff = 4096L
+
   /** Random-hyperplane signatures (signed random projections): bit j of
     * a vector's signature is the sign of its dot product with
     * pseudo-random hyperplane j, whose ±1 components are md5-derived
     * per (j, position) — data-independent, reproducible on any engine,
-    * no stored model. The hyperplane table is (dim × RpBits) — tiny —
+    * no stored model. The hyperplane table is (dim × bits) — tiny —
     * and broadcast; signatures come out of ONE aggregation over the
     * exploded vectors.
     */
-  def rpSignatures(emb: DataFrame): DataFrame = {
+  def rpSignatures(emb: DataFrame, bits: Int = RpBits): DataFrame = {
     val elems = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
-    val signCols = (0 until RpBits).map { j =>
+    val signCols = (0 until bits).map { j =>
       when(Dedup.md5Bits(
           concat(lit(j.toString), lit("_"), col("pos").cast("string")), 1, 15)
           .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)).as(s"s_$j")
     }
     val hp = elems.select(col("pos")).distinct()
       .select(col("pos") +: signCols: _*)
-    val dotCols = (0 until RpBits).map(j =>
+    val dotCols = (0 until bits).map(j =>
       sum(col("v").cast("double") * col(s"s_$j")).as(s"d_$j"))
     val sums = elems.join(broadcast(hp), Seq("pos"))
       .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
-    val sig = (0 until RpBits).map { j =>
+    val sig = (0 until bits).map { j =>
       when(col(s"d_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("vec_id"), sig.as("rp_sig"))
   }
 
-  /** Cosine near-dup pairs via random-hyperplane LSH: band the 32-bit
-    * signatures into 4 × 8-bit buckets, candidates = any shared
-    * (band, value) bucket, verified with exact cosine ≥ threshold.
-    * Unlike the label-blocked variant this needs NO prior clustering —
-    * the data-independent banding is the 100 TB path when no coarse
-    * quantizer exists yet. Linear band table, bounded bucket occupancy
-    * (~n/256 per band for spread signatures).
+  /** Cosine near-dup pairs via random-hyperplane LSH: band the
+    * signatures into 4 buckets of `bw` bits each, candidates = any
+    * shared (band, value) bucket, verified with exact cosine ≥
+    * threshold. Unlike the label-blocked variant this needs NO prior
+    * clustering — the data-independent banding is the 100 TB path when
+    * no coarse quantizer exists yet.
+    *
+    * Band width ADAPTS to corpus size (the oracle SQL replays the same
+    * count-driven rule): occupancy per bucket is ~n/2^bw, so a fixed
+    * bw makes candidate volume quadratic in n — the 100x soak proved
+    * it (see RpAdaptiveCutoff). n ≤ cutoff keeps the original
+    * 4 × 8-bit banding over a 32-bit signature; above it, bands widen
+    * to 16 bits over a 64-bit signature (the first 32 hyperplanes are
+    * the same family members, just extended). Wider bands trade
+    * per-band recall for bounded candidates — the standard LSH move;
+    * at cos 0.99 the 4 × 16-bit recall is still ~0.93
+    * (1-(1-p^16)^4, p = 1-θ/π). Beyond ~10M vectors, widen again
+    * (b ≈ log2(n) + 2) and add bands to hold recall — same rule, more
+    * signature bits.
+    *
+    * The corpus count that picks the band width is one metadata-cheap
+    * aggregate (parquet footers), negligible against the pair scan.
     */
-  def rpLshPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val sigs = rpSignatures(emb)
+  /** Banded candidate pairs (id_a < id_b) for a given band width —
+    * the blocking stage of rpLshPairs, exposed so the adaptive-width
+    * spec can measure candidate volume directly.
+    */
+  private[graft] def rpCandidates(emb: DataFrame, bw: Int): DataFrame = {
+    val sigs = rpSignatures(emb, bits = 4 * bw)
     val bandArr = array((0 until 4).map { b =>
-      shiftright(col("rp_sig"), b * 8).bitwiseAND(lit(0xFFL))
+      shiftright(col("rp_sig"), b * bw).bitwiseAND(lit((1L << bw) - 1))
     }: _*)
     val bands = sigs.select(col("vec_id"),
       posexplode(bandArr).as(Seq("band_idx", "band_val"))).cache()
-    val cand = bands.alias("x")
+    bands.alias("x")
       .join(bands.alias("y"), Seq("band_idx", "band_val"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+  }
+
+  def rpLshPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val bw = if (emb.count() <= RpAdaptiveCutoff) 8 else 16
+    val cand = rpCandidates(emb, bw)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))

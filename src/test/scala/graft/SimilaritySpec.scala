@@ -154,4 +154,35 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.rpLshPairs(spark, sf)
     assert(pairs.filter(col("cos") < 0.5).count() == 0)
   }
+
+  test("adaptive band width keeps RP-LSH candidate volume sub-quadratic") {
+    import spark.implicits._
+    // 4200 vectors — just past RpAdaptiveCutoff, the regime where the
+    // fixed 8-bit bands went quadratic at the 100x soak (bucket
+    // occupancy ~n/256 -> ~n²/256 pairs). Deterministic pseudo-random
+    // spread vectors, plus one planted identical pair (9000, 9001):
+    // identical vectors share every band at ANY width, so widening
+    // must never lose them.
+    val n = 4200
+    // seeded Gaussian vectors: spread signatures (a structured modular
+    // pattern here collides signatures and defeats the banding)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 7919L + 13)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = (0 until n).map { i =>
+      val id = if (i >= n - 2) 9000L + (i - (n - 2)) else i.toLong
+      (id, if (id >= 9000L) vec(9000) else vec(i))
+    }.toDF("vec_id", "embedding")
+    val wide = Similarity.rpCandidates(emb, 16).count()
+    val narrow = Similarity.rpCandidates(emb, 8).count()
+    // 16-bit bands: expected occupancy n/65536 < 1 — candidate volume
+    // collapses vs the 8-bit banding AND vs n²/2
+    assert(wide < narrow / 10,
+      s"16-bit banding should prune >=10x vs 8-bit: wide=$wide narrow=$narrow")
+    assert(wide < n.toLong * n / 200, s"wide=$wide not sub-quadratic")
+    val found = Similarity.rpCandidates(emb, 16)
+      .filter(col("id_a") === 9000L && col("id_b") === 9001L).count()
+    assert(found == 1, "identical planted pair must survive wide banding")
+  }
 }
