@@ -19,28 +19,26 @@ object ProbeOph {
     }
     import graft.operators.Dedup
     val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // mirrors ophPairs' current shape: (doc_id, h) long cache, then
+    // one conditional-min band aggregate (no spine join, no
+    // collect_list object aggregation)
     val sh = Dedup.shinglesRaw(docs)
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
       .cache()
     timed("shingles+cache count")(println(sh.count()))
-    val h = sh.select(col("doc_id"),
-      conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
-    val bins = h.groupBy(col("doc_id"), pmod(col("h"), lit(16L)).as("bin"))
-      .agg(min(col("h")).as("sig"))
-    timed("bins count")(println(bins.count()))
-    val spine = h.select(col("doc_id")).distinct()
-      .withColumn("bin", explode(sequence(lit(0L), lit(15L))))
-    val full = spine.join(bins, Seq("doc_id", "bin"), "left")
-      .withColumn("sig", coalesce(col("sig"), lit(1L << 60)))
+    val keyed = sh
+      .withColumn("bin", pmod(col("h"), lit(16L)))
       .withColumn("band", expr("bin DIV 4"))
-    val bands = full.groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("bin"), col("sig").cast("string").as("s")))),
-        x => x.getField("s")), "_").as("sigstr"),
-        min(col("sig")).as("__min_sig"))
-      .filter(col("__min_sig") < lit(1L << 60))
+      .withColumn("r", pmod(col("bin"), lit(4L)))
+    val comps = (0 until 4).map(r =>
+      coalesce(min(when(col("r") === r, col("h"))), lit(1L << 60)).as(s"s_$r"))
+    val bands = keyed.groupBy(col("doc_id"), col("band"))
+      .agg(comps.head, comps.tail: _*)
       .select(col("doc_id"),
-        md5(concat_ws("_", col("band").cast("string"), col("sigstr"))
+        md5(concat_ws("_", col("band").cast("string") +:
+            (0 until 4).map(r => col(s"s_$r").cast("string")): _*)
           .cast("binary")).as("band_hash"))
       .cache()
     timed("bands count")(println(bands.count()))

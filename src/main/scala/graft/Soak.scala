@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   *    property real corpus growth has. Seeding the permutation by TEXT
   *    (not doc_id) keeps planted exact-dup groups intact within every
   *    copy, so dedup_exact's group structure scales linearly too.
-  *  - `embeddings` — K copies with vec_id and label shifted per copy:
-  *    cell SIZE stays constant while cell COUNT grows K-fold (what a
-  *    grown corpus under the same quantizer does), so label-blocked
-  *    pair volume must scale linearly, never quadratically.
+  *  - `embeddings` — K copies with vec_id and label shifted per copy,
+  *    and copy k > 0 passed through a deterministic diagonal ±1
+  *    orthogonal transform (sign flip per (copy, position)). Within a
+  *    copy ALL pairwise cosines are preserved (orthogonal transform),
+  *    so planted near-dup structure grows linearly; ACROSS copies
+  *    cosines decorrelate, so an unblocked detector (sim_rp_lsh) sees
+  *    no copy-of-copy pairs — without the transform every original
+  *    appears K times verbatim and the TRUE near-dup pair volume is
+  *    K²/2 per original (~10⁹ pairs at 1000x), quadratic in the data
+  *    itself, which no detector implementation can make linear. Cell
+  *    SIZE stays constant while cell COUNT grows K-fold (what a grown
+  *    corpus under the same quantizer does), so label-blocked pair
+  *    volume also scales linearly.
   *  - `orders` / `events` / `lineitem` — K copies with keys shifted
   *    into disjoint ranges; o_totalprice gets +0.01*copy so the
   *    distinct-value count (the prefix-sum family's scale dimension)
@@ -89,6 +98,13 @@ object Soak {
         col("lang"), col("source"), col("n_chars"))
   }
 
+  /** At 1000x only the corpus tables materialize (documents +
+    * embeddings): the third soak decade targets the text/dedup/
+    * similarity families, and the fact tables would add ~25 GB of
+    * disk for queries that are not run there.
+    */
+  private def docsOnly(k: Int): Boolean = k >= 1000
+
   private def materialize(spark: SparkSession, k: Int): String = {
     val dir = s"$root/x$k"
     val done = new java.io.File(s"$dir/_SOAK_READY")
@@ -103,16 +119,24 @@ object Soak {
     // this: a 53 MB single-file 100x documents table serialized the
     // whole shingle pipeline onto one core (160 s of a 231 s query).
     // File layout is part of the scale contract.
+    // Per-table idempotence (skip tables already written): lets a
+    // schema fix to ONE table regenerate just that table by deleting
+    // its directory, without rebuilding the whole scale dir.
     def write(df: DataFrame, name: String): Unit =
-      df.repartition(32).write.mode("overwrite")
-        .parquet(s"$dir/$name.parquet")
+      if (!new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
+        df.repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/$name.parquet")
 
     write(permutedDocs(t("documents"), k), "documents")
+    val flipped = transform(col("embedding"), (x, i) =>
+      when(col("copy") === 0 || pmod(xxhash64(col("copy"), i), lit(2)) === 0, x)
+        .otherwise(-x))
     write(copies(t("embeddings"), k).select(
       (col("vec_id") + col("copy") * 10000000L).as("vec_id"),
-      col("embedding"),
+      flipped.as("embedding"),
       (col("label") + col("copy") * 10000).cast("int").as("label")),
       "embeddings")
+    if (!docsOnly(k)) {
     write(copies(t("orders"), k).select(
       (col("o_orderkey") + col("copy") * 100000000L).as("o_orderkey"),
       (col("o_custkey") + col("copy") * 10000000L).as("o_custkey"),
@@ -127,6 +151,7 @@ object Soak {
     write(copies(t("lineitem"), k)
       .withColumn("l_orderkey", col("l_orderkey") + col("copy") * 100000000L)
       .drop("copy"), "lineitem")
+    }
     for (name <- Seq("region", "nation", "customer", "supplier", "part"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$base/$name.parquet"),
@@ -168,7 +193,7 @@ object Soak {
       // Dedup cross-query cache) made the 10x points reflect CACHED
       // re-runs, inflating the 10x->100x factor into a spurious
       // super-linear flag for the dedup family.
-      val passes = 2
+      val passes = if (docsOnly(k)) 1 else 2
       for (name <- picked) {
         SparkEntry.queries.get(name).foreach { fn =>
           try {

@@ -1683,8 +1683,11 @@ object SparkEntry {
         |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin,
     "sim_rp_lsh" ->
       s"""WITH bwsel AS (
-         |  SELECT CASE WHEN count(*) <= ${Similarity.RpAdaptiveCutoff}
-         |              THEN 8 ELSE 16 END AS bw
+         |  SELECT CASE WHEN count(*) <= ${Similarity.RpAdaptiveCutoff} THEN 8
+         |              WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 16
+         |              ELSE 21 END AS bw,
+         |         CASE WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 4
+         |              ELSE 3 END AS nb
          |  FROM embeddings),
          |el AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -1699,7 +1702,7 @@ object SparkEntry {
          |         END AS s
          |  FROM (SELECT DISTINCT pos FROM el) p
          |  CROSS JOIN (SELECT unnest(range(
-         |                4 * (SELECT bw FROM bwsel))) AS j) j),
+         |                (SELECT nb * bw FROM bwsel))) AS j) j),
          |d AS (
          |  SELECT el.vec_id, hp.j, sum(el.v * hp.s) AS dj
          |  FROM el JOIN hp ON el.pos = hp.pos GROUP BY el.vec_id, hp.j),
@@ -1715,7 +1718,8 @@ object SparkEntry {
          |           & ((CAST(1 AS BIGINT)
          |               << CAST((SELECT bw FROM bwsel) AS INTEGER)) - 1)
          |           AS band_val
-         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+         |  FROM sig
+         |  CROSS JOIN (SELECT unnest(range((SELECT nb FROM bwsel))) AS b) b),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
          |  FROM bv a JOIN bv c

@@ -706,20 +706,17 @@ object TextFunctions {
     val d = Tables.load(spark, dir, "documents")
     val isEval = col("doc_id") % 97 === 0
     // Per-document distinct grams computed INSIDE the row
-    // (array_distinct before the explode): the corpus-wide
-    // distinct-(doc,gram) shuffle of the naive shape disappears —
-    // dedup within a doc needs no data movement at all. The md5 runs
-    // AFTER the explode in its own codegen'd projection: an expensive
-    // expression under a Generate is evaluated interpreted (measured
-    // 6× at sf0.1), while post-explode it stays in whole-stage
-    // codegen. The eval filter runs BEFORE tokenize on its branch, so
-    // the held-out 1/97 slice is the only part of the corpus
-    // tokenized twice.
+    // (array_distinct on the native TokenWindowHashes ids, before the
+    // explode): the corpus-wide distinct-(doc,gram) shuffle of the
+    // naive shape disappears — dedup within a doc needs no data
+    // movement at all — and no window string is ever built (gram ids
+    // are internal: only counts surface). The eval filter runs BEFORE
+    // tokenize on its branch, so the held-out 1/97 slice is the only
+    // part of the corpus tokenized twice.
     def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(tokenWindows(col("toks"), window))).as("s"))
-      .select(col("doc_id"), graft.operators.Dedup.md5Bits(col("s"), 1, 15).as("h"))
+        explode(array_distinct(hashedTokenWindows(col("toks"), window))).as("h"))
     val evalGrams = grams(d.filter(isEval)).select(col("h")).distinct()
       .withColumn("hit", lit(1L))
     // Eval-gram set is a fraction of the corpus → broadcast, so the
@@ -761,8 +758,7 @@ object TextFunctions {
     def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(tokenWindows(col("toks"), window))).as("s"))
-      .select(col("doc_id"), graft.operators.Dedup.md5Bits(col("s"), 1, 15).as("h"))
+        explode(array_distinct(hashedTokenWindows(col("toks"), window))).as("h"))
     val evalGrams = grams(d.filter(isEval))
       .select(col("doc_id").as("eval_doc"), col("h")).distinct()
     grams(d.filter(!isEval))
@@ -1038,26 +1034,49 @@ object TextFunctions {
     */
   def boilerplate(spark: SparkSession, dir: String, n: Int = 6,
       minDocs: Int = 3, topK: Int = 20): DataFrame = {
-    import graft.operators.Dedup.md5Bits
     val d = Tables.load(spark, dir, "documents")
-    // Count pass shuffles ONLY the 60-bit gram id (the ngram_jaccard
-    // trick: never move 6-token strings through a distinct) — the md5
-    // sits in its own post-explode projection so it stays codegen'd,
-    // and toks materializes in its OWN projection first: inlined under
-    // the Generate, the transform lambda would re-run the regex
-    // tokenizer once per window (interpreted, no CSE) — measured 4×
-    // on this one operator.
-    val grams = d
+    // NO window string is ever built for the corpus: the count pass
+    // runs entirely on TokenWindowHashes 64-bit ids (the native
+    // kernel — the interpreted string-building transform was the
+    // dominant cost of this operator's former double gram
+    // generation), and strings are reconstructed ONLY for the few
+    // surviving (hash, representative-position) winners by slicing
+    // the one document that holds each representative. toks
+    // materializes in its own projection first (inlined under the
+    // Generate, the lambda re-runs the regex tokenizer per window).
+    val toks = d
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(tokenWindows(col("toks"), n)).as("gram"))
-      .select(col("doc_id"), col("gram"), md5Bits(col("gram"), 1, 15).as("h"))
-    val cand = grams.select(col("doc_id"), col("h")).distinct()
+    // Count pass: per-doc distinct via array_distinct BEFORE the
+    // explode — the corpus-wide distinct-(doc,gram) SHUFFLE of the
+    // naive shape disappears (in-row dedup needs no data movement),
+    // and the df count is one map-side-combinable aggregation. The
+    // 1000x soak measured the former distinct exchange (236M rows)
+    // spilling at 23x per data decade.
+    val cand = toks
+      .select(col("doc_id"),
+        explode(array_distinct(hashedTokenWindows(col("toks"), n))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    // Resolve the few surviving ids back to their text: broadcast the
-    // candidate set, prune the regenerated grams BEFORE any shuffle.
-    grams.join(broadcast(cand), Seq("h"))
-      .select(col("gram"), col("n_docs")).distinct()
+    // One representative occurrence per surviving gram id: regenerate
+    // positions (the native kernel re-hash is cheaper than carrying
+    // positions through the count pass), prune against the broadcast
+    // candidate set BEFORE any shuffle, then min (doc_id, pos) —
+    // deterministic, bounded by the candidate count, so the resolve
+    // frame is broadcast-sized by construction.
+    val rep = toks
+      .select(col("doc_id"),
+        posexplode(hashedTokenWindows(col("toks"), n)).as(Seq("pos", "h")))
+      .join(broadcast(cand.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("at"))
+      .select(col("h"), col("at.doc_id").as("doc_id"), col("at.pos").as("pos"))
+    // Rebuild ONLY the winners' strings: broadcast the tiny rep set
+    // against the tokenized docs and slice each representative window.
+    toks.join(broadcast(rep), Seq("doc_id"))
+      .select(col("h"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n))).as("gram"))
+      .join(broadcast(cand), Seq("h"))
+      .select(col("gram"), col("n_docs"))
       .orderBy(col("n_docs").desc, col("gram").asc)
       .limit(topK)
   }
@@ -1071,13 +1090,14 @@ object TextFunctions {
     * counts; the ratio rounds at the edge.
     */
   def ngramNovelty(spark: SparkSession, dir: String, n: Int = 6): DataFrame = {
-    import graft.operators.Dedup.md5Bits
     val d = Tables.load(spark, dir, "documents")
+    // per-doc distinct via array_distinct on the native hash ids —
+    // kills both the corpus-wide distinct SHUFFLE and the window
+    // string build (gram ids are internal; only counts surface)
     val grams = d
       .select(col("doc_id"), words(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(tokenWindows(col("toks"), n)).as("gram"))
-      .select(col("doc_id"), md5Bits(col("gram"), 1, 15).as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(hashedTokenWindows(col("toks"), n))).as("h"))
     val firstOwner = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstOwner, Seq("h"))
       .groupBy(col("doc_id"))

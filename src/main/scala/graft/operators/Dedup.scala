@@ -182,11 +182,14 @@ object Dedup {
     * hash each shingle occurrence ONCE and feed both the signature
     * build (chars 1-7, 8-14) and the verify-set hash (chars 1-15).
     */
-  def signaturesFromDigests(digests: DataFrame): DataFrame = {
-    val hashed = digests
+  def signaturesFromDigests(digests: DataFrame): DataFrame =
+    signaturesFromHashes(digests
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("h2"))
+        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("h2")))
+
+  /** Signatures from pre-split 28-bit hash pair columns (h1, h2). */
+  def signaturesFromHashes(hashed: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"sig_$i"))
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -210,8 +213,12 @@ object Dedup {
     // only, not the whole corpus).
     val sh = shinglesRaw(docs)
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("h2"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
       .cache()
-    val sigs = signaturesFromDigests(sh)
+    val sigs = signaturesFromHashes(sh)
     val rowsPerBand = MinhashK / MinhashBands
     // Band key = md5 over the band index + its signature components
     // (band index baked into the hash, so the bucket key is a single
@@ -257,13 +264,17 @@ object Dedup {
   private[graft] def verifyJaccardProbe(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = verifyJaccard(sh, cand, threshold)
 
+  /** `sh` carries pre-hashed 60-bit shingle ids: (doc_id, h: long).
+    * Long rows cache AND shuffle ~3x smaller than the md5 hex strings
+    * the callers used to carry — at the 1000x soak the billion-row
+    * hex-string shingle cache starved the execution pool
+    * (UNABLE_TO_ACQUIRE_MEMORY in the band aggregate).
+    */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("shs"))
       .cache()
     cand
@@ -299,34 +310,38 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sh = shinglesRaw(docs)
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
-      .cache()
-    val h = sh.select(col("doc_id"),
-      conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h"))
-    val bins = h
-      .groupBy(col("doc_id"), pmod(col("h"), lit(OphBins.toLong)).as("bin"))
-      .agg(min(col("h")).as("sig"))
-    val spine = h.select(col("doc_id")).distinct()
-      .withColumn("bin", explode(sequence(lit(0L), lit((OphBins - 1).toLong))))
-    val binsPerBand = OphBins / OphBands
-    val full = spine.join(bins, Seq("doc_id", "bin"), "left")
-      .withColumn("sig", coalesce(col("sig"), lit(1L << 60)))
-      .withColumn("band", expr(s"bin DIV $binsPerBand"))
-    val bands = full.groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("bin"), col("sig").cast("string").as("s")))),
-        x => x.getField("s")), "_").as("sigstr"),
-        min(col("sig")).as("__min_sig"))
-      // An ALL-EMPTY band (every bin at the 2^60 sentinel) is
-      // signal-free and CONSTANT across documents, so it would bucket
-      // every sparse doc in the corpus into one universal collision
-      // cell — quadratic in the short-doc count (the 100x soak measured
-      // this as 316x growth per 10x data). Dropping such bands costs no
-      // true positives with signal: any two docs sharing real shingles
-      // still collide on the band holding them.
-      .filter(col("__min_sig") < lit(1L << 60))
       .select(col("doc_id"),
-        md5(concat_ws("_", col("band").cast("string"), col("sigstr"))
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .cache()
+    val binsPerBand = OphBins / OphBands
+    // One (doc_id, band) aggregate with binsPerBand conditional mins —
+    // a plain codegen'd, SPILLABLE HashAggregate. The former shape
+    // (per-bin min → 16-bin spine left-join → collect_list+array_sort
+    // per band) went through ObjectHashAggregate, whose object state
+    // over doc×band groups threw AGGREGATE_OUT_OF_MEMORY at the 1000x
+    // soak (5M docs). Band-hash BYTES are unchanged: the sorted-bin
+    // concat equals the r-ordered component concat.
+    //
+    // The all-empty-band exclusion (a constant band value would bucket
+    // every sparse doc into one universal quadratic collision cell —
+    // measured at the 100x soak as 316x growth per 10x; see
+    // SCALING.md) is now FREE: a (doc_id, band) group only exists when
+    // at least one shingle hashed into that band, so entirely-sentinel
+    // bands never materialize; bins empty WITHIN a live band coalesce
+    // to the 2^60 sentinel per component, as before.
+    val keyed = sh
+      .withColumn("bin", pmod(col("h"), lit(OphBins.toLong)))
+      .withColumn("band", expr(s"bin DIV $binsPerBand"))
+      .withColumn("r", pmod(col("bin"), lit(binsPerBand.toLong)))
+    val sentinel = lit(1L << 60)
+    val comps = (0 until binsPerBand).map(r =>
+      coalesce(min(when(col("r") === r, col("h"))), sentinel).as(s"s_$r"))
+    val bands = keyed.groupBy(col("doc_id"), col("band"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("doc_id"),
+        md5(concat_ws("_", col("band").cast("string") +:
+            (0 until binsPerBand).map(r => col(s"s_$r").cast("string")): _*)
           .cast("binary")).as("band_hash"))
       .cache()
     val cand = bands.alias("x")

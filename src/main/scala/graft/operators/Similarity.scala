@@ -322,6 +322,25 @@ object Similarity {
     */
   val RpAdaptiveCutoff = 4096L
 
+  /** Second widening cutoff: above ~1M vectors even 16-bit bands
+    * leave ~n/65536 per bucket (the 1000x soak at 2M vectors OOMed in
+    * the candidate stage on ~100M bucket pairs), so banding switches
+    * to 3 bands x 21 bits — the widest config a single 64-bit
+    * signature can hold. Beyond ~30M vectors occupancy degrades
+    * again; the next step is multi-long signatures (more bands at 21+
+    * bits), same rule, wider storage.
+    */
+  val RpWideCutoff = 1000000L
+
+  /** (bands, bitsPerBand) for a corpus of n vectors — the rule the
+    * oracle SQL replays. Occupancy per bucket is ~n/2^bits; each tier
+    * holds it near or below ~15.
+    */
+  def rpBandConfig(n: Long): (Int, Int) =
+    if (n <= RpAdaptiveCutoff) (4, 8)
+    else if (n <= RpWideCutoff) (4, 16)
+    else (3, 21)
+
   /** Random-hyperplane signatures (signed random projections): bit j of
     * a vector's signature is the sign of its dot product with
     * pseudo-random hyperplane j, whose ±1 components are md5-derived
@@ -377,9 +396,9 @@ object Similarity {
     * the blocking stage of rpLshPairs, exposed so the adaptive-width
     * spec can measure candidate volume directly.
     */
-  private[graft] def rpCandidates(emb: DataFrame, bw: Int): DataFrame = {
-    val sigs = rpSignatures(emb, bits = 4 * bw)
-    val bandArr = array((0 until 4).map { b =>
+  private[graft] def rpCandidates(emb: DataFrame, nb: Int, bw: Int): DataFrame = {
+    val sigs = rpSignatures(emb, bits = nb * bw)
+    val bandArr = array((0 until nb).map { b =>
       shiftright(col("rp_sig"), b * bw).bitwiseAND(lit((1L << bw) - 1))
     }: _*)
     val bands = sigs.select(col("vec_id"),
@@ -394,8 +413,8 @@ object Similarity {
   def rpLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val bw = if (emb.count() <= RpAdaptiveCutoff) 8 else 16
-    val cand = rpCandidates(emb, bw)
+    val (nb, bw) = rpBandConfig(emb.count())
+    val cand = rpCandidates(emb, nb, bw)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))

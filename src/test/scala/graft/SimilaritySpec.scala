@@ -174,15 +174,21 @@ class SimilaritySpec extends SparkSpec {
       val id = if (i >= n - 2) 9000L + (i - (n - 2)) else i.toLong
       (id, if (id >= 9000L) vec(9000) else vec(i))
     }.toDF("vec_id", "embedding")
-    val wide = Similarity.rpCandidates(emb, 16).count()
-    val narrow = Similarity.rpCandidates(emb, 8).count()
+    val wide = Similarity.rpCandidates(emb, 4, 16).count()
+    val narrow = Similarity.rpCandidates(emb, 4, 8).count()
     // 16-bit bands: expected occupancy n/65536 < 1 — candidate volume
     // collapses vs the 8-bit banding AND vs n²/2
     assert(wide < narrow / 10,
       s"16-bit banding should prune >=10x vs 8-bit: wide=$wide narrow=$narrow")
     assert(wide < n.toLong * n / 200, s"wide=$wide not sub-quadratic")
-    val found = Similarity.rpCandidates(emb, 16)
+    val found = Similarity.rpCandidates(emb, 4, 16)
       .filter(col("id_a") === 9000L && col("id_b") === 9001L).count()
     assert(found == 1, "identical planted pair must survive wide banding")
+    // tier-3 config (3 bands x 21 bits, the >1M-vector regime): prunes
+    // at least as hard as tier 2 and still cannot lose identical pairs
+    val widest = Similarity.rpCandidates(emb, 3, 21)
+    assert(widest.count() <= wide)
+    assert(widest.filter(col("id_a") === 9000L && col("id_b") === 9001L)
+      .count() == 1)
   }
 }
