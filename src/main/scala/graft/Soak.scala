@@ -78,8 +78,16 @@ object Soak {
   private val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val root = "/tmp/graft_soak"
 
+  /** K disjoint copies. The base table is re-split across the worker
+    * count BEFORE the explode: the sf0.1 bases are single parquet
+    * files (one input split), and exploding x1000 before any exchange
+    * would run the whole 600M-row expansion on ONE core — the exact
+    * single-file lesson the soak taught for the OUTPUT side (see
+    * write()), applied to the input side.
+    */
   private def copies(df: DataFrame, k: Int): DataFrame =
-    df.withColumn("copy", explode(sequence(lit(0), lit(k - 1))))
+    df.repartition(32)
+      .withColumn("copy", explode(sequence(lit(0), lit(k - 1))))
 
   /** Deterministic per-copy token permutation — see class doc. */
   private def permutedDocs(docs: DataFrame, k: Int): DataFrame = {
@@ -98,34 +106,32 @@ object Soak {
         col("lang"), col("source"), col("n_chars"))
   }
 
-  /** At 1000x only the corpus tables materialize (documents +
-    * embeddings): the third soak decade targets the text/dedup/
-    * similarity families, and the fact tables would add ~25 GB of
-    * disk for queries that are not run there.
+  /** Corpus-family queries read only documents/embeddings; the fact
+    * tables (orders/events/lineitem — ~16 GB at 1000x) materialize
+    * only when a requested query actually needs them.
     */
-  private def docsOnly(k: Int): Boolean = k >= 1000
+  private def corpusOnly(q: String): Boolean =
+    Seq("dedup_", "text_", "sim_", "mm_").exists(q.startsWith)
 
-  private def materialize(spark: SparkSession, k: Int): String = {
+  private def materialize(spark: SparkSession, k: Int,
+      needFacts: Boolean): String = {
     val dir = s"$root/x$k"
-    val done = new java.io.File(s"$dir/_SOAK_READY")
-    if (done.exists()) return dir
-    System.err.println(s"[soak] materializing $dir ...")
+    System.err.println(s"[soak] materializing $dir (existing tables kept) ...")
     new java.io.File(dir).mkdirs()
     def t(name: String) = graft.sources.Tables.load(spark, base, name)
-    // Repartition before writing: the expansion starts from a
-    // single-file read (1 input split), and writing THAT back produces
-    // one output file — which then caps every downstream scan at one
-    // task regardless of cluster width. The first soak run hit exactly
-    // this: a 53 MB single-file 100x documents table serialized the
-    // whole shingle pipeline onto one core (160 s of a 231 s query).
-    // File layout is part of the scale contract.
+    // Multi-file output layout comes from `copies`' INPUT-side
+    // repartition (32 splits before the explode), so each expansion
+    // writes 32 files without a second corpus-wide shuffle after the
+    // explode. The first soak run showed why layout matters: a 53 MB
+    // single-file 100x documents table serialized the whole shingle
+    // pipeline onto one core (160 s of a 231 s query). File layout is
+    // part of the scale contract.
     // Per-table idempotence (skip tables already written): lets a
     // schema fix to ONE table regenerate just that table by deleting
     // its directory, without rebuilding the whole scale dir.
     def write(df: DataFrame, name: String): Unit =
       if (!new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
-        df.repartition(32).write.mode("overwrite")
-          .parquet(s"$dir/$name.parquet")
+        df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     write(permutedDocs(t("documents"), k), "documents")
     val flipped = transform(col("embedding"), (x, i) =>
@@ -136,7 +142,7 @@ object Soak {
       flipped.as("embedding"),
       (col("label") + col("copy") * 10000).cast("int").as("label")),
       "embeddings")
-    if (!docsOnly(k)) {
+    if (needFacts) {
     write(copies(t("orders"), k).select(
       (col("o_orderkey") + col("copy") * 100000000L).as("o_orderkey"),
       (col("o_custkey") + col("copy") * 10000000L).as("o_custkey"),
@@ -157,7 +163,6 @@ object Soak {
         java.nio.file.Paths.get(s"$base/$name.parquet"),
         java.nio.file.Paths.get(s"$dir/$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    done.createNewFile()
     System.err.println(s"[soak] $dir ready")
     dir
   }
@@ -183,7 +188,7 @@ object Soak {
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     for (k <- scales.sorted) {
-      val dir = materialize(spark, k)
+      val dir = materialize(spark, k, picked.exists(q => !corpusOnly(q)))
       var total = 0.0
       // Two passes at EVERY scale, reported separately: sec_cold is
       // the first pass (includes substrate cache build + codegen),
@@ -193,7 +198,7 @@ object Soak {
       // Dedup cross-query cache) made the 10x points reflect CACHED
       // re-runs, inflating the 10x->100x factor into a spurious
       // super-linear flag for the dedup family.
-      val passes = if (docsOnly(k)) 1 else 2
+      val passes = if (k >= 1000) 1 else 2
       for (name <- picked) {
         SparkEntry.queries.get(name).foreach { fn =>
           try {

@@ -1576,12 +1576,20 @@ object Analytics {
       sum(col("a_v")).as("n_a"),
       sum(col("c") - col("a_v")).as("n_b"),
       sum(col("a_v") * col("mr2")).as("r2_a"))
+    // Rank sums (r2_a, u2_a) stay exact LONGs — bounded by n² per
+    // group, safe to ~3e9 rows/group (upgrade to decimal(38) beyond).
+    // The z-score FACTORS cast to double BEFORE multiplying: the
+    // variance term n_a·n_b·(n_a+n_b+1) is cubic in group size and
+    // overflowed long (ANSI error) at the 1000x soak's 100M events —
+    // z is a rounded double anyway, so double factors lose nothing.
     agg
       .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
       .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
-        round((col("u2_a") - col("n_a") * col("n_b")).cast("double") /
-          (lit(2.0) * sqrt((col("n_a") * col("n_b") *
-            (col("n_a") + col("n_b") + 1L)).cast("double") / lit(12.0))), 6)
+        round((col("u2_a").cast("double") -
+            col("n_a").cast("double") * col("n_b").cast("double")) /
+          (lit(2.0) * sqrt(col("n_a").cast("double") *
+            col("n_b").cast("double") *
+            (col("n_a") + col("n_b") + 1L).cast("double") / lit(12.0))), 6)
           .as("z"))
       .orderBy(col("event_type"))
   }
