@@ -913,10 +913,10 @@ object TextFunctions {
       .partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    // localCheckpoint, not cache: pins pid against recompute without
-    // leaving a CacheManager entry for the session's lifetime.
-    val local = d.withColumn("local_cum", sum(col("n_tok")).over(w))
-      .localCheckpoint(eager = true)
+    // Stabilize (checkpoint, not cache): pins pid against recompute
+    // without leaving a CacheManager entry for the session's lifetime.
+    val local = graft.operators.Stabilize(
+      d.withColumn("local_cum", sum(col("n_tok")).over(w)))
     // Partition totals are numParts rows — the only driver-side data.
     val totals = local.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("ptotal"))

@@ -251,10 +251,10 @@ object Multimodal {
       .partitionBy(col("pid"), col("kind")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    // localCheckpoint, not cache: pins pid against recompute without
-    // leaving a CacheManager entry for the session's lifetime.
-    val local = m.withColumn("local_cum", sum(col("n_bytes")).over(w))
-      .localCheckpoint(eager = true)
+    // Stabilize (checkpoint, not cache): pins pid against recompute
+    // without leaving a CacheManager entry for the session's lifetime.
+    val local = graft.operators.Stabilize(
+      m.withColumn("local_cum", sum(col("n_bytes")).over(w)))
     // (pid, kind) byte totals — the only driver-side data
     val totals = local.groupBy(col("pid"), col("kind"))
       .agg(sum(col("n_bytes")).as("ptotal"))

@@ -848,7 +848,7 @@ object Analytics {
       .agg(sum(when(col("event_type") === "purchase",
           floor(col("value") * 100).cast("long")).otherwise(0L)).as("spend_c"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"))
-      .localCheckpoint(eager = true)
+      .transform(Stabilize.apply)
     val hist = users.groupBy(col("spend_c")).agg(count(lit(1)).as("c"))
     val tot = hist.agg(sum(col("c")).as("n_total"))
     val cut = Prefix.runningSum(hist, col("c"), "cum", Seq(col("spend_c").desc))
@@ -1493,7 +1493,7 @@ object Analytics {
         .select(edges("t").as("t"), (col("d") + 1L).as("d"))
       dist = dist.union(next)
         .groupBy(col("t")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
+        .transform(Stabilize.apply)
     }
     dist.select(col("t").as("event_type"), col("d").as("hops"))
       .orderBy(col("event_type"))
@@ -1704,7 +1704,7 @@ object Analytics {
       .filter(col("us") >= col("click_us"))
       .groupBy(col("user_id"))
       .agg((min(col("us")) - min(col("click_us"))).as("lat_us"))
-      .localCheckpoint(eager = true)
+      .transform(Stabilize.apply)
     val hist = conv.groupBy(col("lat_us")).agg(count(lit(1)).as("c"))
     val ranked = Prefix.runningSum(hist, col("c"), "cum", Seq(col("lat_us")))
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
@@ -1798,7 +1798,7 @@ object Analytics {
       .select((col("o_orderkey") % 2 === 0).as("is_ref"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("is_ref"), col("cents")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
+      .transform(Stabilize.apply)
     val refHist = hist2.filter(col("is_ref")).select(col("cents"), col("c"))
     val curHist = hist2.filter(!col("is_ref")).select(col("cents"), col("c"))
     // reference decile edges from the value histogram cumsum — the

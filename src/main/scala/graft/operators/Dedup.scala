@@ -23,7 +23,9 @@ import graft.sources.Tables
   * to `localCheckpoint` was measured 3× slower across the full query
   * surface (round 5) because every consumer rebuilt the substrate.
   * Only per-call-unique frames (the two-phase prefix-sum internals)
-  * use localCheckpoint, where no cross-query reuse exists to lose.
+  * use Stabilize — localCheckpoint by default, or reliable checkpoint
+  * files via spark.graft.reliableCheckpointDir — where no cross-query
+  * reuse exists to lose.
   */
 object Dedup {
 
@@ -491,7 +493,7 @@ object Dedup {
     // blocks; on a cluster this is the same pattern with a reliable
     // checkpoint dir.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+      .withColumn("lbl", col("doc_id")).transform(Stabilize.apply)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -500,7 +502,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val joined = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"), col("lbl"), col("nbr_lbl")).localCheckpoint()
+        .select(col("doc_id"), col("lbl"), col("nbr_lbl")).transform(Stabilize.apply)
       changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
       labels = joined.select(col("doc_id"),
         least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
@@ -810,7 +812,7 @@ object Dedup {
     val pairs = cellBoundedPairs(emb, maxCell)
       .select(col("id_b"),
         graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
-      .localCheckpoint(eager = true)
+      .transform(Stabilize.apply)
     import spark.implicits._
     val frames = thresholds.map { t =>
       pairs.filter(col("cos") >= t)

@@ -270,7 +270,7 @@ object Fusion {
       .union(pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("name")).distinct()
-      .withColumn("lbl", col("name")).localCheckpoint()
+      .withColumn("lbl", col("name")).transform(Stabilize.apply)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -279,7 +279,7 @@ object Fusion {
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val joined = labels
         .join(nbrMin, labels("name") === nbrMin("src"), "left")
-        .select(col("name"), col("lbl"), col("nbr_lbl")).localCheckpoint()
+        .select(col("name"), col("lbl"), col("nbr_lbl")).transform(Stabilize.apply)
       changed = joined.filter(col("nbr_lbl") < col("lbl")).count()
       labels = joined.select(col("name"),
         least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))

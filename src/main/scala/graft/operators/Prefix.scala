@@ -49,27 +49,14 @@ object Prefix {
       .partitionBy(col("__pid") +: partCols.map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // localCheckpoint (NOT cache): totals and the final join both read
-    // it, and __pid must be observed exactly once (a recompute under
-    // AQE could re-plan the exchange). Checkpointing truncates lineage
-    // so recompute is impossible, leaves no CacheManager entry behind
-    // (cache() pins the frame for the session's lifetime unless
-    // explicitly unpersisted), and the stored blocks are
-    // reference-counted away by the ContextCleaner once the query's
-    // RDDs are unreachable.
-    //
-    // The trade-off of truncated lineage: localCheckpoint blocks are
-    // NON-REPLICATED and unrecoverable — on a real cluster, losing one
-    // executor (failure OR dynamic-allocation decommission) while the
-    // query is in flight fails the whole query instead of recomputing
-    // the lost partitions. Acceptable here because the checkpointed
-    // frame lives only for the two immediately-following reads of one
-    // query; a deployment that runs with dynamic allocation or spot
-    // executors should instead pass a replicated storage level
-    // (persist(MEMORY_AND_DISK_2) + explicit unpersist) or a reliable
-    // checkpoint dir — same plan shape, recoverable blocks.
-    val local = keyed.withColumn("__cum_local", sum(value).over(wLocal))
-      .localCheckpoint(eager = true)
+    // Stabilize (checkpoint, NOT cache): totals and the final join
+    // both read it, and __pid must be observed exactly once (a
+    // recompute under AQE could re-plan the exchange). Lineage
+    // truncation makes recompute impossible and leaves no
+    // CacheManager entry; the executor-loss trade and the reliable-
+    // checkpoint escape hatch for clusters are documented on
+    // Stabilize.
+    val local = Stabilize(keyed.withColumn("__cum_local", sum(value).over(wLocal)))
     val totals = local
       .groupBy(col("__pid") +: partCols.map(col): _*)
       .agg(sum(value).as("__ptotal"))

@@ -653,7 +653,7 @@ object Relational {
       .select(col("o_custkey"),
         datediff(col("corpus_max"), col("last_d")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-      .localCheckpoint(eager = true)
+      .transform(Stabilize.apply)
     def score(v: Column, q25: Column, q50: Column, q75: Column): Column =
       lit(1) + when(v > q25, 1).otherwise(0) + when(v > q50, 1).otherwise(0) +
         when(v > q75, 1).otherwise(0)

@@ -39,6 +39,28 @@ class PrefixSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("reliable checkpoint dir: same results, files on the reliable store") {
+    // spark.graft.reliableCheckpointDir switches every Stabilize site
+    // from non-replicated localCheckpoint blocks to RELIABLE
+    // checkpoint files — the executor-loss-safe mode for clusters
+    // with dynamic allocation / spot executors.
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable").toString
+    val df = (1 to 400).map(i => ((i * 13) % 97, 1L + i % 5))
+      .toDF("k", "v").groupBy("k").agg(sum("v").as("c"))
+    val expected = Prefix.runningSum(df, col("c"), "cum", Seq(col("k")), numParts = 4)
+      .orderBy("k").collect()
+    spark.conf.set(graft.operators.Stabilize.ConfKey, dir)
+    try {
+      val got = Prefix.runningSum(df, col("c"), "cum", Seq(col("k")), numParts = 4)
+        .orderBy("k").collect()
+      assert(got.toSeq == expected.toSeq)
+      def countFiles(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles().map(countFiles).sum else 1
+      assert(countFiles(new java.io.File(dir)) > 0,
+        "reliable mode must write checkpoint files under the configured dir")
+    } finally spark.conf.unset(graft.operators.Stabilize.ConfKey)
+  }
+
   test("prefix-sum family leaves no CacheManager entry behind") {
     spark.sharedState.cacheManager.clearCache()
     // Prefix.runningSum (q_psi, q_gini, q_histogram_equi, ...)
