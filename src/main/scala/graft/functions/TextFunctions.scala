@@ -63,13 +63,18 @@ object TextFunctions {
   def hashedTokenWindows(toks: Column, n: Int): Column =
     TokenWindowHash.tokenWindowHashes(toks, n)
 
-  /** Per-document token counts (`text_tokens`). */
+  /** Per-document token counts (`text_tokens`) — one TextScanStats
+    * byte pass (whitespace tokens = space count + 1, the split-on-
+    * single-space convention).
+    */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        nWsTokens(col("text")).as("n_ws_tokens"),
-        nWords(col("text")).as("n_words"),
-        nAlnumChars(col("text")).as("n_alnum_chars"))
+        TextScanStats.textScanStats(col("text")).as("s"))
+      .select(col("doc_id"),
+        (col("s.n_space") + 1L).as("n_ws_tokens"),
+        col("s.n_words").as("n_words"),
+        col("s.n_alnum").as("n_alnum_chars"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring (`text_quality`): length/punctuation/stopword
@@ -79,21 +84,24 @@ object TextFunctions {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    // TWO regex passes per document, not four: one tokenize (feeding
-    // word count, stopword hits, AND alnum chars via an array-sum
-    // instead of a second char-class scan) and one keep-class scan for
-    // the punctuation ratio. Repeating a regexp expression per derived
-    // metric re-runs it per output column (no common subexpression
-    // elimination) — measured 1.35× end-to-end at sf0.1.
-    val sw = array(stopwords.map(lit): _*)
+    // ONE byte pass per document: the TextScanStats kernel computes
+    // every component (chars, alnum-run words, alnum chars, keep-class
+    // chars, stopword hits) in a single codegen'd scan. The composed
+    // form — regex tokenize + regexp_replace + interpreted array
+    // HOFs — was the single most expensive query of the 1000x soak
+    // (456 s over 1.5 GB of text); the kernel's semantics are the
+    // same ASCII character classes the regexes define.
     val base = d.select(col("doc_id"),
-      length(col("text")).cast("long").as("len"),
-      words(lower(col("text"))).as("toks"),
-      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
-        .cast("long").as("len_keep"))
-    val nw = size(col("toks")).cast("long")
-    val nalnum = aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x).cast("long"))
-    val nsw = size(filter(col("toks"), w => array_contains(sw, w))).cast("long")
+      TextScanStats.textScanStats(col("text")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_chars").as("len"),
+        col("s.n_words").as("nw0"),
+        col("s.n_alnum").as("nalnum"),
+        col("s.n_keep").as("len_keep"),
+        col("s.n_stop").as("nsw"))
+    val nw = col("nw0")
+    val nalnum = col("nalnum")
+    val nsw = col("nsw")
     val punct = (col("len") - col("len_keep")).cast("double") / col("len").cast("double")
     val nwD = greatest(nw.cast("double"), lit(1.0))
     val stopR = nsw.cast("double") / nwD

@@ -178,4 +178,35 @@ class TextSpec extends SparkSpec {
       assert(got.toSeq == expected.toSeq, s"nBuckets=$b")
     }
   }
+
+  test("TextScanStats kernel equals the composed regex formulation") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    import graft.functions.TextScanStats.textScanStats
+    // real corpus rows + adversarial strings: empty-ish, punctuation
+    // only, multi-byte unicode, long alnum runs, stopwords at edges
+    val adversarial = Seq(
+      " ", "...", "the", "a", "THE AND of IS", "x" * 500,
+      "héllo wörld the", "日本語テキスト and more", "a b c d e",
+      "tabs\tand\nnewlines the end", "1234 5678 to 90",
+      "mixedCASE123 And tHe In").toDF("text")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text")).limit(200).union(adversarial)
+    val sw = array(TF.stopwords.map(lit): _*)
+    val composed = docs.select(
+      length(col("text")).cast("long").as("n_chars"),
+      (size(split(col("text"), " ")) - 1).cast("long").as("n_space"),
+      size(TF.words(lower(col("text")))).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+        .cast("long").as("n_alnum"),
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+        .cast("long").as("n_keep"),
+      size(filter(TF.words(lower(col("text"))),
+        w => array_contains(sw, w))).cast("long").as("n_stop"))
+    val kernel = docs.select(textScanStats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_space"), col("s.n_words"),
+        col("s.n_alnum"), col("s.n_keep"), col("s.n_stop"))
+    assert(kernel.collect().map(_.toSeq).toSeq ==
+      composed.collect().map(_.toSeq).toSeq)
+  }
 }
