@@ -113,11 +113,43 @@ object Soak {
   private def corpusOnly(q: String): Boolean =
     Seq("dedup_", "text_", "sim_", "mm_").exists(q.startsWith)
 
+  /** Bump whenever a generator's SEMANTICS change (not just perf):
+    * a pre-change /tmp/graft_soak/x* layout would otherwise be
+    * silently reused by the per-table _SUCCESS skip and invalidate
+    * the measurements (r6 ADVICE: the per-copy orthogonal sign-flip
+    * changed embeddings semantics but old dirs kept quadratic
+    * verbatim copies). v2 = sign-flipped embeddings + text-seeded
+    * doc permutation.
+    */
+  val GeneratorVersion = 2
+
   private def materialize(spark: SparkSession, k: Int,
       needFacts: Boolean): String = {
     val dir = s"$root/x$k"
+    // Version gate: a layout built by a different generator version is
+    // regenerated wholesale instead of trusted table-by-table.
+    val marker = new java.io.File(s"$dir/_SOAK_SCHEMA")
+    val stale = new java.io.File(dir).exists() && {
+      val v = if (marker.exists())
+        scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toInt
+        ).getOrElse(-1)
+      else -1
+      v != GeneratorVersion
+    }
+    if (stale) {
+      System.err.println(s"[soak] $dir was built by generator v!=" +
+        s"$GeneratorVersion — deleting and regenerating")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
     System.err.println(s"[soak] materializing $dir (existing tables kept) ...")
     new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      GeneratorVersion.toString.getBytes): Unit
     def t(name: String) = graft.sources.Tables.load(spark, base, name)
     // Multi-file output layout comes from `copies`' INPUT-side
     // repartition (32 splits before the explode), so each expansion

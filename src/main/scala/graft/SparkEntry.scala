@@ -124,7 +124,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansTopK(s, d)),
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
-    "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d)),
+    // probes=3 plants deterministic near-dup vectors so the gate row is
+    // non-vacuous (the natural corpus has no pair above cos 0.61);
+    // production callers run with probes=0.
+    "sim_rp_lsh" -> ((s, d) => Similarity.rpLshPairs(s, d, probes = 3)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_mrl_topk" -> ((s, d) => Similarity.mrlTopK(s, d)),
@@ -1681,18 +1684,34 @@ object SparkEntry {
         |SELECT label, pred_label, count(*) AS n_vecs
         |FROM r WHERE rk = 1
         |GROUP BY label, pred_label ORDER BY label, pred_label""".stripMargin,
+    // Replays rpBandValues per band: band_idx = j // bw, bit = j % bw,
+    // so the widest shift is bw-1 <= 25 — never the `1 << 63` a packed
+    // 64-bit signature replay would hit at tier 2 (4 x 16 bits).
+    // emb_in plants the 3 deterministic probe vectors (same float
+    // rounding as Similarity.withProbes) so the row is non-vacuous.
     "sim_rp_lsh" ->
-      s"""WITH bwsel AS (
+      s"""WITH emb_in AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + ${Similarity.ProbeIdOffset},
+         |         list_transform(embedding,
+         |           x -> CAST(x * CAST(1.01 AS DOUBLE)
+         |                       + CAST(0.001 AS DOUBLE) AS REAL))
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 3)),
+         |bwsel AS (
          |  SELECT CASE WHEN count(*) <= ${Similarity.RpAdaptiveCutoff} THEN 8
          |              WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 16
-         |              ELSE 21 END AS bw,
+         |              WHEN count(*) <= ${Similarity.RpHugeCutoff} THEN 21
+         |              ELSE 26 END AS bw,
          |         CASE WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 4
-         |              ELSE 3 END AS nb
-         |  FROM embeddings),
+         |              WHEN count(*) <= ${Similarity.RpHugeCutoff} THEN 3
+         |              ELSE 6 END AS nb
+         |  FROM emb_in),
          |el AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          |         CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings),
+         |  FROM emb_in),
          |hp AS (
          |  SELECT p.pos, j.j,
          |         CASE WHEN ${duckMd5Bits(
@@ -1706,20 +1725,16 @@ object SparkEntry {
          |d AS (
          |  SELECT el.vec_id, hp.j, sum(el.v * hp.s) AS dj
          |  FROM el JOIN hp ON el.pos = hp.pos GROUP BY el.vec_id, hp.j),
-         |sig AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN dj > 0
-         |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS rp_sig
-         |  FROM d GROUP BY vec_id),
          |bv AS (
-         |  SELECT vec_id, b.b AS band_idx,
-         |         (rp_sig >> CAST(b.b * (SELECT bw FROM bwsel) AS INTEGER))
-         |           & ((CAST(1 AS BIGINT)
-         |               << CAST((SELECT bw FROM bwsel) AS INTEGER)) - 1)
+         |  SELECT vec_id,
+         |         CAST(j // (SELECT bw FROM bwsel) AS INTEGER) AS band_idx,
+         |         CAST(sum(CASE WHEN dj > 0
+         |                       THEN (CAST(1 AS BIGINT)
+         |                             << CAST(j % (SELECT bw FROM bwsel)
+         |                                     AS INTEGER))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT)
          |           AS band_val
-         |  FROM sig
-         |  CROSS JOIN (SELECT unnest(range((SELECT nb FROM bwsel))) AS b) b),
+         |  FROM d GROUP BY vec_id, band_idx),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
          |  FROM bv a JOIN bv c
@@ -1730,8 +1745,8 @@ object SparkEntry {
          |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
          |                                CAST(eb.embedding AS DOUBLE[])) AS cos
          |  FROM cand
-         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
-         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         |  JOIN emb_in ea ON ea.vec_id = cand.id_a
+         |  JOIN emb_in eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, round(cos, 6) AS cos
          |FROM sc WHERE cos >= CAST(0.5 AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,

@@ -699,12 +699,8 @@ object Dedup {
     val smallPairs = sa.join(sb, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
-    val sigs = Similarity.rpSignatures(big.select(col("vec_id"), col("embedding")))
-    val bandArr = array((0 until 4).map { b =>
-      shiftright(col("rp_sig"), b * 8).bitwiseAND(lit(0xFFL))
-    }: _*)
-    val bands = sigs
-      .select(col("vec_id"), posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    val bands = Similarity
+      .rpBandValues(big.select(col("vec_id"), col("embedding")), nb = 4, bw = 8)
       .join(big.select(col("vec_id"), col("label")), Seq("vec_id"))
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("label", "band_idx", "band_val"))

@@ -309,8 +309,6 @@ object Similarity {
       .orderBy(col("label"), col("pred_label"))
   }
 
-  val RpBits = 32 // 4 bands × 8 bits
-
   /** Corpus size above which rpLshPairs widens its bands from 8 to 16
     * bits. With FIXED 8-bit bands, bucket occupancy is ~n/256 per
     * band — LINEAR in corpus size — so candidate pairs grow ~n²/256:
@@ -325,12 +323,23 @@ object Similarity {
   /** Second widening cutoff: above ~1M vectors even 16-bit bands
     * leave ~n/65536 per bucket (the 1000x soak at 2M vectors OOMed in
     * the candidate stage on ~100M bucket pairs), so banding switches
-    * to 3 bands x 21 bits — the widest config a single 64-bit
-    * signature can hold. Beyond ~30M vectors occupancy degrades
-    * again; the next step is multi-long signatures (more bands at 21+
-    * bits), same rule, wider storage.
+    * to 3 bands x 21 bits.
     */
   val RpWideCutoff = 1000000L
+
+  /** Third widening cutoff. Band values are materialized PER BAND (no
+    * packed 64-bit signature — see rpBandValues), so nothing caps
+    * nb*bw at 64 bits anymore; above ~4M vectors the config jumps to
+    * 6 bands x 26 bits = 156 signature bits. The switch is taken well
+    * before tier 3 degrades (occupancy at 4M is still ~2 per 21-bit
+    * bucket) because tier 4 dominates it on BOTH axes: occupancy
+    * drops to ~n/2^26 (0.06 at 4M) AND recall at cos 0.99 rises from
+    * 1-(1-p^21)^3 ≈ 0.76 to 1-(1-p^26)^6 ≈ 0.89 (p = 1-θ/π ≈ 0.955) —
+    * doubling the band-table rows buys both. Past ~1B vectors the
+    * same rule extends again (bw ≈ log2(n)+4, nb chosen for recall);
+    * per-band storage puts no ceiling on either knob (bw ≤ 62).
+    */
+  val RpHugeCutoff = 4000000L
 
   /** (bands, bitsPerBand) for a corpus of n vectors — the rule the
     * oracle SQL replays. Occupancy per bucket is ~n/2^bits; each tier
@@ -339,17 +348,29 @@ object Similarity {
   def rpBandConfig(n: Long): (Int, Int) =
     if (n <= RpAdaptiveCutoff) (4, 8)
     else if (n <= RpWideCutoff) (4, 16)
-    else (3, 21)
+    else if (n <= RpHugeCutoff) (3, 21)
+    else (6, 26)
 
-  /** Random-hyperplane signatures (signed random projections): bit j of
-    * a vector's signature is the sign of its dot product with
-    * pseudo-random hyperplane j, whose ±1 components are md5-derived
-    * per (j, position) — data-independent, reproducible on any engine,
-    * no stored model. The hyperplane table is (dim × bits) — tiny —
-    * and broadcast; signatures come out of ONE aggregation over the
-    * exploded vectors.
+  /** Random-hyperplane band values (signed random projections): bit i
+    * of band b is the sign of the vector's dot product with
+    * pseudo-random hyperplane j = b*bw + i, whose ±1 components are
+    * md5-derived per (j, position) — data-independent, reproducible on
+    * any engine, no stored model. The hyperplane table is
+    * (dim × nb*bw) — tiny — and broadcast; all dot products come out
+    * of ONE aggregation over the exploded vectors.
+    *
+    * Emits (vec_id, band_idx, band_val) DIRECTLY — each band's value
+    * is its own ≤62-bit long, never packed into a single signature
+    * word. This is what lets band width × band count scale past 64
+    * total bits (tier 4 is 156 bits), and it is also what the DuckDB
+    * oracle replays safely: the widest shift is bw-1 ≤ 61, so the
+    * `1 << 63` overflow a packed-signature replay hits at exactly
+    * 64 bits cannot occur. Band values are bit-identical to slicing
+    * the old packed signature: band b = Σ_i (d_{b*bw+i} > 0) << i.
     */
-  def rpSignatures(emb: DataFrame, bits: Int = RpBits): DataFrame = {
+  def rpBandValues(emb: DataFrame, nb: Int, bw: Int): DataFrame = {
+    require(bw <= 62, s"band width $bw exceeds a long's safe shift range")
+    val bits = nb * bw
     val elems = emb.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
     val signCols = (0 until bits).map { j =>
@@ -363,31 +384,32 @@ object Similarity {
       sum(col("v").cast("double") * col(s"s_$j")).as(s"d_$j"))
     val sums = elems.join(broadcast(hp), Seq("pos"))
       .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
-    val sig = (0 until bits).map { j =>
-      when(col(s"d_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("vec_id"), sig.as("rp_sig"))
+    val bandCols = (0 until nb).map { b =>
+      (0 until bw).map { i =>
+        when(col(s"d_${b * bw + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+    sums.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
 
   /** Cosine near-dup pairs via random-hyperplane LSH: band the
-    * signatures into 4 buckets of `bw` bits each, candidates = any
-    * shared (band, value) bucket, verified with exact cosine ≥
+    * signature bits into `nb` buckets of `bw` bits each, candidates =
+    * any shared (band, value) bucket, verified with exact cosine ≥
     * threshold. Unlike the label-blocked variant this needs NO prior
     * clustering — the data-independent banding is the 100 TB path when
     * no coarse quantizer exists yet.
     *
-    * Band width ADAPTS to corpus size (the oracle SQL replays the same
-    * count-driven rule): occupancy per bucket is ~n/2^bw, so a fixed
-    * bw makes candidate volume quadratic in n — the 100x soak proved
-    * it (see RpAdaptiveCutoff). n ≤ cutoff keeps the original
-    * 4 × 8-bit banding over a 32-bit signature; above it, bands widen
-    * to 16 bits over a 64-bit signature (the first 32 hyperplanes are
-    * the same family members, just extended). Wider bands trade
-    * per-band recall for bounded candidates — the standard LSH move;
-    * at cos 0.99 the 4 × 16-bit recall is still ~0.93
-    * (1-(1-p^16)^4, p = 1-θ/π). Beyond ~10M vectors, widen again
-    * (b ≈ log2(n) + 2) and add bands to hold recall — same rule, more
-    * signature bits.
+    * Band config ADAPTS to corpus size (the oracle SQL replays the
+    * same count-driven rule — see rpBandConfig for the four tiers):
+    * occupancy per bucket is ~n/2^bw, so a fixed bw makes candidate
+    * volume quadratic in n — the 100x soak proved it (see
+    * RpAdaptiveCutoff). Wider bands trade per-band recall for bounded
+    * candidates — the standard LSH move; adding bands buys the recall
+    * back (at cos 0.99, 4 × 16-bit ≈ 0.93, 6 × 26-bit ≈ 0.89 with
+    * p = 1-θ/π). Per-band value storage (rpBandValues) removes the
+    * 64-bit packed-signature ceiling, so both knobs extend to any
+    * corpus size.
     *
     * The corpus count that picks the band width is one metadata-cheap
     * aggregate (parquet footers), negligible against the pair scan.
@@ -397,12 +419,7 @@ object Similarity {
     * spec can measure candidate volume directly.
     */
   private[graft] def rpCandidates(emb: DataFrame, nb: Int, bw: Int): DataFrame = {
-    val sigs = rpSignatures(emb, bits = nb * bw)
-    val bandArr = array((0 until nb).map { b =>
-      shiftright(col("rp_sig"), b * bw).bitwiseAND(lit((1L << bw) - 1))
-    }: _*)
-    val bands = sigs.select(col("vec_id"),
-      posexplode(bandArr).as(Seq("band_idx", "band_val"))).cache()
+    val bands = rpBandValues(emb, nb, bw).cache()
     bands.alias("x")
       .join(bands.alias("y"), Seq("band_idx", "band_val"))
       .filter(col("x.vec_id") < col("y.vec_id"))
@@ -410,9 +427,37 @@ object Similarity {
       .distinct()
   }
 
+  /** Probe-vector id offset — beyond any soak copy shift (copy*1e7 up
+    * to 1000 copies) so planted ids can never collide with real ones.
+    */
+  val ProbeIdOffset = 1000000000000L
+
+  /** Deterministic near-dup probes: the k lowest-id vectors, copied
+    * with `x -> float(x*1.01 + 0.001)` (a scale + tiny offset — cosine
+    * to the original ≈ 0.9999, NOT exactly 1). Both factors are exact
+    * in double and the result is rounded back to float, so DuckDB's
+    * `list_transform` replays the bytes bit-for-bit. Planted by the
+    * correctness gate (probes=3) so the banding+verify path must
+    * produce rows the oracle reproduces — the natural corpus has no
+    * pair above cos 0.61, which left the r6 gate row vacuously green
+    * (0 rows on both engines).
+    */
+  private def withProbes(emb: DataFrame, k: Int): DataFrame = {
+    if (k <= 0) emb
+    else {
+      val probes = emb.orderBy(col("vec_id")).limit(k)
+        .select((col("vec_id") + lit(ProbeIdOffset)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(1.01) + lit(0.001)).cast("float")).as("embedding"))
+      emb.unionByName(probes)
+    }
+  }
+
   def rpLshPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+      threshold: Double = 0.5, probes: Int = 0): DataFrame = {
+    val emb = withProbes(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), probes)
     val (nb, bw) = rpBandConfig(emb.count())
     val cand = rpCandidates(emb, nb, bw)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))

@@ -20,10 +20,44 @@ import org.apache.spark.sql.DataFrame
   * the same call sites then write RELIABLE checkpoint files there —
   * recoverable after executor loss, same plan shape, at the cost of a
   * distributed write per stabilization.
+  *
+  * Checkpoint-file growth: Spark only deletes reliable checkpoint
+  * files while the app runs if `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` was set at LAUNCH (a core conf the
+  * ContextCleaner reads at construction — it cannot be flipped from
+  * inside a session); long-lived sessions with iterative callers
+  * (label propagation stabilizes once per iteration) should launch
+  * with it. Independent of that, `setCheckpointDir` namespaces the
+  * files under a per-application UUID subdirectory, and Stabilize
+  * registers an application-end listener that deletes that
+  * subdirectory — so a finished (even crashed-driver-JVM-exit)
+  * application never strands its checkpoint data; only a hard-killed
+  * driver can, and those orphans are identifiable by UUID dir mtime.
   */
 object Stabilize {
 
   val ConfKey = "spark.graft.reliableCheckpointDir"
+
+  // Guards one-time listener registration per SparkContext.
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerCleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (cleanupRegistered.add(sc.applicationId)) {
+      val dir = sc.getCheckpointDir
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          dir.foreach { d =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(d)
+              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            } catch { case _: Throwable => /* best effort */ }
+          }
+      })
+    }
+  }
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -31,6 +65,7 @@ object Stabilize {
       case Some(dir) =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
+        registerCleanup(spark)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -209,4 +209,40 @@ class TextSpec extends SparkSpec {
     assert(kernel.collect().map(_.toSeq).toSeq ==
       composed.collect().map(_.toSeq).toSeq)
   }
+
+  test("TextScanStats pins behavior on Unicode case-folding-into-ASCII chars") {
+    // K (U+212A KELVIN SIGN, lower -> ASCII 'k'), İ (U+0130, lower ->
+    // 'i' + combining dot U+0307) and ſ (U+017F LONG S, upper -> 'S')
+    // are the characters where the kernel's raw-byte scan and the
+    // composed lower()-then-tokenize formulation legitimately diverge:
+    // the kernel sees an opaque multi-byte char (1 char, run break,
+    // not alnum/keep), while lower() maps K/İ INTO the ASCII token
+    // class. TextScanStats documents "corpus contains no such chars"
+    // as an assumption; this test pins the exact behavior on both
+    // sides so the assumption is asserted, not silently relied on.
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    import graft.functions.TextScanStats.textScanStats
+    val rows = Seq(
+      "K elvin", // KELVIN SIGN then a 5-letter word
+      "İN the",  // İ prefix: kernel sees word "N"; lower() yields i+̇n
+      "ſtop a"   // LONG S: stays non-ASCII under lower() -> NO divergence
+    ).toDF("text")
+    val got = rows.select(textScanStats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_space"), col("s.n_words"),
+        col("s.n_alnum"), col("s.n_keep"), col("s.n_stop"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(7L, 1L, 1L, 5L, 6L, 0L),  // K|space|elvin: 1 word "elvin"
+      Seq(6L, 1L, 2L, 4L, 5L, 1L),  // words "N","the"; "the" is a stopword
+      Seq(6L, 1L, 2L, 4L, 5L, 1L))) // words "top","a"; "a" is a stopword
+    // And the composed form's word counts on the same rows, showing
+    // exactly where lower() folding into ASCII splits differently:
+    val composedWords = rows
+      .select(size(TF.words(lower(col("text")))).cast("long").as("w"))
+      .collect().map(_.getLong(0)).toSeq
+    // "k elvin" -> 2 words (diverges); "i<U+0307>n the" -> "i","n","the"
+    // = 3 words (diverges); "ſtop a" -> "top","a" = 2 words (agrees).
+    assert(composedWords == Seq(2L, 3L, 2L))
+  }
 }
