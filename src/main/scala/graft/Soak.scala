@@ -206,8 +206,9 @@ object Soak {
       .map(_.split(",").toSeq.filter(soakQueries.contains))
       .getOrElse(soakQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .builder(master = master, shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sink = new java.io.PrintWriter(

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.sys.process._
+
+/** Drives [[graft.Chaos]] — the executor-loss resilience harness — as
+  * a SEPARATE driver JVM running local-cluster[2,1,1024] (two real
+  * executor processes). A subprocess because a local-cluster context
+  * cannot coexist with the suite's shared local[4] context in one JVM.
+  *
+  * What this proves that no local[n] test can: task closures, custom
+  * expressions and checkpoint blocks actually SERIALIZE across a JVM
+  * boundary, the scheduler survives SIGKILLed executors, and
+  * `Stabilize`'s reliable-checkpoint mode recovers where
+  * localCheckpoint (by contract) cannot.
+  */
+class ExecutorLossSpec extends AnyFunSuite {
+
+  test("executor SIGKILL: recompute + reliable checkpoint recover, localCheckpoint fails") {
+    val classesDir = new java.io.File("target/scala-2.13/classes")
+    assert(classesDir.isDirectory, "compiled classes expected")
+    // Same JDK17 module options sbt's forked JVMs use (build.sbt).
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx2g",
+      "-Dspark.ui.enabled=false",
+      "-cp", s"${classesDir.getAbsolutePath}:/opt/spark/jars/*",
+      "graft.Chaos")
+    val out = new StringBuilder
+    val logger = ProcessLogger(
+      line => { out.append(line).append('\n') },
+      line => { out.append(line).append('\n') })
+    // SPARK_HOME lets the in-process standalone Worker launch executor
+    // JVMs; SPARK_SCALA_VERSION is what bin/load-spark-env.sh would
+    // set — without it the launcher's executor-command builder falls
+    // back to dev-build directory detection and fails.
+    val rc = Process(cmd, new java.io.File("."),
+      "SPARK_HOME" -> "/opt/spark",
+      "SPARK_SCALA_VERSION" -> "2.13").!(logger)
+    val text = out.toString
+    def marker(k: String): Boolean = text.contains(s"$k=true")
+    withClue(text.linesIterator.filter(_.contains("=")).mkString("\n")) {
+      assert(marker("plain_recovered"), "plain recompute must survive executor loss")
+      assert(marker("local_ckpt_ok_before"))
+      assert(marker("local_ckpt_failed_after_loss"),
+        "localCheckpoint blocks must die with their executors (Stabilize's documented trade)")
+      assert(marker("reliable_ok_before"))
+      assert(marker("reliable_recovered"),
+        "reliable-checkpoint mode must recover after every executor died")
+      assert(rc == 0, s"chaos harness exited $rc")
+    }
+  }
+}
