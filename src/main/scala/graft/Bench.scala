@@ -93,8 +93,35 @@ object Bench {
     // line's FRONT (including "value"). So: the per-query median map
     // goes on its own earlier line + a side file, and the driver's
     // machine line is printed LAST and kept to the r4-proven size.
+    // 10x mini-soak as a standing regression guard: the five steepest
+    // scale families (per docs/SCALING.md) run ONCE, cold, against the
+    // Soak-materialized 10x corpus — soak fixes would regress silently
+    // if only sf0.1 were timed per round. A query failure records -1
+    // (visible, never silently dropped). SPARK_GRAFT_SOAK10X=0 skips
+    // (dev iteration on unrelated queries).
+    val soak10x: String =
+      if (sys.env.get("SPARK_GRAFT_SOAK10X").contains("0")) "{}"
+      else try {
+        val dir10 = Soak.materialize(spark, 10, needFacts = false)
+        Seq("text_quality", "dedup_span", "dedup_ngram_jaccard",
+          "dedup_minhash_oph", "dedup_containment").map { n =>
+          val sec = try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir10)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] soak10x $n failed: ${e.getMessage}")
+            -1.0
+          }
+          f""""$n":$sec%.3f"""
+        }.mkString("{", ",", "}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] soak10x materialize failed: ${e.getMessage}")
+        "{}"
+      }
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"soak10x":$soak10x,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(machine); w.println(detail) } finally w.close()

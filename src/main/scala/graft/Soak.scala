@@ -123,7 +123,10 @@ object Soak {
     */
   val GeneratorVersion = 2
 
-  private def materialize(spark: SparkSession, k: Int,
+  /** Public so Bench's per-round 10x regression guard reuses the same
+    * generator (and its version gate).
+    */
+  def materialize(spark: SparkSession, k: Int,
       needFacts: Boolean): String = {
     val dir = s"$root/x$k"
     // Version gate: a layout built by a different generator version is

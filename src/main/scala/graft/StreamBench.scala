@@ -11,12 +11,29 @@ import org.apache.spark.sql.streaming.Trigger
   * codegen). The batch surface has Bench + the scale soak; this is the
   * equivalent measured number for the streaming surface.
   *
-  * Emits one JSON line per pipeline and a closing `stream_total` line,
-  * appending to stream_bench.jsonl.
+  * Two state-store providers are measured: the default in-memory
+  * HDFSBackedStateStoreProvider (state must fit the executor heap —
+  * fine for bounded key domains) and RocksDBStateStoreProvider (state
+  * lives off-heap in RocksDB memtables + on-disk SSTs — the 100 TB
+  * pipeline's keyed state does not fit a heap). Every STATEFUL
+  * pipeline runs under both, tagged `"provider"` in the output; the
+  * closing `state_blowup_dedup` pipeline runs ONLY under RocksDB with
+  * an UNBOUNDED key domain (every event a new key plus a payload
+  * column carried into state) precisely because the in-memory provider
+  * heap-OOMs on it — measured in r6 — and reports the state row count
+  * and on-disk SST bytes so "state exceeded the heap" is a number in
+  * the artifact, not a claim.
   *
-  * Usage: runMain graft.StreamBench [secondsPerPipeline] [rowsPerSec]
+  * Emits one JSON line per (pipeline, provider) and a closing
+  * `stream_total` line, appending to stream_bench.jsonl.
+  *
+  * Usage: runMain graft.StreamBench [secondsPerPipeline] [rowsPerSec] [blowupSeconds]
   */
 object StreamBench {
+
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
   /** rate source → the events shape the EventStream transforms expect */
   private def rateEvents(spark: SparkSession, rps: Long): DataFrame =
@@ -35,6 +52,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(20)
     val rps = args.drop(1).headOption.map(_.toLong).getOrElse(4000000L)
+    val blowupSecs = args.drop(2).headOption.map(_.toInt).getOrElse(secs * 3)
     val spark = GraftSession
       .builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
@@ -50,52 +68,99 @@ object StreamBench {
     // Watermarks short enough that window state stays bounded inside
     // the bench run; the rate source's ts is wall-clock NOW, so a
     // 10-second window closes while the bench is still running.
-    val pipelines: Seq[(String, () => DataFrame)] = Seq(
-      ("passthrough_projection", () => events
+    // stateful=false pipelines skip the RocksDB pass (no state store
+    // in the plan — the second measurement would be the same number).
+    val pipelines: Seq[(String, Boolean, () => DataFrame)] = Seq(
+      ("passthrough_projection", false, () => events
         .withColumn("is_buy", (col("event_type") === "purchase").cast("int"))),
-      ("tumbling_window_agg", () =>
+      ("tumbling_window_agg", true, () =>
         EventStream.tumblingCounts(events, "10 seconds", "5 seconds")),
-      ("windowed_distinct_hll", () =>
+      ("windowed_distinct_hll", true, () =>
         EventStream.windowedDistinctUsers(events, "10 seconds", "5 seconds")),
       // Bounded key domain (1M) so duplicates actually occur and the
       // watermark state stays ~1M entries: an all-unique key makes
       // state grow at the ingest rate (~4M keys/s) and heap-OOMs the
-      // bench JVM — measured; a production dedup stream keys on a
-      // bounded-cardinality natural id for the same reason.
-      ("dedup_within_watermark", () =>
+      // bench JVM under the in-memory provider — that regime is the
+      // RocksDB-only state_blowup_dedup pipeline below.
+      ("dedup_within_watermark", true, () =>
         EventStream.dedupWithinWatermark(
           events.withColumn("dedup_key", pmod(col("event_id"), lit(1000000L))),
           Seq("dedup_key"), "5 seconds")),
-      ("stateful_sessionize", () => EventStream.sessionizeStateful(
+      ("stateful_sessionize", true, () => EventStream.sessionizeStateful(
         events.select(col("user_id"), col("ts"), col("value"))
           .as[EventStream.Ev]).toDF()),
-      ("stateful_ewma", () => EventStream.ewmaStateful(
+      ("stateful_ewma", true, () => EventStream.ewmaStateful(
         events.select(col("user_id"), col("ts"), col("value"))
           .as[EventStream.Ev]).toDF()))
 
-    var total = 0.0
-    for ((name, build) <- pipelines) {
-      val q = build().writeStream.format("noop")
-        .trigger(Trigger.ProcessingTime("1 second"))
-        .option("checkpointLocation",
-          s"/tmp/graft_streambench/$name-${System.nanoTime()}")
-        // every pipeline here is Append (both stateful ops are
-        // flatMapGroupsWithState declared with OutputMode.Append)
-        .outputMode("append")
-        .start()
-      Thread.sleep(secs * 1000L)
-      val progress = q.recentProgress.toSeq
-      q.stop()
-      // drop batch 0 (plan compile) and empty batches
-      val rates = progress.drop(1)
-        .filter(p => p.numInputRows > 0)
-        .map(_.processedRowsPerSecond)
-      val sustained = if (rates.isEmpty) 0.0 else rates.sum / rates.size
-      val rows = progress.map(_.numInputRows).sum
-      total += sustained
-      emit(f"""{"metric":"stream_bench","pipeline":"$name","rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows}""")
+    /** Run one pipeline for `runSecs`, return (sustained rows/s, state
+      * rows, state memory bytes, rocksdb SST bytes) from the LAST
+      * progress with state metrics.
+      */
+    def run(name: String, build: () => DataFrame, provider: String,
+        runSecs: Int, outputMode: String = "append"): Unit = {
+      val label = if (provider == RocksDbProvider) "rocksdb" else "hdfs"
+      val prev = spark.conf.getOption(ProviderKey)
+      if (provider.nonEmpty) spark.conf.set(ProviderKey, provider)
+      try {
+        val q = build().writeStream.format("noop")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .option("checkpointLocation",
+            s"/tmp/graft_streambench/$name-$label-${System.nanoTime()}")
+          .outputMode(outputMode)
+          .start()
+        Thread.sleep(runSecs * 1000L)
+        val progress = q.recentProgress.toSeq
+        q.stop()
+        // drop batch 0 (plan compile) and empty batches
+        val rates = progress.drop(1)
+          .filter(p => p.numInputRows > 0)
+          .map(_.processedRowsPerSecond)
+        val sustained = if (rates.isEmpty) 0.0 else rates.sum / rates.size
+        val rows = progress.map(_.numInputRows).sum
+        val lastState = progress.reverse
+          .flatMap(_.stateOperators.toSeq).headOption
+        val stateRows = lastState.map(_.numRowsTotal).getOrElse(0L)
+        val stateMem = lastState.map(_.memoryUsedBytes).getOrElse(0L)
+        val sstBytes = lastState
+          .flatMap(s => Option(s.customMetrics.get("rocksdbSstFileSize")))
+          .map(_.longValue).getOrElse(0L)
+        emit(f"""{"metric":"stream_bench","pipeline":"$name","provider":"$label","rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows,"state_rows":$stateRows,"state_mem_bytes":$stateMem,"sst_bytes":$sstBytes}""")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(ProviderKey, v)
+          case None => spark.conf.unset(ProviderKey)
+        }
+      }
     }
-    emit(f"""{"metric":"stream_total","sum_rows_per_sec":$total%.0f,"n":${pipelines.size},"secs_each":$secs,"source_rps":$rps}""")
+
+    for ((name, stateful, build) <- pipelines) {
+      run(name, build, "", secs)
+      if (stateful) run(name, build, RocksDbProvider, secs)
+    }
+
+    // State-exceeds-heap: every event is a NEW key (raw event_id over a
+    // 4M rows/s source) and the state row carries a ~770-byte
+    // INCOMPRESSIBLE payload (12 chained sha2 digests — a repeated
+    // string would vanish under RocksDB's block compression and
+    // understate the on-disk state by 20x, measured) —
+    // latest-value-per-key in Update mode, the canonical "wide keyed
+    // state" shape. State grows at the ingest rate with no expiry
+    // inside the run: tens of millions of rows x ~0.8 KB, an on-disk
+    // SST footprint past the bench JVM's 8 GiB heap, while
+    // state_mem_bytes (RocksDB memtables + block cache) stays
+    // bounded — the emitted sst_bytes vs state_mem_bytes pair is the
+    // heap-decoupling proof. The in-memory provider on this same shape
+    // heap-OOMs (measured r6) — which is why it is RocksDB-only here.
+    run("state_blowup_dedup", () =>
+      events
+        .withColumn("payload", concat((0 until 12).map(i =>
+          sha2(concat(col("event_id").cast("string"), lit(s"_$i")), 256)): _*))
+        .groupBy(col("event_id"))
+        .agg(last(col("payload")).as("payload"), count(lit(1)).as("n")),
+      RocksDbProvider, blowupSecs, outputMode = "update")
+
+    emit(f"""{"metric":"stream_total","secs_each":$secs,"source_rps":$rps,"blowup_secs":$blowupSecs}""")
     sink.close()
     spark.stop()
   }

@@ -673,6 +673,15 @@ object Dedup {
     * observe() metric name (duplicate names in one plan — e.g. a sweep
     * unioning several pair scans — would fail analysis).
     */
+  /** Cell-size boundary between the exact all-pairs path and the
+    * RP-LSH banded (approximate) path in cellBoundedPairs. Verify
+    * asserts the GATE corpus never crosses it: the DuckDB oracle
+    * replays exact label-blocked pairs, so a banded cell at gate
+    * scale would silently desynchronize engines instead of failing
+    * loudly.
+    */
+  val DefaultMaxCell = 4096
+
   private val cellObsId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def cellBoundedPairs(emb: DataFrame, maxCell: Int): DataFrame = {
@@ -722,7 +731,7 @@ object Dedup {
     * expression.
     */
   def embeddingPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
+      threshold: Double = 0.3, maxCell: Int = DefaultMaxCell): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     cellBoundedPairs(emb, maxCell)
       .withColumn("cos",
@@ -747,7 +756,7 @@ object Dedup {
     * lifted to semantic keys.
     */
   def semanticSurvivors(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, maxCell: Int = 4096): DataFrame = {
+      threshold: Double = 0.3, maxCell: Int = DefaultMaxCell): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val dominated = cellBoundedPairs(emb, maxCell)
       .filter(graft.functions.VectorFunctions.cosine(col("emb_a"), col("emb_b")) >= threshold)
@@ -800,7 +809,7 @@ object Dedup {
 
   def semanticSweep(spark: SparkSession, dir: String,
       thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4),
-      maxCell: Int = 4096): DataFrame = {
+      maxCell: Int = DefaultMaxCell): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val nTotal = emb.count()
     // localCheckpoint, not cache: the pair table is scanned once per

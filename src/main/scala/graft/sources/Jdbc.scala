@@ -169,13 +169,121 @@ object Jdbc {
       .option("truncate", truncate.toString)
       .jdbc(cfg.url, cfg.table, cfg.properties)
 
+  /** How a change row becomes SQL against the target. `Portable` is
+    * DELETE+INSERT (two statements, runs on anything with a JDBC
+    * driver — Derby included); the dialect-native modes apply a row in
+    * ONE round trip with no delete churn, which is what a production
+    * fusion target wants (the reference's own cloud plan targets
+    * Postgres RDS —
+    * brainstorming/chatgpt_streamline_postgresql_to_aws_rds.docx).
+    *
+    * `statement` returns (sql, bind columns in parameter order); the
+    * executor binds each feed row against it. Native modes assume the
+    * key has a unique/primary index on the target — ON CONFLICT
+    * requires one, MERGE without one degrades to per-row scans.
+    */
+  sealed trait UpsertMode {
+    def statement(table: String, keys: Seq[String],
+        dataCols: Seq[String]): (String, Seq[String])
+    /** Portable mode must DELETE the key before its INSERT. */
+    def deleteFirst: Boolean = false
+    protected def q(ident: String): String =
+      "\"" + ident.replace("\"", "\"\"") + "\""
+  }
+
+  object UpsertMode {
+
+    /** DELETE by key + INSERT — any target. */
+    case object Portable extends UpsertMode {
+      override def deleteFirst: Boolean = true
+      def statement(table: String, keys: Seq[String],
+          dataCols: Seq[String]): (String, Seq[String]) =
+        (s"INSERT INTO $table ${dataCols.map(q).mkString("(", ", ", ")")}" +
+          s" VALUES ${dataCols.map(_ => "?").mkString("(", ", ", ")")}",
+          dataCols)
+    }
+
+    /** PostgreSQL `INSERT ... ON CONFLICT (keys) DO UPDATE`: one
+      * statement, index-arbited, no window where the row is absent
+      * (DELETE+INSERT has one inside the transaction).
+      */
+    case object PostgresOnConflict extends UpsertMode {
+      def statement(table: String, keys: Seq[String],
+          dataCols: Seq[String]): (String, Seq[String]) = {
+        val nonKey = dataCols.filterNot(keys.contains)
+        val action =
+          if (nonKey.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " +
+            nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+        (s"INSERT INTO $table ${dataCols.map(q).mkString("(", ", ", ")")}" +
+          s" VALUES ${dataCols.map(_ => "?").mkString("(", ", ", ")")}" +
+          s" ON CONFLICT ${keys.map(q).mkString("(", ", ", ")")} $action",
+          dataCols)
+      }
+    }
+
+    /** Oracle `MERGE INTO ... USING (SELECT ... FROM dual)`. */
+    case object OracleMerge extends UpsertMode {
+      def statement(table: String, keys: Seq[String],
+          dataCols: Seq[String]): (String, Seq[String]) = {
+        val nonKey = dataCols.filterNot(keys.contains)
+        val src = dataCols.map(c => s"? AS ${q(c)}").mkString(", ")
+        val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val upd =
+          if (nonKey.isEmpty) ""
+          else " WHEN MATCHED THEN UPDATE SET " +
+            nonKey.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+        val ins = s" WHEN NOT MATCHED THEN INSERT " +
+          dataCols.map(q).mkString("(", ", ", ")") +
+          s" VALUES ${dataCols.map(c => s"s.${q(c)}").mkString("(", ", ", ")")}"
+        (s"MERGE INTO $table t USING (SELECT $src FROM dual) s ON ($on)$upd$ins",
+          dataCols)
+      }
+    }
+
+    /** MS SQL `MERGE ... USING (VALUES ...)`; HOLDLOCK serializes
+      * concurrent merges on the key range (T-SQL MERGE is not atomic
+      * without it), and T-SQL requires the terminating semicolon.
+      */
+    case object MsSqlMerge extends UpsertMode {
+      def statement(table: String, keys: Seq[String],
+          dataCols: Seq[String]): (String, Seq[String]) = {
+        val nonKey = dataCols.filterNot(keys.contains)
+        val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val upd =
+          if (nonKey.isEmpty) ""
+          else " WHEN MATCHED THEN UPDATE SET " +
+            nonKey.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+        val ins = s" WHEN NOT MATCHED THEN INSERT " +
+          dataCols.map(q).mkString("(", ", ", ")") +
+          s" VALUES ${dataCols.map(c => s"s.${q(c)}").mkString("(", ", ", ")")}"
+        (s"MERGE INTO $table WITH (HOLDLOCK) AS t USING " +
+          s"(VALUES ${dataCols.map(_ => "?").mkString("(", ", ", ")")})" +
+          s" AS s ${dataCols.map(q).mkString("(", ", ", ")")}" +
+          s" ON $on$upd$ins;",
+          dataCols)
+      }
+    }
+
+    /** Dispatch on the JDBC URL scheme; anything unrecognized gets the
+      * portable two-statement form.
+      */
+    def fromUrl(url: String): UpsertMode =
+      if (url.startsWith("jdbc:postgresql")) PostgresOnConflict
+      else if (url.startsWith("jdbc:oracle")) OracleMerge
+      else if (url.startsWith("jdbc:sqlserver")) MsSqlMerge
+      else Portable
+  }
+
   /** Keyed upsert: apply a change feed into a LIVE JDBC table — the
     * composition of `q_merge`'s change-feed semantics with the JDBC
     * sink. The reference only knows whole-table delete-then-insert
     * (etl_ecollision_fusion_table_collisions.py:124-135); this is that
-    * done surgically: per row, DELETE by key, then (unless the row
-    * carries the delete flag) INSERT the new values — net effect is
-    * update-or-insert for data rows, removal for flagged rows.
+    * done surgically: per row, apply update-or-insert for data rows,
+    * removal for flagged rows. HOW a row is applied is the
+    * [[UpsertMode]] — dialect-native single statements (Postgres
+    * ON CONFLICT, Oracle/MSSQL MERGE) when the URL identifies the
+    * target, the portable DELETE+INSERT pair otherwise.
     *
     * Transactional shape: the feed is repartitioned BY KEY first, so
     * any one key is owned by exactly one partition — no cross-partition
@@ -192,20 +300,22 @@ object Jdbc {
     * writer creates — resolve correctly.
     */
   def upsert(df: DataFrame, cfg: JdbcConfig, keys: Seq[String],
-      deleteFlag: Option[String] = None, batchSize: Int = 1000): Unit = {
+      deleteFlag: Option[String] = None, batchSize: Int = 1000,
+      mode: Option[UpsertMode] = None): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    val upsertMode = mode.getOrElse(UpsertMode.fromUrl(cfg.url))
     val dataCols = df.columns.filterNot(deleteFlag.contains).toSeq
     val keyIdx = keys.map(k => df.columns.indexOf(k))
-    val dataIdx = dataCols.map(c => df.columns.indexOf(c))
     val flagIdx = deleteFlag.map(f => df.columns.indexOf(f))
     require(keyIdx.forall(_ >= 0) && flagIdx.forall(_ >= 0),
       s"key/flag columns must exist in ${df.columns.mkString(",")}")
     def q(ident: String) = "\"" + ident.replace("\"", "\"\"") + "\""
     val deleteSql = s"DELETE FROM ${cfg.table} WHERE " +
       keys.map(k => s"${q(k)} = ?").mkString(" AND ")
-    val insertSql = s"INSERT INTO ${cfg.table} " +
-      dataCols.map(q).mkString("(", ", ", ")") +
-      s" VALUES ${dataCols.map(_ => "?").mkString("(", ", ", ")")}"
+    val (insertSql, bindCols) =
+      upsertMode.statement(cfg.table, keys, dataCols)
+    val dataIdx = bindCols.map(c => df.columns.indexOf(c))
+    val deleteFirst = upsertMode.deleteFirst
     val (url, props) = (cfg.url, cfg.properties)
     // JDBC setObject can't take Spark's java.time externals or Scala
     // BigDecimal — normalize to the java.sql types every driver accepts.
@@ -244,7 +354,7 @@ object Jdbc {
             try {
               var pending = 0
               def flush(): Unit = {
-                // all DELETEs of a round land before its INSERTs; keys
+                // all DELETEs of a round land before its upserts; keys
                 // are unique per feed so later rounds never delete an
                 // earlier round's insert
                 del.executeBatch(); ins.executeBatch(); pending = 0
@@ -254,11 +364,15 @@ object Jdbc {
                 if (v == null) st.setNull(pi, tpe)
                 else st.setObject(pi, jdbcValue(v))
               rows.foreach { row =>
-                keyIdx.zipWithIndex.foreach { case (ci, pi) =>
-                  bind(del, pi + 1, row.get(ci), keyTypes(pi))
-                }
-                del.addBatch()
                 val isDelete = flagIdx.exists(i => row.getBoolean(i))
+                // flagged rows always DELETE; data rows also delete in
+                // portable mode (native modes apply in one statement)
+                if (isDelete || deleteFirst) {
+                  keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                    bind(del, pi + 1, row.get(ci), keyTypes(pi))
+                  }
+                  del.addBatch()
+                }
                 if (!isDelete) {
                   dataIdx.zipWithIndex.foreach { case (ci, pi) =>
                     bind(ins, pi + 1, row.get(ci), dataTypes(pi))

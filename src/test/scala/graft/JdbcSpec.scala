@@ -199,6 +199,75 @@ class JdbcSpec extends SparkSpec {
     assert(applied == expected)
   }
 
+  test("upsert mode dispatch and dialect-native statement shapes") {
+    import Jdbc.UpsertMode
+    // URL dispatch: native single-statement modes for recognized
+    // targets, portable DELETE+INSERT for everything else (Derby).
+    assert(UpsertMode.fromUrl("jdbc:postgresql://h/db") ==
+      UpsertMode.PostgresOnConflict)
+    assert(UpsertMode.fromUrl("jdbc:oracle:thin:@h:1521/s") ==
+      UpsertMode.OracleMerge)
+    assert(UpsertMode.fromUrl("jdbc:sqlserver://h;db=x") ==
+      UpsertMode.MsSqlMerge)
+    assert(UpsertMode.fromUrl("jdbc:derby:memory:x") == UpsertMode.Portable)
+
+    val keys = Seq("id")
+    val cols = Seq("id", "price", "status")
+    val (pg, pgBind) =
+      UpsertMode.PostgresOnConflict.statement("ords", keys, cols)
+    assert(pg == """INSERT INTO ords ("id", "price", "status")""" +
+      """ VALUES (?, ?, ?)""" +
+      """ ON CONFLICT ("id") DO UPDATE SET "price" = EXCLUDED."price",""" +
+      """ "status" = EXCLUDED."status"""")
+    assert(pgBind == cols)
+
+    val (ora, oraBind) = UpsertMode.OracleMerge.statement("ords", keys, cols)
+    assert(ora == """MERGE INTO ords t USING""" +
+      """ (SELECT ? AS "id", ? AS "price", ? AS "status" FROM dual) s""" +
+      """ ON (t."id" = s."id")""" +
+      """ WHEN MATCHED THEN UPDATE SET t."price" = s."price",""" +
+      """ t."status" = s."status"""" +
+      """ WHEN NOT MATCHED THEN INSERT ("id", "price", "status")""" +
+      """ VALUES (s."id", s."price", s."status")""")
+    assert(oraBind == cols)
+
+    val (ms, msBind) = UpsertMode.MsSqlMerge.statement("ords", keys, cols)
+    assert(ms == """MERGE INTO ords WITH (HOLDLOCK) AS t USING""" +
+      """ (VALUES (?, ?, ?)) AS s ("id", "price", "status")""" +
+      """ ON t."id" = s."id"""" +
+      """ WHEN MATCHED THEN UPDATE SET t."price" = s."price",""" +
+      """ t."status" = s."status"""" +
+      """ WHEN NOT MATCHED THEN INSERT ("id", "price", "status")""" +
+      """ VALUES (s."id", s."price", s."status");""")
+    assert(msBind == cols)
+
+    // key-only feeds degrade gracefully: no empty SET clauses
+    val (pgK, _) = UpsertMode.PostgresOnConflict.statement("ords", keys, keys)
+    assert(pgK.endsWith("DO NOTHING"))
+    val (oraK, _) = UpsertMode.OracleMerge.statement("ords", keys, keys)
+    assert(!oraK.contains("WHEN MATCHED") && oraK.contains("WHEN NOT MATCHED"))
+  }
+
+  test("upsert in portable mode is explicit and Derby-executable") {
+    // Forcing mode=Portable against Derby must behave exactly like the
+    // dispatch default (Derby URL → Portable): same feed, same result.
+    val o = Tables.load(spark, sf, "orders").limit(20)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice"))
+    Jdbc.write(o, cfg("portable_target"), mode = SaveMode.Overwrite)
+    val feed = o.limit(5)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+        lit(false).as("is_delete"))
+    Jdbc.upsert(feed, cfg("portable_target"), keys = Seq("o_orderkey"),
+      deleteFlag = Some("is_delete"),
+      mode = Some(Jdbc.UpsertMode.Portable))
+    val doubled = Jdbc.load(spark, cfg("portable_target"))
+      .join(feed.select(col("o_orderkey").as("k")),
+        col("o_orderkey") === col("k"))
+      .count()
+    assert(doubled == 5)
+  }
+
   test("jdbc round-trip query equals the source table") {
     val rt = Ingest.jdbcRoundtrip(spark, sf)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
