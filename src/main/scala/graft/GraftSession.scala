@@ -22,6 +22,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Plan-time size estimates for file scans are COMPRESSED bytes;
+      // an UnsafeHashedRelation of the same rows is ~4x larger, so a
+      // borderline fact scan (est. just under the 10 MB broadcast
+      // threshold) gets broadcast and real executors die deserializing
+      // a ~1 GB relation — caught by the round-7 local-cluster 10x
+      // soak (q_star_join_agg / q_salted_join_agg OOMed in
+      // UnsafeHashedRelation.readExternal; local[n] masks it because
+      // the driver-built relation is reference-shared). Scaling the
+      // estimate makes "fits the broadcast threshold" mean in-memory
+      // bytes. AQE still upgrades to broadcast at runtime from ACTUAL
+      // shuffle sizes, so genuinely small sides keep the fast path.
+      .config("spark.sql.sources.fileCompressionFactor", "4.0")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader refuses; read as epoch-nanos long, Tables.load converts

@@ -113,6 +113,16 @@ object Soak {
   private def corpusOnly(q: String): Boolean =
     Seq("dedup_", "text_", "sim_", "mm_").exists(q.startsWith)
 
+  /** Queries that read ONLY the embeddings table — an embeddings-only
+    * soak (e.g. sim_rp_lsh at 2048x to activate the tier-4 banding at
+    * >4M vectors) skips the far more expensive permuted-documents
+    * expansion.
+    */
+  private def embeddingsOnly(q: String): Boolean =
+    q.startsWith("sim_") ||
+      Set("dedup_embedding", "dedup_semantic", "dedup_semantic_sweep")
+        .contains(q)
+
   /** Bump whenever a generator's SEMANTICS change (not just perf):
     * a pre-change /tmp/graft_soak/x* layout would otherwise be
     * silently reused by the per-table _SUCCESS skip and invalidate
@@ -127,7 +137,7 @@ object Soak {
     * generator (and its version gate).
     */
   def materialize(spark: SparkSession, k: Int,
-      needFacts: Boolean): String = {
+      needFacts: Boolean, needDocs: Boolean = true): String = {
     val dir = s"$root/x$k"
     // Version gate: a layout built by a different generator version is
     // regenerated wholesale instead of trusted table-by-table.
@@ -168,7 +178,7 @@ object Soak {
       if (!new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
         df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
-    write(permutedDocs(t("documents"), k), "documents")
+    if (needDocs) write(permutedDocs(t("documents"), k), "documents")
     val flipped = transform(col("embedding"), (x, i) =>
       when(col("copy") === 0 || pmod(xxhash64(col("copy"), i), lit(2)) === 0, x)
         .otherwise(-x))
@@ -224,7 +234,9 @@ object Soak {
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     for (k <- scales.sorted) {
-      val dir = materialize(spark, k, picked.exists(q => !corpusOnly(q)))
+      val dir = materialize(spark, k,
+        needFacts = picked.exists(q => !corpusOnly(q)),
+        needDocs = picked.exists(q => !embeddingsOnly(q)))
       var total = 0.0
       // Two passes at EVERY scale, reported separately: sec_cold is
       // the first pass (includes substrate cache build + codegen),

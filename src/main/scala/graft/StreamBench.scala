@@ -139,21 +139,28 @@ object StreamBench {
       if (stateful) run(name, build, RocksDbProvider, secs)
     }
 
-    // State-exceeds-heap: every event is a NEW key (raw event_id over a
-    // 4M rows/s source) and the state row carries a ~770-byte
-    // INCOMPRESSIBLE payload (12 chained sha2 digests — a repeated
-    // string would vanish under RocksDB's block compression and
-    // understate the on-disk state by 20x, measured) —
+    // State-exceeds-heap: every event is a NEW key and the state row
+    // carries a ~770-byte INCOMPRESSIBLE payload (12 chained sha2
+    // digests — a repeated string would vanish under RocksDB's block
+    // compression and understate the on-disk state by 20x, measured) —
     // latest-value-per-key in Update mode, the canonical "wide keyed
-    // state" shape. State grows at the ingest rate with no expiry
-    // inside the run: tens of millions of rows x ~0.8 KB, an on-disk
-    // SST footprint past the bench JVM's 8 GiB heap, while
-    // state_mem_bytes (RocksDB memtables + block cache) stays
-    // bounded — the emitted sst_bytes vs state_mem_bytes pair is the
-    // heap-decoupling proof. The in-memory provider on this same shape
-    // heap-OOMs (measured r6) — which is why it is RocksDB-only here.
+    // state" shape. Source is rate-micro-batch with a FIXED 200k rows
+    // per batch: the plain rate source grows its catch-up batches
+    // without bound once processing lags behind wall clock, so a long
+    // run commits almost nothing (measured: 450 s committed the same
+    // 2 batches a 120 s run did). State grows ~165 MB/batch with no
+    // expiry: at the default 120 s the on-disk SST footprint passes
+    // the bench JVM's 8 GiB heap while state_mem_bytes (RocksDB
+    // memtables + block cache) stays bounded — the emitted sst_bytes
+    // vs state_mem_bytes pair is the heap-decoupling proof. The
+    // in-memory provider on this same shape heap-OOMs (measured r6) —
+    // which is why it is RocksDB-only here.
     run("state_blowup_dedup", () =>
-      events
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "200000")
+        .option("numPartitions", "32")
+        .load()
+        .select(col("value").as("event_id"))
         .withColumn("payload", concat((0 until 12).map(i =>
           sha2(concat(col("event_id").cast("string"), lit(s"_$i")), 256)): _*))
         .groupBy(col("event_id"))

@@ -351,7 +351,14 @@ object Temporal {
       pmod(hash(saltCols.map(facts(_)).toIndexedSeq: _*), lit(nSalt)))
     val o = other.withColumn("__salt",
       explode(array((0 until nSalt).map(lit): _*)))
-    f.join(o, f(factKey) === o(otherKey) && f("__salt") === o("__salt"))
+    // Salting only means anything for a SHUFFLE join (it splits a hot
+    // key across reducers); pin the strategy so a borderline size
+    // estimate can't flip the replicated side into a broadcast — which
+    // both defeats the salt and, at scale, broadcasts an
+    // nSalt-times-replicated fact (the round-7 local-cluster soak
+    // OOMed exactly there).
+    f.join(o.hint("shuffle_merge"),
+        f(factKey) === o(otherKey) && f("__salt") === o("__salt"))
       .drop("__salt")
   }
 
