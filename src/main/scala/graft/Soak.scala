@@ -154,7 +154,8 @@ object Soak {
       System.err.println(s"[soak] $dir was built by generator v!=" +
         s"$GeneratorVersion — deleting and regenerating")
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() is null (not empty) on I/O error or racing delete
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
         f.delete(): Unit
       }
       rm(new java.io.File(dir))

@@ -29,14 +29,19 @@ object Verify {
     // banding. At every gate corpus this must be a non-event — assert
     // it, so a grown gate corpus fails LOUDLY here instead of silently
     // hash-mismatching (or worse, silently agreeing on reduced recall).
-    val maxCell = graft.sources.Tables.load(spark, sfDir, "embeddings")
-      .groupBy("label").count()
-      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    require(maxCell <= graft.operators.Dedup.DefaultMaxCell,
-      s"gate corpus has an embedding cell of $maxCell vectors > " +
-        s"${graft.operators.Dedup.DefaultMaxCell}: cellBoundedPairs would " +
-        "take the approximate banded path while the oracle replays exact " +
-        "pairs — raise the oracle to the banded formulation or the cap")
+    // Guarded: a filtered gate run pointed at a corpus dir WITHOUT an
+    // embeddings table (e.g. facts-only regression dirs) must not fail
+    // on this assertion's own unconditional load (r8 ADVICE low).
+    if (new java.io.File(s"$sfDir/embeddings.parquet").exists()) {
+      val maxCell = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .groupBy("label").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      require(maxCell <= graft.operators.Dedup.DefaultMaxCell,
+        s"gate corpus has an embedding cell of $maxCell vectors > " +
+          s"${graft.operators.Dedup.DefaultMaxCell}: cellBoundedPairs would " +
+          "take the approximate banded path while the oracle replays exact " +
+          "pairs — raise the oracle to the banded formulation or the cap")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

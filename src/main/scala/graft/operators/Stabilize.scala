@@ -42,19 +42,24 @@ object Stabilize {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def registerCleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Register end-of-application deletion for `dir` — called ONLY with
+    * the UUID subdirectory Stabilize itself created via
+    * `setCheckpointDir`. A checkpoint dir the CALLER set before the
+    * first Stabilize call is caller-owned state (it may hold
+    * checkpoints from other subsystems) and is never deleted here
+    * (r8 ADVICE low).
+    */
+  private def registerCleanup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
     val sc = spark.sparkContext
     if (cleanupRegistered.add(sc.applicationId)) {
-      val dir = sc.getCheckpointDir
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          dir.foreach { d =>
-            try {
-              val p = new org.apache.hadoop.fs.Path(d)
-              p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-            } catch { case _: Throwable => /* best effort */ }
-          }
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => /* best effort */ }
       })
     }
   }
@@ -63,9 +68,12 @@ object Stabilize {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
           spark.sparkContext.setCheckpointDir(dir)
-        registerCleanup(spark)
+          // getCheckpointDir is now the per-app UUID subdir we created.
+          spark.sparkContext.getCheckpointDir
+            .foreach(registerCleanup(spark, _))
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
