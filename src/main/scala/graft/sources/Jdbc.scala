@@ -275,6 +275,73 @@ object Jdbc {
       else Portable
   }
 
+  /** Does `table` carry a unique (or primary-key) index whose column
+    * set is exactly `keys`? Probed via the portable
+    * `DatabaseMetaData.getIndexInfo` API so the same check runs on any
+    * target. The dialect-native upsert modes REQUIRE such an index —
+    * Postgres `ON CONFLICT (k)` throws `42P10` without one, and tables
+    * created by Spark's JDBC writer or [[Ddl.createTable]] without
+    * `primaryKey` don't have one — so [[upsert]] probes this before
+    * trusting [[UpsertMode.fromUrl]]'s dialect pick and falls back to
+    * [[UpsertMode.Portable]] (with a warning) when the index is absent,
+    * instead of failing at the first applied row.
+    */
+  private[graft] def hasUniqueKeyIndex(conn: java.sql.Connection,
+      table: String, keys: Seq[String]): Boolean = {
+    val want = keys.map(_.toLowerCase).toSet
+    // unquoted identifiers case-fold per catalog; try stored/upper/lower
+    // spellings like catalogColumns does
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { name =>
+      val rs = conn.getMetaData.getIndexInfo(null, null, name, true, false)
+      val cols = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Set[String]]
+      try {
+        while (rs.next()) {
+          val idx = rs.getString("INDEX_NAME")
+          val col = rs.getString("COLUMN_NAME")
+          // statistics rows carry null INDEX_NAME/COLUMN_NAME
+          if (idx != null && col != null)
+            cols.getOrElseUpdate(idx, scala.collection.mutable.Set.empty) +=
+              col.toLowerCase
+        }
+      } finally rs.close()
+      cols.values.exists(_.toSet == want)
+    }
+  }
+
+  /** Verify a URL-derived native candidate against the live target's
+    * index metadata, demoting to [[UpsertMode.Portable]] with a warning
+    * when the key has no unique index (or the probe itself fails) —
+    * Portable works on any table, so a previously-working upsert never
+    * starts throwing just because the URL dispatch got smarter. Callers
+    * that KNOW the index exists (or want the failure) pass an explicit
+    * `mode` to [[upsert]], which skips this entirely.
+    */
+  private[graft] def verifiedMode(cfg: JdbcConfig, keys: Seq[String],
+      candidate: UpsertMode): UpsertMode = candidate match {
+    case UpsertMode.Portable => UpsertMode.Portable
+    case native =>
+      val verified =
+        try {
+          val conn =
+            java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+          try hasUniqueKeyIndex(conn, cfg.table, keys)
+          finally conn.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[graft.jdbc] index probe on ${cfg.table} " +
+            s"failed (${e.getMessage}); using portable upsert")
+          false
+        }
+      if (verified) native
+      else {
+        System.err.println(s"[graft.jdbc] ${cfg.table} has no unique " +
+          s"index on (${keys.mkString(", ")}); $native needs one — " +
+          "falling back to portable DELETE+INSERT (pass mode=Some(...) " +
+          "to force the native statement)")
+        UpsertMode.Portable
+      }
+  }
+
   /** Keyed upsert: apply a change feed into a LIVE JDBC table — the
     * composition of `q_merge`'s change-feed semantics with the JDBC
     * sink. The reference only knows whole-table delete-then-insert
@@ -303,7 +370,15 @@ object Jdbc {
       deleteFlag: Option[String] = None, batchSize: Int = 1000,
       mode: Option[UpsertMode] = None): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
-    val upsertMode = mode.getOrElse(UpsertMode.fromUrl(cfg.url))
+    // Explicit `mode` is the caller's contract and is used verbatim.
+    // The URL-derived pick is only a CANDIDATE: native modes need a
+    // unique index on the key, so verify one exists (one driver-side
+    // metadata round trip) and fall back to Portable — which works on
+    // any table — with a warning when it doesn't, or when the probe
+    // itself fails (r8 ADVICE medium: a previously-working upsert must
+    // not start throwing because the URL got smarter).
+    val upsertMode =
+      mode.getOrElse(verifiedMode(cfg, keys, UpsertMode.fromUrl(cfg.url)))
     val dataCols = df.columns.filterNot(deleteFlag.contains).toSeq
     val keyIdx = keys.map(k => df.columns.indexOf(k))
     val flagIdx = deleteFlag.map(f => df.columns.indexOf(f))
