@@ -1,14 +1,17 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Executor-loss resilience harness: runs under a REAL multi-JVM
   * master (local-cluster[2,1,1024] by default — two executor
-  * processes, each its own JVM), SIGKILLs every executor of the
-  * running app between jobs, and proves three properties the 100 TB
-  * posture depends on:
+  * processes, each its own JVM) and proves the failure-recovery
+  * properties the 100 TB posture depends on. Three phases, selectable
+  * by the first argument (comma list, default all):
   *
+  * `recovery` — kills every executor BETWEEN jobs:
   *   1. `plain_recovered` — a lineage-backed query recomputes through
   *      executor loss (the standalone master relaunches executors and
   *      tasks reschedule).
@@ -21,6 +24,39 @@ import org.apache.spark.sql.functions._
   *      set, the SAME call site (`Stabilize(df)`) recounts correctly
   *      after every executor that materialized it is gone, because the
   *      checkpoint lives in the shared filesystem, not executor memory.
+  *
+  * `fetch` — kills ONE executor DURING a two-stage job, after its
+  *   shuffle map outputs are registered (watcher keyed on the first
+  *   stage completion): the surviving reduce tasks hit
+  *   FetchFailedException, the DAGScheduler resubmits the map stage
+  *   for the lost outputs, and the job must still produce the no-kill
+  *   answer. This is the common mid-job loss on spot-priced executors
+  *   — between-jobs kills (the `recovery` phase) never exercise the
+  *   shuffle-output half of the story. Markers:
+  *   `fetch_failed_observed` (a FetchFailed task failure or stage
+  *   re-attempt was actually seen — the kill landed mid-shuffle) and
+  *   `fetch_failed_recovered` (the answer matched). Standalone mode
+  *   runs no external shuffle service, so a dead executor's map
+  *   outputs are genuinely gone; `spark.stage.maxConsecutiveAttempts`
+  *   (default 4) bounds how many such resubmission rounds a stage
+  *   gets before the job aborts.
+  *
+  * `stream` — kills ONE executor while a Structured Streaming query
+  *   with RocksDB keyed state is mid-flight, then ALSO stops and
+  *   restarts the query from its checkpoint with more input: the
+  *   keyed running aggregate (update mode → foreachBatch keyed upsert
+  *   sink) must converge to exactly the batch-computed totals — no
+  *   double-applied batch (state is versioned per microbatch), no
+  *   reset counts (RocksDB state restores from the checkpoint in the
+  *   relaunched executor). Markers: `stream_rocksdb` (the state store
+  *   really was RocksDB), `stream_killed_midway` (the kill landed
+  *   while batches were still flowing), `stream_recovered` (sink ==
+  *   batch oracle after kill + restart). The sink is the parquet
+  *   keyed upsert (`Sink.dedupUpsert`) rather than the Derby JDBC
+  *   upsert because embedded in-memory Derby is per-JVM state — each
+  *   executor would apply its partition into its own private database
+  *   (CLUSTER.md §1); the parquet target lives in the shared
+  *   filesystem, which is what a real deployment's sink does too.
   *
   * Emits one `key=value` marker line per property; exits non-zero if
   * any property fails. ExecutorLossSpec drives it as a subprocess (a
@@ -38,37 +74,37 @@ object Chaos {
     new ProcessBuilder(cmd: _*).inheritIO().start().waitFor(): Unit
   }
 
-  def main(args: Array[String]): Unit = {
-    val master =
-      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,1,1024]")
-    val spark = GraftSession.builder(master = master, shufflePartitions = 8)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val sc = spark.sparkContext
-    val appId = sc.applicationId
-
-    // Block count includes the driver; wait for n live executors.
-    def liveExecutors(): Int = sc.getExecutorMemoryStatus.size - 1
-    def awaitExecutors(n: Int, timeoutMs: Long = 90000): Unit = {
-      val t0 = System.currentTimeMillis()
-      while (liveExecutors() < n) {
-        if (System.currentTimeMillis() - t0 > timeoutMs)
-          sys.error(s"timed out waiting for $n executors (have ${liveExecutors()})")
-        Thread.sleep(500)
-      }
+  /** SIGKILL exactly one executor backend of this app (the lowest
+    * pid). Returns false if none was found to kill.
+    */
+  private def killOneExecutor(appId: String): Boolean = {
+    val pb = new ProcessBuilder(Seq("pgrep", "-f",
+      s"CoarseGrainedExecutorBackend.*--app-id $appId"): _*)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.headOption match {
+      case Some(pid) =>
+        new ProcessBuilder("kill", "-9", pid).start().waitFor() == 0
+      case None => false
     }
-    awaitExecutors(2)
+  }
 
+  private var ok = true
+  private def check(name: String, passed: Boolean): Unit = {
+    println(s"$name=$passed")
+    ok &= passed
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private def recoveryPhase(spark: SparkSession,
+      awaitExecutors: Int => Unit): Unit = {
+    val appId = spark.sparkContext.applicationId
     // 16 partitions across 2 executors so every kill loses real blocks.
     def base: DataFrame =
       spark.range(0, 1000000, 1, 16).toDF("id")
         .withColumn("v", col("id") % 97)
-
-    var ok = true
-    def check(name: String, passed: Boolean): Unit = {
-      println(s"$name=$passed")
-      ok &= passed
-    }
 
     // 1. plain recompute: kill every executor between two runs of the
     // same lineage-backed aggregation; the second run must still answer.
@@ -109,6 +145,230 @@ object Chaos {
         -1L
       }
     check("reliable_recovered", recount == 1000000L)
+  }
+
+  // ---------------------------------------------------------------- //
+
+  /** Two-stage job whose REDUCE side carries real per-row work (a
+    * 150-deep hash chain evaluated above the exchange), so a kill
+    * fired at map-stage completion lands while reduce tasks are still
+    * fetching/consuming the dead executor's shuffle files.
+    */
+  private def twoStageJob(spark: SparkSession): Long = {
+    val hashed = (1 to 150).foldLeft(col("id")) { (c, _) => xxhash64(c) }
+    spark.range(0, 3000000, 1, 16).toDF("id")
+      .withColumn("k", pmod(xxhash64(col("id")), lit(64)))
+      .repartition(8, col("k"))
+      // bounded per-row value so the 3M-row sum cannot overflow under
+      // ANSI arithmetic
+      .select(pmod(hashed, lit(1000000)).as("h"))
+      .agg(sum(col("h"))).head().getLong(0)
+  }
+
+  private def fetchPhase(spark: SparkSession,
+      awaitExecutors: Int => Unit): Unit = {
+    val sc = spark.sparkContext
+    val appId = sc.applicationId
+    awaitExecutors(2)
+    val expect = twoStageJob(spark)
+
+    // The kill is retried (fresh job each attempt) until the listener
+    // actually OBSERVES a FetchFailed task failure or a stage
+    // re-attempt — the race between "kill lands" and "reduce finishes"
+    // is real, and a kill that lands after the job completed proves
+    // nothing.
+    var observed = false
+    var recovered = false
+    var attempt = 0
+    while (!observed && attempt < 3) {
+      attempt += 1
+      awaitExecutors(2)
+      val sawFetchFailed = new AtomicBoolean(false)
+      val sawReattempt = new AtomicBoolean(false)
+      val killFired = new AtomicBoolean(false)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          // first (map) stage done → its shuffle outputs are registered
+          // → kill one executor while the reduce stage consumes them
+          if (killFired.compareAndSet(false, true)) {
+            new Thread(() => killOneExecutor(appId)).start()
+          }
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          if (s.stageInfo.attemptNumber() > 0) sawReattempt.set(true)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          t.reason match {
+            case _: org.apache.spark.FetchFailed => sawFetchFailed.set(true)
+            case _ => ()
+          }
+      }
+      sc.addSparkListener(listener)
+      val answer =
+        try twoStageJob(spark)
+        catch { case e: Throwable =>
+          System.err.println(s"[chaos] fetch-phase job threw: ${e.getMessage}")
+          -1L
+        }
+      // listener events are posted asynchronously; give the bus a
+      // moment to drain before reading the flags
+      Thread.sleep(3000)
+      sc.removeSparkListener(listener)
+      observed = sawFetchFailed.get() || sawReattempt.get()
+      recovered = answer == expect
+      System.err.println(s"[chaos] fetch attempt $attempt: " +
+        s"fetchFailed=${sawFetchFailed.get()} reattempt=${sawReattempt.get()} " +
+        s"answerOk=$recovered")
+    }
+    check("fetch_failed_observed", observed)
+    check("fetch_failed_recovered", recovered)
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private def streamPhase(spark: SparkSession,
+      awaitExecutors: Int => Unit): Unit = {
+    val appId = spark.sparkContext.applicationId
+    awaitExecutors(2)
+    val root = "/tmp/graft_chaos_stream"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+
+    // One FLAT parquet file per future microbatch (written to a temp
+    // dir, part-file moved into place — the file stream source +
+    // maxFilesPerTrigger=1 then gives exactly one microbatch per
+    // file). Rows are deterministic so the batch oracle below is exact.
+    val rowsPerFile = 50000L
+    def writeFile(f: Int): Unit = {
+      val tmp = s"$root/tmp_$f"
+      spark.range(f * rowsPerFile, (f + 1) * rowsPerFile, 1, 1)
+        .select(pmod(col("id"), lit(503)).as("k"),
+          pmod(col("id"), lit(97)).as("v"))
+        .write.mode("overwrite").parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$in/f$f%03d.parquet")): Unit
+      rm(new java.io.File(tmp))
+    }
+    (0 until 12).foreach(writeFile)
+
+    // RocksDB keyed state on the EXECUTORS — the store the restart leg
+    // must restore from the checkpoint in a relaunched executor JVM.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .groupBy("k")
+        .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          // keyed upsert into the shared-filesystem parquet target:
+          // replays re-apply the same per-key rows (n is monotone per
+          // key), so the sink converges instead of double-counting
+          graft.sources.Sink.dedupUpsert(
+            b.sparkSession, out, b.toDF(), Seq("k"), "n")
+        }
+        .start()
+
+    // Leg 1: kill one executor while microbatches are flowing.
+    val q1 = startQuery()
+    val t0 = System.currentTimeMillis()
+    var killedAtBatch = -1L
+    while (killedAtBatch < 0 && System.currentTimeMillis() - t0 < 120000) {
+      val done = q1.recentProgress.length
+      if (done >= 3) {
+        killedAtBatch = q1.recentProgress.last.batchId
+        killOneExecutor(appId)
+      } else Thread.sleep(200)
+    }
+    q1.processAllAvailable()
+    val progressAfterKill = q1.recentProgress.length
+    val rocksdb = Option(q1.lastProgress).exists(p =>
+      p.stateOperators.nonEmpty && p.stateOperators.exists(
+        _.customMetrics.keySet().toString.contains("rocksdb")))
+    q1.stop()
+    check("stream_rocksdb", rocksdb)
+    // the kill landed while batches were still flowing (more batches
+    // completed after the one we killed at)
+    check("stream_killed_midway",
+      killedAtBatch >= 0 && progressAfterKill > killedAtBatch + 1)
+
+    // Leg 2: restart from the checkpoint with 4 more input files — the
+    // relaunched executors must RESTORE RocksDB state (running totals
+    // continue, not reset) and absorb any replayed tail batch.
+    awaitExecutors(1)
+    (12 until 16).foreach(writeFile)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val sink = spark.read.parquet(out)
+      .select(col("k"), col("total"), col("n"))
+    val oracle = spark.read.schema(schema).parquet(in)
+      .groupBy("k").agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    val mismatches = sink.join(oracle, Seq("k"), "full_outer")
+      .filter(sink("total") =!= oracle("total") ||
+        sink("n") =!= oracle("n") ||
+        sink("total").isNull || oracle("total").isNull)
+      .count()
+    val keys = sink.count()
+    System.err.println(s"[chaos] stream sink keys=$keys mismatches=$mismatches")
+    check("stream_recovered", keys == 503L && mismatches == 0L)
+  }
+
+  // ---------------------------------------------------------------- //
+
+  def main(args: Array[String]): Unit = {
+    val phases = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq("recovery", "fetch", "stream"))
+    val master =
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,1,1024]")
+    // Executors are launched by the in-process standalone worker with
+    // only the Spark jars on their classpath — graft classes (the
+    // custom BoundedTopK aggregate TopKRewrite plants inside the
+    // streaming phase's upsert sink plan) must be added explicitly,
+    // exactly as spark-submit does for an application jar.
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = GraftSession.builder(master = master, shufflePartitions = 8)
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    // Block count includes the driver; wait for n live executors.
+    def liveExecutors(): Int = sc.getExecutorMemoryStatus.size - 1
+    def awaitExecutors(n: Int): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (liveExecutors() < n) {
+        if (System.currentTimeMillis() - t0 > 90000)
+          sys.error(s"timed out waiting for $n executors (have ${liveExecutors()})")
+        Thread.sleep(500)
+      }
+    }
+    awaitExecutors(2)
+
+    if (phases.contains("recovery")) recoveryPhase(spark, awaitExecutors)
+    if (phases.contains("fetch")) fetchPhase(spark, awaitExecutors)
+    if (phases.contains("stream")) streamPhase(spark, awaitExecutors)
 
     spark.stop()
     if (!ok) sys.exit(1)

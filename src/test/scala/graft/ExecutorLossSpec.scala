@@ -16,7 +16,8 @@ import scala.sys.process._
   */
 class ExecutorLossSpec extends AnyFunSuite {
 
-  test("executor SIGKILL: recompute + reliable checkpoint recover, localCheckpoint fails") {
+  test("executor SIGKILL: between-jobs recovery, mid-shuffle FetchFailed " +
+      "resubmission, and mid-microbatch streaming exactly-once all hold") {
     val classesDir = new java.io.File("target/scala-2.13/classes")
     assert(classesDir.isDirectory, "compiled classes expected")
     // Same JDK17 module options sbt's forked JVMs use (build.sbt).
@@ -55,6 +56,20 @@ class ExecutorLossSpec extends AnyFunSuite {
       assert(marker("reliable_ok_before"))
       assert(marker("reliable_recovered"),
         "reliable-checkpoint mode must recover after every executor died")
+      // mid-job loss: shuffle map outputs die with their executor,
+      // FetchFailed surfaces, the DAGScheduler resubmits the map stage
+      assert(marker("fetch_failed_observed"),
+        "the mid-stage kill must actually surface a FetchFailed/stage re-attempt")
+      assert(marker("fetch_failed_recovered"),
+        "the two-stage job must still answer after losing registered map outputs")
+      // mid-microbatch loss + checkpoint restart: the RocksDB-backed
+      // streaming aggregate must converge to the batch oracle
+      assert(marker("stream_rocksdb"),
+        "streaming phase must actually run on the RocksDB state store")
+      assert(marker("stream_killed_midway"),
+        "the executor kill must land while microbatches were still flowing")
+      assert(marker("stream_recovered"),
+        "streaming sink must converge to the batch oracle through kill + restart")
       assert(rc == 0, s"chaos harness exited $rc")
     }
   }
