@@ -101,19 +101,80 @@ object Ingest {
   }
 
   /** JDBC round-trip (`src_jdbc_roundtrip`): batch-write a dimension
-    * table into an embedded Derby database through the batched JDBC
-    * sink, read it back through the partitioned JDBC source — the
+    * table into an embedded Derby database, FREEZE the database, and
+    * read it back through the partitioned JDBC source — the
     * reference's whole DB-to-DB loop (helper_db_operation.py:9-157) as
     * one verified query. Derby stands in for the reference's
-    * PostgreSQL target; the read comes back through `loadPartitioned`
-    * so the per-partition range-query path (the 100 TB read shape) is
-    * what the oracle checks, not just a single-cursor fetch.
+    * PostgreSQL target.
+    *
+    * Multi-JVM shape (the part that must scale): the READ goes through
+    * `loadPartitioned` — one bounded-range query per partition — over
+    * the read-only `jdbc:derby:jar:` subprotocol, so under
+    * local-cluster every EXECUTOR JVM opens the archived database
+    * independently and pulls its own slice, exactly as 1000 executors
+    * would pull range slices from a network database. (The previous
+    * `jdbc:derby:memory:` form existed only inside whichever JVM wrote
+    * it — the one environmental exception in the round-7 local-cluster
+    * gate, CLUSTER.md §1.)
+    *
+    * The WRITE is a driver-side batched insert: a 25-row dimension, and
+    * the same single-process `execute_batch` loop the reference itself
+    * runs (helper_db_operation.py:142). Embedded Derby accepts writes
+    * from exactly one JVM (the engine locks the directory), so the
+    * executor-parallel write path cannot target it from real
+    * executors; that path — `Jdbc.write`/`Jdbc.upsert` from every
+    * executor concurrently — is what a network target gets, and stays
+    * spec-covered (JdbcSpec) plus exercised by the streaming JDBC
+    * sinks.
     */
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val cfg = JdbcConfig("jdbc:derby:memory:graftjdbc;create=true", "nation_rt")
-    Jdbc.write(Tables.load(spark, dir, "nation"), cfg,
-      mode = org.apache.spark.sql.SaveMode.Overwrite)
-    Jdbc.loadPartitioned(spark, cfg, "n_nationkey",
+    val nation = Tables.load(spark, dir, "nation")
+    val root = java.nio.file.Files.createTempDirectory("graft_jdbc_rt")
+    val dbDir = root.resolve("db")
+    // 1. driver-side batched insert into a directory-backed database
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$dbDir;create=true")
+    try {
+      val st = conn.createStatement()
+      try st.execute(Ddl.createTable("nation_rt", nation.schema, Ddl.Derby,
+        ifNotExists = false))
+      finally st.close()
+      val cols = nation.columns.toSeq
+      val ins = conn.prepareStatement(
+        s"INSERT INTO nation_rt ${cols.map(c => "\"" + c + "\"")
+          .mkString("(", ", ", ")")}" +
+          s" VALUES ${cols.map(_ => "?").mkString("(", ", ", ")")}")
+      try {
+        conn.setAutoCommit(false)
+        nation.collect().foreach { row => // dimension-sized by contract
+          cols.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
+          ins.addBatch()
+        }
+        ins.executeBatch()
+        conn.commit()
+      } finally ins.close()
+    } finally conn.close()
+    // 2. freeze: shutting the database down flushes it consistent and
+    // releases the directory lock (success surfaces as SQLSTATE 08006)
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+    // 3. archive to a zip every JVM can open read-only
+    val zipPath = root.resolve("db.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    try {
+      java.nio.file.Files.walk(dbDir).filter(p =>
+        java.nio.file.Files.isRegularFile(p)).forEach { p =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(
+          "db/" + dbDir.relativize(p).toString.replace('\\', '/')))
+        java.nio.file.Files.copy(p, zos)
+        zos.closeEntry()
+      }
+    } finally zos.close()
+    val readCfg = JdbcConfig(s"jdbc:derby:jar:($zipPath)db", "nation_rt")
+    Jdbc.loadPartitioned(spark, readCfg, "n_nationkey",
         lowerBound = 0L, upperBound = 25L, numPartitions = 4)
       .orderBy(col("n_nationkey"))
   }
