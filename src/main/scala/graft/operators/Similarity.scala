@@ -355,9 +355,18 @@ object Similarity {
     * of band b is the sign of the vector's dot product with
     * pseudo-random hyperplane j = b*bw + i, whose ±1 components are
     * md5-derived per (j, position) — data-independent, reproducible on
-    * any engine, no stored model. The hyperplane table is
-    * (dim × nb*bw) — tiny — and broadcast; all dot products come out
-    * of ONE aggregation over the exploded vectors.
+    * any engine, no stored model.
+    *
+    * Shuffle-free AND allocation-free by construction: all nb·bw dots
+    * accumulate in one codegen'd pass over each vector
+    * ([[graft.functions.RpBandSignature]]), so banding is a pure MAP.
+    * The original formulation (posexplode → broadcast-join a sign
+    * table → groupBy(vec_id) over nb·bw partial sums) shuffled
+    * n × nb·bw × 8 B of dot-product state — ~42 GB at 33.5M vectors
+    * under the 156-bit tier (it filled the 16384x soak host's disk),
+    * ~1.2 TB at 1B vectors. The only shuffle left in the LSH pipeline
+    * is the (band_idx, band_val) self-join — the part that is
+    * supposed to shuffle.
     *
     * Emits (vec_id, band_idx, band_val) DIRECTLY — each band's value
     * is its own ≤62-bit long, never packed into a single signature
@@ -367,30 +376,28 @@ object Similarity {
     * `1 << 63` overflow a packed-signature replay hits at exactly
     * 64 bits cannot occur. Band values are bit-identical to slicing
     * the old packed signature: band b = Σ_i (d_{b*bw+i} > 0) << i.
+    * (Within each dot the summation is the sequential position order
+    * rather than a partial-aggregation order; only the SIGN of the
+    * dot feeds the bands, so band values are unchanged except on dots
+    * within float rounding of zero — the same tolerance the
+    * cross-engine oracle replay already lives with, re-verified
+    * hash-green at the gate and candidate-identical at 4.1M vectors.)
     */
   def rpBandValues(emb: DataFrame, nb: Int, bw: Int): DataFrame = {
     require(bw <= 62, s"band width $bw exceeds a long's safe shift range")
-    val bits = nb * bw
-    val elems = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "v")))
-    val signCols = (0 until bits).map { j =>
-      when(Dedup.md5Bits(
-          concat(lit(j.toString), lit("_"), col("pos").cast("string")), 1, 15)
-          .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0)).as(s"s_$j")
-    }
-    val hp = elems.select(col("pos")).distinct()
-      .select(col("pos") +: signCols: _*)
-    val dotCols = (0 until bits).map(j =>
-      sum(col("v").cast("double") * col(s"s_$j")).as(s"d_$j"))
-    val sums = elems.join(broadcast(hp), Seq("pos"))
-      .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
-    val bandCols = (0 until nb).map { b =>
-      (0 until bw).map { i =>
-        when(col(s"d_${b * bw + i}") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-    }
-    sums.select(col("vec_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    // fixed-dim embedding column; one metadata-cheap row read. Callers
+    // may pass an EMPTY frame (cellBoundedPairs bands only oversized
+    // cells, and often there are none) — banding nothing is nothing.
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim <= 0)
+      emb.select(col("vec_id"), lit(0).as("band_idx"),
+        lit(0L).as("band_val")).limit(0)
+    else
+      emb.select(col("vec_id"),
+        posexplode(graft.functions.RpBandSignature
+          .rpBandSignature(col("embedding"), nb, bw, dim))
+          .as(Seq("band_idx", "band_val")))
   }
 
   /** Cosine near-dup pairs via random-hyperplane LSH: band the

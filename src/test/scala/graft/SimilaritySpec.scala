@@ -227,4 +227,28 @@ class SimilaritySpec extends SparkSpec {
       col("band_val") >= (1L << 26)).count() == 0)
     assert(bv.select(countDistinct(col("band_idx"))).as[Long].head() == 6L)
   }
+
+  test("tier rule at the 33M extrapolation edge retains near-identical " +
+      "probes under 6x26 banding") {
+    import spark.implicits._
+    // The 16384x soak corpus (~33.5M vectors) lands in tier 4; assert
+    // the rule picks it, and that a NEAR-identical pair (the gate's
+    // scale+offset probe shape, cos ~0.9999 — not bit-identical, so
+    // per-band collision is probabilistic: p^26 ~ 0.89 per band,
+    // miss-all-6 ~ 3e-6) is retained by the 6x26 banding. Identical
+    // retention is structural; near-identical retention is the recall
+    // claim the tier doc makes — this pins it on deterministic data.
+    assert(Similarity.rpBandConfig(33554432L) == (6, 26))
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 104729L + 31)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val emb = ((0 until 2000).map(i => (i.toLong, vec(i))) :+
+      (ProbeId, vec(7).map(x => (x * 1.01f + 0.001f)))) // probe of vec 7
+      .toDF("vec_id", "embedding")
+    val cands = Similarity.rpCandidates(emb, 6, 26)
+    assert(cands.filter(col("id_a") === 7L && col("id_b") === ProbeId)
+      .count() == 1, "cos~0.9999 probe pair must share a 26-bit band")
+  }
+  private val ProbeId = 900000L
 }

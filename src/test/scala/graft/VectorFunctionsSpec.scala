@@ -127,6 +127,46 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rp band signature: codegen and interpreted eval agree, and " +
+      "a driver-side dot recompute confirms the bits") {
+    import graft.functions.RpBandSignature
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 31L + 5)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val docs = Seq.tabulate(40)(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val (nb, bw) = (4, 16)
+    val viaDf = docs.select(col("id"),
+        RpBandSignature.rpBandSignature(col("emb"), nb, bw, dim).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val expr = graft.functions.RpBandSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), nb, bw, dim)
+    val signs = RpBandSignature.signMatrix(nb * bw, dim)
+    docs.collect().foreach { r =>
+      val e = r.getSeq[Float](1)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        e.toArray[Any])
+      val interp = expr.nullSafeEval(arr)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toList
+      assert(interp == viaDf(r.getLong(0)),
+        s"codegen/interpreted mismatch for id ${r.getLong(0)}")
+      // independent driver-side recompute of every bit
+      val expect = (0 until nb).map { b =>
+        (0 until bw).foldLeft(0L) { (acc, i) =>
+          val j = b * bw + i
+          val dot = e.indices.foldLeft(0.0)((s, p) =>
+            s + e(p).toDouble * signs(j * dim + p))
+          if (dot > 0) acc | (1L << i) else acc
+        }
+      }.toList
+      assert(expect == viaDf(r.getLong(0)), "bit mismatch vs driver recompute")
+    }
+  }
+
   test("agreement on real embeddings") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
     val diff = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(5))
