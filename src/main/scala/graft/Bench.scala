@@ -120,8 +120,45 @@ object Bench {
         System.err.println(s"[bench] soak10x materialize failed: ${e.getMessage}")
         "{}"
       }
+    // Multi-JVM mini-gate as a standing bench block: the 12-query
+    // local-cluster soak (graft.ClusterBench) runs COLD in a
+    // subprocess under local-cluster[4,8,8192] against the 10x corpus
+    // — regressions that only bite across real process boundaries
+    // (the round-7 class: executor-fatal broadcasts that local[n]
+    // reference-sharing masks) land in the per-round artifact.
+    // SPARK_GRAFT_CLUSTER12=0 skips (dev iteration).
+    val cluster12: String =
+      if (sys.env.get("SPARK_GRAFT_CLUSTER12").contains("0")) "{}"
+      else try {
+        val dir10 = Soak.materialize(spark, 10, needFacts = true)
+        val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
+          "-Xmx8g", "-Dspark.ui.enabled=false",
+          "-cp", new java.io.File("target/scala-2.13/classes").getAbsolutePath +
+            ":/opt/spark/jars/*",
+          "graft.ClusterBench", dir10)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_HOME", "/opt/spark")
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes())
+        val err = new String(p.getErrorStream.readAllBytes())
+        val rc = p.waitFor()
+        err.linesIterator.filter(_.contains("[cluster12]"))
+          .foreach(System.err.println)
+        out.linesIterator.find(_.startsWith("CLUSTER12 "))
+          .map(_.stripPrefix("CLUSTER12 ").trim)
+          .filter(_ => rc == 0)
+          .getOrElse {
+            System.err.println(s"[bench] cluster12 subprocess rc=$rc")
+            "{}"
+          }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cluster12 failed: ${e.getMessage}")
+        "{}"
+      }
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"soak10x":$soak10x,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(machine); w.println(detail) } finally w.close()

@@ -1,0 +1,77 @@
+package graft
+
+/** Multi-JVM mini-bench: the 12 scale-critical queries (the same set
+  * the round-7 local-cluster soak validated — scan-agg, the four join
+  * shapes, sessionize, the five steepest dedup/text families,
+  * sim_rp_lsh) run COLD, one pass each, under
+  * `local-cluster[4,8,8192]` — four real executor JVMs, so every
+  * number includes cross-process task serialization, broadcast
+  * distribution, and real shuffle block transfer.
+  *
+  * Bench spawns this as a subprocess per round (a local-cluster
+  * context cannot coexist with Bench's local[32] context in one JVM)
+  * and folds the result into its machine line as the `cluster12`
+  * block, so a regression that only bites under real executors —
+  * exactly the class the round-7 soak caught (an executor-fatal
+  * broadcast masked by local[n] reference-sharing) — shows up in the
+  * per-round artifact instead of waiting for an ad-hoc soak.
+  *
+  * Usage: graft.ClusterBench <dataDir>. Emits per-query lines and one
+  * machine-readable line `CLUSTER12 {"q":sec,...}`; exits non-zero if
+  * any query fails.
+  */
+object ClusterBench {
+
+  val queries12: Seq[String] = Seq(
+    "q1_pricing_summary", "q_asof_join", "q_range_join",
+    "q_salted_join_agg", "q_star_join_agg", "q_sessionize",
+    "text_quality", "dedup_span", "dedup_ngram_jaccard",
+    "dedup_minhash_oph", "dedup_containment", "sim_rp_lsh")
+
+  /** JDK17 module opens Spark needs — same list sbt's forked JVMs and
+    * ExecutorLossSpec use; exposed so Bench can build the subprocess
+    * command without duplicating it.
+    */
+  val jvmOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: graft.ClusterBench <dataDir>"))
+    val master =
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,8192]")
+    // Executors are raw worker-launched JVMs: the engine classes must
+    // ride spark.executor.extraClassPath (CLUSTER.md §5 classpath
+    // gotcha — the failure mode is a misleading serialization CCE).
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val spark = GraftSession.builder(master = master, shufflePartitions = 32)
+      .config("spark.executor.extraClassPath", classes)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = false
+    val times = queries12.map { name =>
+      val sec = try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[cluster12] $name failed: ${e.getMessage}")
+        failed = true
+        -1.0
+      }
+      System.err.println(f"[cluster12] $name $sec%.3f s")
+      f""""$name":$sec%.3f"""
+    }
+    println(times.mkString("CLUSTER12 {", ",", "}"))
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

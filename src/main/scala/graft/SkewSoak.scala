@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skewed-join soak: measure the three answers to a Zipf-hot join key
+  * — salting, AQE skew-split, and nothing — against each other and
+  * against the uniform-key baseline, on REAL materialized data at
+  * 10x/100x (docs/SCALING.md "skew" section holds the recorded
+  * results).
+  *
+  * Why this exists: every prior soak drew join keys shifted-uniform,
+  * so `saltedJoin` and `spark.sql.adaptive.skewJoin` — the two
+  * operators whose whole purpose is surviving a hot key — had never
+  * been measured in the regime they exist for. A 100 TB corpus always
+  * has a hot key (the null surrogate, the default account, the
+  * crawler's favourite domain).
+  *
+  * Data: `lineitem` at scale k with `l_orderkey` REDRAWN from the
+  * actual orders-key population under a Zipf(1.1)-tail law (inverse-
+  * CDF of the continuous Pareto: rank = ⌊u^(-1/(s-1))⌋ = ⌊u^-10⌋,
+  * capped at the key count; rank 1 is the hottest key, carrying ~6.5%
+  * of all rows — the measured share is emitted, not assumed). Ranks
+  * map to real `o_orderkey` values via a hash-shuffled rank table, so
+  * the standing `q_salted_join_agg` / plain-join pipelines run
+  * UNCHANGED against the skewed directory: same orders side, same
+  * aggregation, only the fact side's key histogram differs.
+  *
+  * Variants, each a cold pass over the same skewed fact:
+  *  - `plain`  — sort-merge join, AQE skew-split DISABLED: the
+  *    degenerate baseline where one reducer drags the stage.
+  *  - `aqe`    — sort-merge join, AQE skew-split enabled (the
+  *    GraftSession default): runtime re-plan splits the hot
+  *    partition.
+  *  - `salted4` / `salted16` — `Temporal.saltedJoinRevenue` with the
+  *    explicit salt: the hot key is split across nSalt reducers at
+  *    PLAN time.
+  *  - `uniform` — the same plain join over the UNSKEWED lineitem of
+  *    the same scale: what the join costs when no key is hot (the
+  *    "salted ≤ ~1.5x uniform" target).
+  *
+  * Each variant reports wall seconds plus the task-level skew ratio
+  * (max task runtime / median task runtime of the stage holding the
+  * longest task, from a SparkListener) — wall time says WHether skew
+  * hurt; the ratio says WHY (one task dragging vs everything slow).
+  *
+  * Usage: runMain graft.SkewSoak [scales] — default "10".
+  * Appends JSON lines to soak_results.jsonl like the main Soak.
+  */
+object SkewSoak {
+
+  /** Per-stage task durations, for the skew ratio. */
+  private final class TaskClock extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        byStage.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration): Unit
+      }
+    /** (max task ms, median task ms) of the stage with the longest task. */
+    def skewRatio(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val stages = byStage.values().asScala.map(_.asScala.toVector.sorted)
+        .filter(_.nonEmpty)
+      if (stages.isEmpty) (0L, 0L)
+      else {
+        val worst = stages.maxBy(_.last)
+        (worst.last, worst(worst.size / 2))
+      }
+    }
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.list(s).forEach { p =>
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  /** Build (once) the skewed twin of the x<k> soak dir: same orders,
+    * lineitem with Zipf-redrawn l_orderkey.
+    */
+  def materializeSkew(spark: SparkSession, k: Int, baseDir: String): String = {
+    val dir = s"/tmp/graft_soak/x${k}_zipf"
+    if (new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) return dir
+    System.err.println(s"[skew] materializing $dir ...")
+    new java.io.File(dir).mkdirs()
+    copyDir(s"$baseDir/orders.parquet", s"$dir/orders.parquet")
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val nKeys = orders.count()
+    // rank table: rank r (1 = hottest) -> a hash-random real order key.
+    // The single-partition window is a one-time generator cost over
+    // nKeys longs (15M at 100x), not a measured path.
+    val rankKey = orders.select(col("o_orderkey"))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          xxhash64(col("o_orderkey")), col("o_orderkey"))))
+      .select(col("__rank").cast("long").as("__rank"),
+        col("o_orderkey").as("__zipf_key"))
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    // u in (0,1): per-row deterministic uniform; raw = floor(u^-10) is
+    // the inverse-CDF Pareto tail matching Zipf s=1.1 (P(rank 1) =
+    // 1 - 2^-0.1 ≈ 6.7%). The unbounded tail is WRAPPED into the key
+    // domain (mod, not cap): capping would pile the entire far tail
+    // (~24% of rows at 10x) onto the single capped rank, which is a
+    // different — far harsher — distribution than Zipf; wrapping folds
+    // it near-uniformly across all keys, preserving the head.
+    val u = (pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+      lit(1000000000L)).cast("double") + lit(0.5)) / lit(1000000000.0)
+    val raw = least(floor(pow(u, lit(-10.0))), lit(9.0e15)).cast("long")
+    val rank = pmod(raw - lit(1L), lit(nKeys)) + lit(1L)
+    li.withColumn("__rank", rank)
+      .join(rankKey, Seq("__rank"))
+      .withColumn("l_orderkey", col("__zipf_key"))
+      .drop("__rank", "__zipf_key")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    System.err.println(s"[skew] $dir ready")
+    dir
+  }
+
+  /** The unsalted join with a pinned shuffle-merge strategy, same
+    * aggregation as `Temporal.saltedJoinRevenue`.
+    */
+  private def plainRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+    li.join(o.hint("shuffle_merge"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(10))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = GraftSession
+      .builder(master = master, shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sink = new java.io.PrintWriter(
+      new java.io.FileWriter("soak_results.jsonl", true))
+    def emit(line: String): Unit = { println(line); sink.println(line); sink.flush() }
+
+    def timed(variant: String, scale: Int, skewOn: Boolean)
+        (run: => Unit): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      val clock = new TaskClock
+      spark.sparkContext.addSparkListener(clock)
+      val t0 = System.nanoTime()
+      val res = try { run; "ok" } catch { case e: Throwable =>
+        Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\n]", " ").take(120)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // drain the listener bus
+      spark.sparkContext.removeSparkListener(clock)
+      val (maxMs, medMs) = clock.skewRatio()
+      val ratio = if (medMs > 0) maxMs.toDouble / medMs else 0.0
+      emit(f"""{"metric":"skew","scale":$scale,"variant":"$variant","sec":$sec%.3f,"task_max_ms":$maxMs,"task_med_ms":$medMs,"ratio":$ratio%.1f,"status":"$res"}""")
+    }
+
+    // codegen/classload warmup on sf0.1 (same plan shapes, different
+    // dir) so the FIRST timed variant doesn't absorb compilation —
+    // without this the run order masquerades as a skew effect.
+    val warm = "/root/testdata/sf0.1"
+    plainRevenue(spark, warm).write.format("noop").mode("overwrite").save()
+    graft.operators.Temporal.saltedJoinRevenue(spark, warm, nSalt = 4)
+      .write.format("noop").mode("overwrite").save()
+
+    for (k <- scales.sorted) {
+      val base = Soak.materialize(spark, k, needFacts = true, needDocs = false)
+      val skew = materializeSkew(spark, k, base)
+      // prime the page cache for BOTH fact layouts so variant order
+      // doesn't decide who pays the disk reads
+      spark.read.parquet(s"$base/lineitem.parquet").count(): Unit
+      // measured hot-key share (assumed nothing): top key rows / total
+      val total = spark.read.parquet(s"$skew/lineitem.parquet").count()
+      val top = spark.read.parquet(s"$skew/lineitem.parquet")
+        .groupBy("l_orderkey").count()
+        .agg(max(col("count"))).head().getLong(0)
+      emit(f"""{"metric":"skew_profile","scale":$k,"rows":$total,"top_key_rows":$top,"top_share":${top.toDouble / total}%.4f}""")
+
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+
+      timed("uniform", k, skewOn = false) { noop(plainRevenue(spark, base)) }
+      timed("plain", k, skewOn = false) { noop(plainRevenue(spark, skew)) }
+      timed("aqe", k, skewOn = true) { noop(plainRevenue(spark, skew)) }
+      timed("salted4", k, skewOn = false) {
+        noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 4))
+      }
+      timed("salted16", k, skewOn = false) {
+        noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 16))
+      }
+    }
+    sink.close()
+    spark.stop()
+  }
+}

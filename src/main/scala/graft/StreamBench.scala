@@ -93,15 +93,26 @@ object StreamBench {
         events.select(col("user_id"), col("ts"), col("value"))
           .as[EventStream.Ev]).toDF()))
 
-    /** Run one pipeline for `runSecs`, return (sustained rows/s, state
-      * rows, state memory bytes, rocksdb SST bytes) from the LAST
-      * progress with state metrics.
+    /** Run one pipeline for `runSecs`; emits sustained rows/s, state
+      * sizes from the LAST progress with state metrics, and the
+      * per-batch state COMMIT latency (stateOperators.commitTimeMs,
+      * batch 0 dropped) — commit time is the synchronous
+      * checkpoint-upload tax every microbatch pays, separate from
+      * ingest throughput: a pipeline can sustain its rate while
+      * commits quietly dominate the trigger interval. `changelog=true`
+      * (RocksDB only) switches checkpointing from full-SST uploads to
+      * changelog files — the commit-latency lever for large state.
       */
     def run(name: String, build: () => DataFrame, provider: String,
-        runSecs: Int, outputMode: String = "append"): Unit = {
+        runSecs: Int, outputMode: String = "append",
+        changelog: Boolean = false): Unit = {
       val label = if (provider == RocksDbProvider) "rocksdb" else "hdfs"
+      val clLabel = if (changelog) "on" else "off"
       val prev = spark.conf.getOption(ProviderKey)
+      val clKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       if (provider.nonEmpty) spark.conf.set(ProviderKey, provider)
+      spark.conf.set(clKey, changelog.toString)
       try {
         val q = build().writeStream.format("noop")
           .trigger(Trigger.ProcessingTime("1 second"))
@@ -125,18 +136,27 @@ object StreamBench {
         val sstBytes = lastState
           .flatMap(s => Option(s.customMetrics.get("rocksdbSstFileSize")))
           .map(_.longValue).getOrElse(0L)
-        emit(f"""{"metric":"stream_bench","pipeline":"$name","provider":"$label","rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows,"state_rows":$stateRows,"state_mem_bytes":$stateMem,"sst_bytes":$sstBytes}""")
+        val commits = progress.drop(1).flatMap(_.stateOperators.toSeq)
+          .map(_.commitTimeMs)
+        val commitMean =
+          if (commits.isEmpty) 0.0 else commits.sum.toDouble / commits.size
+        val commitMax = if (commits.isEmpty) 0L else commits.max
+        emit(f"""{"metric":"stream_bench","pipeline":"$name","provider":"$label","changelog":"$clLabel","rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows,"state_rows":$stateRows,"state_mem_bytes":$stateMem,"sst_bytes":$sstBytes,"commit_ms_mean":$commitMean%.0f,"commit_ms_max":$commitMax}""")
       } finally {
         prev match {
           case Some(v) => spark.conf.set(ProviderKey, v)
           case None => spark.conf.unset(ProviderKey)
         }
+        spark.conf.unset(clKey)
       }
     }
 
     for ((name, stateful, build) <- pipelines) {
       run(name, build, "", secs)
-      if (stateful) run(name, build, RocksDbProvider, secs)
+      if (stateful) {
+        run(name, build, RocksDbProvider, secs)
+        run(name, build, RocksDbProvider, secs, changelog = true)
+      }
     }
 
     // State-exceeds-heap: every event is a NEW key and the state row
@@ -155,7 +175,7 @@ object StreamBench {
     // vs state_mem_bytes pair is the heap-decoupling proof. The
     // in-memory provider on this same shape heap-OOMs (measured r6) —
     // which is why it is RocksDB-only here.
-    run("state_blowup_dedup", () =>
+    def blowup(): DataFrame =
       spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", "200000")
         .option("numPartitions", "32")
@@ -164,8 +184,15 @@ object StreamBench {
         .withColumn("payload", concat((0 until 12).map(i =>
           sha2(concat(col("event_id").cast("string"), lit(s"_$i")), 256)): _*))
         .groupBy(col("event_id"))
-        .agg(last(col("payload")).as("payload"), count(lit(1)).as("n")),
+        .agg(last(col("payload")).as("payload"), count(lit(1)).as("n"))
+    // Changelog checkpointing matters MOST here: full-SST checkpoint
+    // uploads grow with total state (~165 MB/batch and rising) while
+    // changelog files grow only with the batch's delta — the two
+    // commit_ms columns are the measured comparison.
+    run("state_blowup_dedup", () => blowup(),
       RocksDbProvider, blowupSecs, outputMode = "update")
+    run("state_blowup_dedup", () => blowup(),
+      RocksDbProvider, blowupSecs, outputMode = "update", changelog = true)
 
     emit(f"""{"metric":"stream_total","secs_each":$secs,"source_rps":$rps,"blowup_secs":$blowupSecs}""")
     sink.close()
