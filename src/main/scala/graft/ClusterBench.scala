@@ -55,6 +55,11 @@ object ClusterBench {
       .config("spark.executor.extraClassPath", classes)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // codegen/classload warmup on the smallest SF so the FIRST timed
+    // query doesn't absorb session + whole-stage-codegen compilation
+    // (measured ~7 s of q1's first pass) — same discipline as Bench.
+    SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
     var failed = false
     val times = queries12.map { name =>
       val sec = try {

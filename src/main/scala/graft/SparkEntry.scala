@@ -1703,7 +1703,8 @@ object SparkEntry {
          |  SELECT CASE WHEN count(*) <= ${Similarity.RpAdaptiveCutoff} THEN 8
          |              WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 16
          |              WHEN count(*) <= ${Similarity.RpHugeCutoff} THEN 21
-         |              ELSE 26 END AS bw,
+         |              WHEN count(*) <= ${Similarity.RpVastCutoff} THEN 26
+         |              ELSE 30 END AS bw,
          |         CASE WHEN count(*) <= ${Similarity.RpWideCutoff} THEN 4
          |              WHEN count(*) <= ${Similarity.RpHugeCutoff} THEN 3
          |              ELSE 6 END AS nb

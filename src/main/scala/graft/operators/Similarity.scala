@@ -341,6 +341,19 @@ object Similarity {
     */
   val RpHugeCutoff = 4000000L
 
+  /** Fourth widening cutoff, placed by MEASUREMENT rather than
+    * extrapolation: the 16384x edge run (graft.RpEdge, SCALING.md)
+    * showed within-tier candidate volume growing ~n²/2^26 exactly as
+    * predicted — 1.17 cand/vec at 4.1M vectors (occupancy 0.06),
+    * 9.4 at 32.8M (occupancy 0.49) — so tier 4's random-collision
+    * component reaches parity with the real near-dup signal around
+    * occupancy ~1 (n ≈ 2^26). The tier-extension rule the docs state
+    * (bw ≈ log₂(n)+4) lands the next step at 64M: 6 × 30-bit bands
+    * (occupancy back to ~0.06 at 64M, per-band recall at cos 0.99
+    * p^30 ≈ 0.87, miss-all-6 ≈ 4e-6 — pinned by the tier-edge spec).
+    */
+  val RpVastCutoff = 64000000L
+
   /** (bands, bitsPerBand) for a corpus of n vectors — the rule the
     * oracle SQL replays. Occupancy per bucket is ~n/2^bits; each tier
     * holds it near or below ~15.
@@ -349,7 +362,8 @@ object Similarity {
     if (n <= RpAdaptiveCutoff) (4, 8)
     else if (n <= RpWideCutoff) (4, 16)
     else if (n <= RpHugeCutoff) (3, 21)
-    else (6, 26)
+    else if (n <= RpVastCutoff) (6, 26)
+    else (6, 30)
 
   /** Random-hyperplane band values (signed random projections): bit i
     * of band b is the sign of the vector's dot product with

@@ -239,6 +239,11 @@ class SimilaritySpec extends SparkSpec {
     // retention is structural; near-identical retention is the recall
     // claim the tier doc makes — this pins it on deterministic data.
     assert(Similarity.rpBandConfig(33554432L) == (6, 26))
+    // tier 5 (measured-in at round 9): past 64M vectors the rule
+    // widens to 6x30 — occupancy back to ~0.06 where tier 4's was
+    // approaching 1 (the RpEdge curve)
+    assert(Similarity.rpBandConfig(Similarity.RpVastCutoff) == (6, 26))
+    assert(Similarity.rpBandConfig(Similarity.RpVastCutoff + 1) == (6, 30))
     def vec(seed: Int): Array[Float] = {
       val r = new scala.util.Random(seed * 104729L + 31)
       Array.fill(16)(r.nextGaussian().toFloat)
@@ -249,6 +254,11 @@ class SimilaritySpec extends SparkSpec {
     val cands = Similarity.rpCandidates(emb, 6, 26)
     assert(cands.filter(col("id_a") === 7L && col("id_b") === ProbeId)
       .count() == 1, "cos~0.9999 probe pair must share a 26-bit band")
+    // tier-5 banding retains the same near-identical pair (per-band
+    // p^30 ~ 0.87, miss-all-6 ~ 4e-6 on these fixed hyperplanes)
+    val cands5 = Similarity.rpCandidates(emb, 6, 30)
+    assert(cands5.filter(col("id_a") === 7L && col("id_b") === ProbeId)
+      .count() == 1, "cos~0.9999 probe pair must share a 30-bit band")
   }
   private val ProbeId = 900000L
 }
