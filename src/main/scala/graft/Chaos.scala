@@ -267,9 +267,16 @@ object Chaos {
     (0 until 12).foreach(writeFile)
 
     // RocksDB keyed state on the EXECUTORS — the store the restart leg
-    // must restore from the checkpoint in a relaunched executor JVM.
+    // must restore from the checkpoint in a relaunched executor JVM —
+    // with changelog checkpointing ON: the StreamBench-measured
+    // production default (SCALING.md round-9 section), and the harder
+    // recovery path (state restores by snapshot + changelog REPLAY,
+    // not a plain snapshot load).
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
 
     def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
       spark.readStream.schema(schema)
