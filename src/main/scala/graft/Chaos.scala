@@ -344,6 +344,117 @@ object Chaos {
 
   // ---------------------------------------------------------------- //
 
+  private val driverRoot = "/tmp/graft_chaos_driver"
+
+  private def rmDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmDir)
+    f.delete(): Unit
+  }
+
+  private def driverSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType)))
+
+  private def writeDriverFile(spark: SparkSession, f: Int): Unit = {
+    val rowsPerFile = 50000L
+    val tmp = s"$driverRoot/tmp_$f"
+    spark.range(f * rowsPerFile, (f + 1) * rowsPerFile, 1, 1)
+      .select(pmod(col("id"), lit(503)).as("k"),
+        pmod(col("id"), lit(97)).as("v"))
+      .write.mode("overwrite").parquet(tmp)
+    val part = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(f"$driverRoot/in/f$f%03d.parquet")): Unit
+    rmDir(new java.io.File(tmp))
+  }
+
+  private def startDriverQuery(spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark.readStream.schema(driverSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$driverRoot/in")
+      .groupBy("k")
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$driverRoot/ckpt")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        graft.sources.Sink.dedupUpsert(
+          b.sparkSession, s"$driverRoot/out", b.toDF(), Seq("k"), "n")
+      }
+      .start()
+  }
+
+  /** DRIVER-loss leg A: same pipeline shape as the `stream` phase
+    * (RocksDB + changelog, keyed parquet upsert sink), but instead of
+    * draining, the DRIVER JVM is crash-halted (`Runtime.halt` — no
+    * shutdown hooks, no query.stop, no checkpoint finalization) while
+    * microbatches are still flowing AND one executor was killed
+    * moments earlier. This is spot-market driver loss: everything the
+    * next driver knows is what the checkpoint and sink directories
+    * say. Leg B (a NEW JVM) must resume exactly-once from there.
+    */
+  private def streamDriverPhaseA(spark: SparkSession): Unit = {
+    rmDir(new java.io.File(driverRoot))
+    new java.io.File(s"$driverRoot/in").mkdirs()
+    (0 until 12).foreach(writeDriverFile(spark, _))
+    val q = startDriverQuery(spark)
+    val appId = spark.sparkContext.applicationId
+    val t0 = System.currentTimeMillis()
+    var killed = false
+    while (System.currentTimeMillis() - t0 < 120000) {
+      val done = q.recentProgress.length
+      if (!killed && done >= 3) { killOneExecutor(appId); killed = true }
+      // halt once a couple more batches landed after the executor kill
+      // — mid-stream, batches pending, no graceful anything
+      if (killed && done >= 6) {
+        println(s"streamA_halted=true")
+        Console.flush()
+        Runtime.getRuntime.halt(0)
+      }
+      Thread.sleep(200)
+    }
+    // only reached if the halt window never arrived
+    println("streamA_halted=false")
+    q.stop()
+  }
+
+  /** DRIVER-loss leg B: a fresh driver JVM resumes the query from the
+    * checkpoint the crashed driver left behind, absorbs whatever tail
+    * batch was uncommitted, processes the backlog plus 4 NEW files,
+    * and must land exactly the batch-oracle totals.
+    */
+  private def streamDriverPhaseB(spark: SparkSession): Unit = {
+    (12 until 16).foreach(writeDriverFile(spark, _))
+    val q = startDriverQuery(spark)
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.read.parquet(s"$driverRoot/out")
+      .select(col("k"), col("total"), col("n"))
+    val oracle = spark.read.schema(driverSchema)
+      .parquet(s"$driverRoot/in")
+      .groupBy("k").agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    val mismatches = sink.join(oracle, Seq("k"), "full_outer")
+      .filter(sink("total") =!= oracle("total") ||
+        sink("n") =!= oracle("n") ||
+        sink("total").isNull || oracle("total").isNull)
+      .count()
+    val keys = sink.count()
+    System.err.println(
+      s"[chaos] driver-restart sink keys=$keys mismatches=$mismatches")
+    check("stream_driver_restart_recovered",
+      keys == 503L && mismatches == 0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val phases = args.headOption.filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Seq("recovery", "fetch", "stream"))
@@ -376,6 +487,10 @@ object Chaos {
     if (phases.contains("recovery")) recoveryPhase(spark, awaitExecutors)
     if (phases.contains("fetch")) fetchPhase(spark, awaitExecutors)
     if (phases.contains("stream")) streamPhase(spark, awaitExecutors)
+    // driver-loss legs: A crash-halts this JVM mid-stream (never
+    // returns); B runs in the NEXT JVM the spec launches
+    if (phases.contains("streamA")) streamDriverPhaseA(spark)
+    if (phases.contains("streamB")) streamDriverPhaseB(spark)
 
     spark.stop()
     if (!ok) sys.exit(1)

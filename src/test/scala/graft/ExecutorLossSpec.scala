@@ -16,8 +16,10 @@ import scala.sys.process._
   */
 class ExecutorLossSpec extends AnyFunSuite {
 
-  test("executor SIGKILL: between-jobs recovery, mid-shuffle FetchFailed " +
-      "resubmission, and mid-microbatch streaming exactly-once all hold") {
+  /** Launch graft.Chaos in its own JVM with the given phase list;
+    * returns (exit code, combined output).
+    */
+  private def runChaos(phases: String): (Int, String) = {
     val classesDir = new java.io.File("target/scala-2.13/classes")
     assert(classesDir.isDirectory, "compiled classes expected")
     // Same JDK17 module options sbt's forked JVMs use (build.sbt).
@@ -34,7 +36,7 @@ class ExecutorLossSpec extends AnyFunSuite {
       "-Xmx2g",
       "-Dspark.ui.enabled=false",
       "-cp", s"${classesDir.getAbsolutePath}:/opt/spark/jars/*",
-      "graft.Chaos")
+      "graft.Chaos", phases)
     val out = new StringBuilder
     val logger = ProcessLogger(
       line => { out.append(line).append('\n') },
@@ -46,7 +48,12 @@ class ExecutorLossSpec extends AnyFunSuite {
     val rc = Process(cmd, new java.io.File("."),
       "SPARK_HOME" -> "/opt/spark",
       "SPARK_SCALA_VERSION" -> "2.13").!(logger)
-    val text = out.toString
+    (rc, out.toString)
+  }
+
+  test("executor SIGKILL: between-jobs recovery, mid-shuffle FetchFailed " +
+      "resubmission, and mid-microbatch streaming exactly-once all hold") {
+    val (rc, text) = runChaos("recovery,fetch,stream")
     def marker(k: String): Boolean = text.contains(s"$k=true")
     withClue(text.linesIterator.filter(_.contains("=")).mkString("\n")) {
       assert(marker("plain_recovered"), "plain recompute must survive executor loss")
@@ -71,6 +78,30 @@ class ExecutorLossSpec extends AnyFunSuite {
       assert(marker("stream_recovered"),
         "streaming sink must converge to the batch oracle through kill + restart")
       assert(rc == 0, s"chaos harness exited $rc")
+    }
+  }
+
+  test("DRIVER crash-halt mid-stream: a fresh driver JVM resumes the " +
+      "RocksDB-changelog checkpoint exactly-once") {
+    // Leg A: executor killed mid-flight, then the DRIVER JVM is
+    // Runtime.halt'ed with batches still pending — no shutdown hooks,
+    // no stop(), nothing but the checkpoint survives. rc is 0 by
+    // construction (halt(0)); the marker proves the halt path ran.
+    val (rcA, textA) = runChaos("streamA")
+    withClue(textA.linesIterator.filter(_.contains("=")).mkString("\n")) {
+      assert(textA.contains("streamA_halted=true"),
+        "leg A must crash-halt mid-stream")
+      assert(rcA == 0)
+    }
+    // Leg B: a brand-new JVM (fresh standalone master, fresh executor
+    // JVMs) resumes from the crashed driver's checkpoint, absorbs the
+    // uncommitted tail, drains the backlog plus 4 new files, and must
+    // land exactly the batch-oracle totals.
+    val (rcB, textB) = runChaos("streamB")
+    withClue(textB.linesIterator.filter(_.contains("=")).mkString("\n")) {
+      assert(textB.contains("stream_driver_restart_recovered=true"),
+        "fresh driver must resume the checkpoint exactly-once")
+      assert(rcB == 0, s"leg B exited $rcB")
     }
   }
 }
