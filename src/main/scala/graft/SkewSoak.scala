@@ -86,11 +86,31 @@ object SkewSoak {
   /** Build (once) the skewed twin of the x<k> soak dir: same orders,
     * lineitem with Zipf-redrawn l_orderkey.
     */
+  /** Bump when the zipf generator's SEMANTICS change — same discipline
+    * as Soak.GeneratorVersion (a stale layout silently reused would
+    * invalidate the measurements). v2 = wrapped (not capped) Pareto
+    * tail.
+    */
+  val SkewGeneratorVersion = 2
+
   def materializeSkew(spark: SparkSession, k: Int, baseDir: String): String = {
     val dir = s"/tmp/graft_soak/x${k}_zipf"
-    if (new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) return dir
+    val marker = new java.io.File(s"$dir/_SKEW_SCHEMA")
+    val fresh = marker.exists() && scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toInt
+    ).getOrElse(-1) == SkewGeneratorVersion
+    if (fresh &&
+      new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) return dir
+    // stale or partial: rebuild wholesale
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
     System.err.println(s"[skew] materializing $dir ...")
     new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      SkewGeneratorVersion.toString.getBytes): Unit
     copyDir(s"$baseDir/orders.parquet", s"$dir/orders.parquet")
     val orders = spark.read.parquet(s"$baseDir/orders.parquet")
     val nKeys = orders.count()
