@@ -150,16 +150,21 @@ object Chaos {
   // ---------------------------------------------------------------- //
 
   /** Two-stage job whose REDUCE side carries real per-row work (a
-    * 150-deep hash chain evaluated above the exchange), so a kill
+    * 300-deep hash chain evaluated above the exchange), so a kill
     * fired at map-stage completion lands while reduce tasks are still
-    * fetching/consuming the dead executor's shuffle files.
+    * fetching/consuming the dead executor's shuffle files. The chain
+    * is deliberately LONG: the completion event that triggers the
+    * kill arrives on the asynchronous listener bus, which can lag
+    * seconds on a loaded host — the reduce must outlast that lag or
+    * the kill proves nothing (seen as fetch_failed_observed=false
+    * under a full parallel sbt test).
     */
   private def twoStageJob(spark: SparkSession): Long = {
-    val hashed = (1 to 150).foldLeft(col("id")) { (c, _) => xxhash64(c) }
-    spark.range(0, 3000000, 1, 16).toDF("id")
+    val hashed = (1 to 300).foldLeft(col("id")) { (c, _) => xxhash64(c) }
+    spark.range(0, 4000000, 1, 16).toDF("id")
       .withColumn("k", pmod(xxhash64(col("id")), lit(64)))
       .repartition(8, col("k"))
-      // bounded per-row value so the 3M-row sum cannot overflow under
+      // bounded per-row value so the 4M-row sum cannot overflow under
       // ANSI arithmetic
       .select(pmod(hashed, lit(1000000)).as("h"))
       .agg(sum(col("h"))).head().getLong(0)
@@ -170,30 +175,29 @@ object Chaos {
     val sc = spark.sparkContext
     val appId = sc.applicationId
     awaitExecutors(2)
+    val t0 = System.nanoTime()
     val expect = twoStageJob(spark)
+    val baseMs = math.max(2000L, (System.nanoTime() - t0) / 1000000L)
 
-    // The kill is retried (fresh job each attempt) until the listener
-    // actually OBSERVES a FetchFailed task failure or a stage
-    // re-attempt — the race between "kill lands" and "reduce finishes"
-    // is real, and a kill that lands after the job completed proves
-    // nothing.
+    // The kill is TIME-based — fired at a fraction of the measured
+    // no-kill duration (same host load), sweeping later fractions per
+    // attempt. An earlier design killed from onStageCompleted of the
+    // map stage, but listener-bus dispatch is asynchronous and under a
+    // loaded host its lag exceeded the whole reduce stage, so the kill
+    // reliably landed AFTER the job (observed 5/5 under a full
+    // parallel sbt test). The attempt loop retries (fresh job each
+    // time) until a FetchFailed task failure or a stage re-attempt is
+    // actually OBSERVED — a kill that lands after the job completed
+    // proves nothing.
     var observed = false
     var recovered = false
     var attempt = 0
-    while (!observed && attempt < 3) {
+    while (!observed && attempt < 6) {
       attempt += 1
       awaitExecutors(2)
       val sawFetchFailed = new AtomicBoolean(false)
       val sawReattempt = new AtomicBoolean(false)
-      val killFired = new AtomicBoolean(false)
       val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          // first (map) stage done → its shuffle outputs are registered
-          // → kill one executor while the reduce stage consumes them
-          if (killFired.compareAndSet(false, true)) {
-            new Thread(() => killOneExecutor(appId)).start()
-          }
         override def onStageSubmitted(
             s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
           if (s.stageInfo.attemptNumber() > 0) sawReattempt.set(true)
@@ -205,21 +209,31 @@ object Chaos {
           }
       }
       sc.addSparkListener(listener)
+      // sweep 35%..85% of the no-kill duration across attempts: early
+      // enough to precede the reduce's end, late enough that the map
+      // outputs being destroyed are usually registered
+      val delayMs = (baseMs * (0.25 + 0.12 * attempt)).toLong
+      val killer = new Thread(() => {
+        Thread.sleep(delayMs)
+        killOneExecutor(appId): Unit
+      })
+      killer.start()
       val answer =
         try twoStageJob(spark)
         catch { case e: Throwable =>
           System.err.println(s"[chaos] fetch-phase job threw: ${e.getMessage}")
           -1L
         }
+      killer.join()
       // listener events are posted asynchronously; give the bus a
       // moment to drain before reading the flags
       Thread.sleep(3000)
       sc.removeSparkListener(listener)
       observed = sawFetchFailed.get() || sawReattempt.get()
       recovered = answer == expect
-      System.err.println(s"[chaos] fetch attempt $attempt: " +
-        s"fetchFailed=${sawFetchFailed.get()} reattempt=${sawReattempt.get()} " +
-        s"answerOk=$recovered")
+      System.err.println(s"[chaos] fetch attempt $attempt (kill@${delayMs}ms" +
+        s"/${baseMs}ms): fetchFailed=${sawFetchFailed.get()} " +
+        s"reattempt=${sawReattempt.get()} answerOk=$recovered")
     }
     check("fetch_failed_observed", observed)
     check("fetch_failed_recovered", recovered)

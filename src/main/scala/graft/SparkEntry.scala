@@ -517,6 +517,34 @@ object SparkEntry {
        |WHERE j >= 0.7
        |ORDER BY jac.id_a, jac.id_b""".stripMargin
 
+  /** The banding sweep replayed config-by-config over the SAME
+    * signature CTE the minhash oracle uses (the whole sweep is pure
+    * md5 arithmetic — nothing approximate about it, the "approx"
+    * labeling it previously carried was wrong): per (bands,
+    * rows/band), candidate volume = distinct co-banded pairs.
+    */
+  private val duckLshSweep: String = {
+    import graft.operators.Dedup.MinhashK
+    val parts = Seq(4, 8, 16).map { b =>
+      val rpb = MinhashK / b
+      val bandExprs = (0 until b).map { bIdx =>
+        val comps = (0 until rpb)
+          .map(r => s"CAST(sig_${bIdx * rpb + r} AS VARCHAR)").mkString(", ")
+        s"md5(concat_ws('_', '$bIdx', $comps))"
+      }.mkString(", ")
+      s"SELECT CAST($b AS INTEGER) AS n_bands, " +
+        s"CAST($rpb AS INTEGER) AS rows_per_band, " +
+        s"CAST((SELECT count(*) FROM (" +
+        s"SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib " +
+        s"FROM (SELECT doc_id, unnest([$bandExprs]) AS bh FROM sig) x " +
+        s"JOIN (SELECT doc_id, unnest([$bandExprs]) AS bh FROM sig) y " +
+        s"ON x.bh = y.bh AND x.doc_id < y.doc_id)) AS BIGINT) AS n_candidates"
+    }
+    s"""WITH $duckMinhashCtes
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY n_bands""".stripMargin
+  }
+
   /** Connected components over the verified minhash pairs via a
     * recursive transitive-closure CTE: cluster_id = min doc_id
     * reachable in the near-dup graph; singletons map to themselves.
@@ -1641,6 +1669,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> duckNgram,
     "dedup_span" -> duckSpan,
     "dedup_minhash" -> duckMinhash,
+    "dedup_lsh_sweep" -> duckLshSweep,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
     // Survivors of BOTH detectors, applied to the corpus.

@@ -37,10 +37,14 @@ class ExecutorLossSpec extends AnyFunSuite {
       "-Dspark.ui.enabled=false",
       "-cp", s"${classesDir.getAbsolutePath}:/opt/spark/jars/*",
       "graft.Chaos", phases)
+    // stdout and stderr are pumped by two concurrent threads;
+    // StringBuilder is not thread-safe and unsynchronized appends have
+    // been observed to DROP whole lines (a stdout marker lost inside a
+    // noisy executor-stderr burst — the fetch_failed_observed flake).
     val out = new StringBuilder
     val logger = ProcessLogger(
-      line => { out.append(line).append('\n') },
-      line => { out.append(line).append('\n') })
+      line => out.synchronized { out.append(line).append('\n'): Unit },
+      line => out.synchronized { out.append(line).append('\n'): Unit })
     // SPARK_HOME lets the in-process standalone Worker launch executor
     // JVMs; SPARK_SCALA_VERSION is what bin/load-spark-env.sh would
     // set — without it the launcher's executor-command builder falls
