@@ -235,6 +235,16 @@ object Chaos {
         s"/${baseMs}ms): fetchFailed=${sawFetchFailed.get()} " +
         s"reattempt=${sawReattempt.get()} answerOk=$recovered")
     }
+    // attempt cap exhausted without an observed mid-shuffle failure:
+    // fail LOUDLY with the sweep parameters so a pathological host
+    // reads as a diagnosed timing miss, not a mystery hang/flake
+    // (VERDICT r9 nit 3 — the loop is bounded at 6 attempts; this
+    // names the bound when it bites).
+    if (!observed)
+      System.err.println("[chaos] fetch: FetchFailed never observed after " +
+        s"$attempt attempts (kill sweep 37%..97% of ${baseMs}ms no-kill " +
+        "wall) — host load likely pushed every kill past the reduce; " +
+        "failing fetch_failed_observed")
     check("fetch_failed_observed", observed)
     check("fetch_failed_recovered", recovered)
   }

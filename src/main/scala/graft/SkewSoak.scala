@@ -89,9 +89,12 @@ object SkewSoak {
   /** Bump when the zipf generator's SEMANTICS change — same discipline
     * as Soak.GeneratorVersion (a stale layout silently reused would
     * invalidate the measurements). v2 = wrapped (not capped) Pareto
-    * tail.
+    * tail; v3 = join-free rank→key mapping (multiplicative
+    * permutation of the dense key domain instead of a materialized
+    * rank table — the v2 rank join's shuffle spill is what killed the
+    * 1000x decade ~25 GB short of disk, VERDICT r9 item 4).
     */
-  val SkewGeneratorVersion = 2
+  val SkewGeneratorVersion = 3
 
   def materializeSkew(spark: SparkSession, k: Int, baseDir: String): String = {
     val dir = s"/tmp/graft_soak/x${k}_zipf"
@@ -113,16 +116,32 @@ object SkewSoak {
       SkewGeneratorVersion.toString.getBytes): Unit
     copyDir(s"$baseDir/orders.parquet", s"$dir/orders.parquet")
     val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    // Soak's scaled orders keys are a CLOSED FORM — copy c of the base
+    // table shifts keys by c·1e8, and the base keys are dense 0..B-1 —
+    // so rank→key needs no materialized table at all: dense index
+    // j = (rank-1)·A mod N (A coprime to N → a bijection that scatters
+    // the Zipf head pseudo-randomly), then key = (j/B)·1e8 + j%B.
+    // The whole skew redraw is ONE map over lineitem: no join, no
+    // shuffle, no spill — v2's rank-table join shuffled the entire
+    // fact and was the 1000x disk killer.
+    val baseKeys = orders.where(col("o_orderkey") < 100000000L).count()
     val nKeys = orders.count()
-    // rank table: rank r (1 = hottest) -> a hash-random real order key.
-    // The single-partition window is a one-time generator cost over
-    // nKeys longs (15M at 100x), not a measured path.
-    val rankKey = orders.select(col("o_orderkey"))
-      .withColumn("__rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          xxhash64(col("o_orderkey")), col("o_orderkey"))))
-      .select(col("__rank").cast("long").as("__rank"),
-        col("o_orderkey").as("__zipf_key"))
+    val copies = nKeys / baseKeys
+    // guard the closed form before trusting it (generator drift would
+    // silently produce keys that don't exist in orders)
+    val probe = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .head()
+    require(probe.getLong(0) == 0L &&
+      probe.getLong(1) == (copies - 1) * 100000000L + baseKeys - 1 &&
+      nKeys == copies * baseKeys,
+      s"orders keys not in Soak's closed form (n=$nKeys base=$baseKeys " +
+        s"min=${probe.getLong(0)} max=${probe.getLong(1)}): " +
+        "rebuild the base layout or revisit the permutation mapping")
+    // multiplier: Knuth's 2654435761 bumped to the next value coprime
+    // with N (N = 150000·k·copies has small factors; any odd A not
+    // sharing 3/5 works — computed, not assumed)
+    var mult = 2654435761L % nKeys
+    while (BigInt(mult).gcd(BigInt(nKeys)) != 1) mult += 1
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
     // u in (0,1): per-row deterministic uniform; raw = floor(u^-10) is
     // the inverse-CDF Pareto tail matching Zipf s=1.1 (P(rank 1) =
@@ -135,13 +154,12 @@ object SkewSoak {
       lit(1000000000L)).cast("double") + lit(0.5)) / lit(1000000000.0)
     val raw = least(floor(pow(u, lit(-10.0))), lit(9.0e15)).cast("long")
     val rank = pmod(raw - lit(1L), lit(nKeys)) + lit(1L)
-    li.withColumn("__rank", rank)
-      .join(rankKey, Seq("__rank"))
-      .withColumn("l_orderkey", col("__zipf_key"))
-      .drop("__rank", "__zipf_key")
-      .repartition(32)
+    val dense = pmod((rank - lit(1L)) * lit(mult), lit(nKeys))
+    val key = floor(dense / lit(baseKeys)).cast("long") * lit(100000000L) +
+      pmod(dense, lit(baseKeys))
+    li.withColumn("l_orderkey", key)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    System.err.println(s"[skew] $dir ready")
+    System.err.println(s"[skew] $dir ready (join-free v3, mult=$mult)")
     dir
   }
 
@@ -222,6 +240,68 @@ object SkewSoak {
       }
       timed("salted16", k, skewOn = false) {
         noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 16))
+      }
+
+      // ---- AGGREGATION under the same Zipf key (VERDICT r9 item 5).
+      // Three aggregate classes, because "skewed groupBy" is not one
+      // phenomenon:
+      //  * algebraic (sum/count) — map-side partial aggregation folds
+      //    the hot key to one row per map task BEFORE the shuffle, so
+      //    the reducer sees ~nTasks rows per key. Expectation: flat;
+      //    measured to confirm, and the salted twin quantifies what
+      //    plan-time salting COSTS when it isn't needed.
+      //  * holistic (exact median) — percentile buffers every value of
+      //    a group on ONE reducer; the hot key's buffer is ~6.7% of
+      //    the corpus. No mergeable partial exists, AQE cannot split
+      //    an aggregation, and salting cannot decompose a median. The
+      //    scale answer is the MERGEABLE SKETCH (percentile_approx,
+      //    GK) — measured beside it.
+      //  * exact distinct (count(DISTINCT v)) — Spark plans the dedup
+      //    shuffle on (key, VALUE), which spreads the hot key across
+      //    reducers structurally; the value-salted two-phase rewrite
+      //    is the same idea made explicit. Expectation: both flat.
+      def aggSum(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+      def aggSumSalted(dir: String, nSalt: Int): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"),
+            pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(nSalt))
+              .as("__salt"))
+          .agg(sum(col("l_extendedprice")).as("ps"), count(lit(1)).as("pn"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("ps")).as("s"), sum(col("pn")).as("n"))
+      def aggMedian(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      def aggMedianSketch(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(expr("percentile_approx(l_extendedprice, 0.5, 100)").as("med"))
+      def aggDistinct(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_partkey")).as("nd"))
+      def aggDistinctSalted(dir: String, nSalt: Int): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"),
+            pmod(xxhash64(col("l_partkey")), lit(nSalt)).as("__salt"))
+          .agg(countDistinct(col("l_partkey")).as("pd"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("pd")).as("nd"))
+
+      timed("aggsum_uniform", k, skewOn = false) { noop(aggSum(base)) }
+      timed("aggsum_plain", k, skewOn = false) { noop(aggSum(skew)) }
+      timed("aggsum_salted8", k, skewOn = false) { noop(aggSumSalted(skew, 8)) }
+      timed("aggmed_uniform", k, skewOn = false) { noop(aggMedian(base)) }
+      timed("aggmed_plain", k, skewOn = false) { noop(aggMedian(skew)) }
+      timed("aggmed_sketch", k, skewOn = false) { noop(aggMedianSketch(skew)) }
+      timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
+      timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
+      timed("aggdist_salted8", k, skewOn = false) {
+        noop(aggDistinctSalted(skew, 8))
       }
     }
     sink.close()

@@ -60,15 +60,15 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.pivotEventTypes(s, d)),
     "q_rollup" -> ((s, d) => Analytics.rollupAcctBal(s, d)),
     "q_distinct_count" -> ((s, d) => Analytics.distinctSuppliersPerPart(s, d)),
-    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(s, d)),
+    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctGate(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_tumbling_window" -> ((s, d) => Analytics.tumblingHourly(s, d)),
     "q_session_window" -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
-    "q_approx_quantile" -> ((s, d) => Analytics.approxQuantiles(s, d)),
-    "q_cms_topk" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
+    "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
+    "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
     "q_ntile" -> ((s, d) => Analytics.priceQuartiles(s, d)),
     "text_editdist" -> ((s, d) => TextFunctions.editDistanceChain(s, d)),
@@ -121,7 +121,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
-    "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansTopK(s, d)),
+    "sim_ivf_kmeans" -> ((s, d) => Similarity.ivfKMeansGate(s, d)),
     "sim_pair_stats" -> ((s, d) => Similarity.pairStats(s, d)),
     "sim_centroid_classify" -> ((s, d) => Similarity.centroidClassify(s, d)),
     // probes=3 plants deterministic near-dup vectors so the gate row is
@@ -158,7 +158,7 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "q_heavy_hitters" -> ((s, d) => Relational.heavyHitters(s, d)),
     "q_retention_cohort" -> ((s, d) => Analytics.retentionCohort(s, d)),
-    "q_hll_rollup" -> ((s, d) => Analytics.hllRollup(s, d)),
+    "q_hll_rollup" -> ((s, d) => Analytics.hllRollupGate(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_throttle" -> ((s, d) => Analytics.throttleEvents(s, d)),
     "q_entropy" -> ((s, d) => Analytics.hourlyEntropy(s, d)),
@@ -279,7 +279,7 @@ object SparkEntry {
     "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // rows-only: HLL estimates have no SQL-exact oracle; the spec
     // bounds est_inter against exact_inter
-    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersect(s, d)),
+    "q_hll_intersect" -> ((s, d) => Analytics.hllIntersectGate(s, d)),
     "q_rank_dense" -> ((s, d) => Relational.rankDense(s, d)),
     // COUNT(*) answered from source METADATA (SupportsPushDownAggregates):
     // a half-billion-row logical table counts at interactive speed —
@@ -4149,6 +4149,68 @@ object SparkEntry {
          |       CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared
          |FROM tr JOIN ev ON tr.h = ev.h
          |GROUP BY 1, 2 HAVING count(DISTINCT tr.h) >= 3
-         |ORDER BY train_doc, eval_doc""".stripMargin
+         |ORDER BY train_doc, eval_doc""".stripMargin,
+    // ---- bounded-error gates for the approximate operators (r10) ----
+    // Each approximate query's registered surface emits the EXACT
+    // counterpart columns (recomputed here) plus a verdict column the
+    // oracle predicts as `true`: the sketch/index stays load-bearing
+    // inside the Spark query, and an estimate drifting outside its
+    // spec bound becomes a hash FAIL in the correctness artifact
+    // instead of an unchecked `no_oracle` row.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       true AS p50_rank_ok, true AS p90_rank_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cms_topk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, key)
+        |            AS BIGINT) AS rk,
+        |       key, n_exact, true AS cms_ok
+        |FROM (SELECT l_orderkey AS key, count(*) AS n_exact
+        |      FROM lineitem GROUP BY 1)
+        |ORDER BY n_exact DESC, key LIMIT 20""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+        |            AS BIGINT) AS n_months,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |       true AS approx_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_intersect" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n_u FROM d GROUP BY 1),
+        |i AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |             count(*) AS exact_inter
+        |      FROM d a JOIN d b ON a.user_id = b.user_id
+        |                       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT na.event_type AS t_a, nb.event_type AS t_b,
+        |       CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+        |       CAST(na.n_u + nb.n_u - coalesce(i.exact_inter, 0)
+        |            AS BIGINT) AS exact_union,
+        |       true AS inter_ok
+        |FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |LEFT JOIN i ON i.t_a = na.event_type AND i.t_b = nb.event_type
+        |ORDER BY t_a, t_b""".stripMargin,
+    "sim_ivf_kmeans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(5 AS BIGINT) AS k, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // Real metadata oracle: DuckDB reads the SAME parquet footer the
+    // Spark side surfaces. {SF_DIR} is substituted by Verify at dump
+    // time (the only oracle needing a raw path — parquet_metadata()
+    // has no view to hang off).
+    "src_rowgroup_stats" ->
+      """SELECT CAST(row_group_id AS BIGINT) AS row_group,
+        |       CAST(row_group_num_rows AS BIGINT) AS n_rows,
+        |       CAST(stats_min_value AS BIGINT) AS min_key,
+        |       CAST(stats_max_value AS BIGINT) AS max_key,
+        |       CAST(stats_null_count AS BIGINT) AS n_nulls
+        |FROM parquet_metadata('{SF_DIR}/orders.parquet')
+        |WHERE path_in_schema = 'o_orderkey' ORDER BY row_group""".stripMargin
   )
 }

@@ -148,6 +148,28 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** `q_approx_distinct` gate surface: the bounded-error verdict the
+    * DuckDB oracle can replay. The exact distinct (recomputable in any
+    * engine) rides next to `approx_ok` — |HLL++ est − exact| ≤ 5% of
+    * exact, with the sketch built at rsd 0.02 so the recorded bound
+    * has 2.5× headroom. The oracle predicts every column including
+    * `approx_ok = true`, so a sketch drifting out of its bound is a
+    * hash FAIL in the correctness artifact, not a silent skip. The
+    * scale surface stays [[approxDistinctUsers]] (sketch-only, no
+    * exact pass); this is its recorded-evidence twin.
+    */
+  def approxDistinctGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          lit(0.05) * col("exact_users").cast("double")).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Quartile assignment per group (NTILE): equal-frequency bucketing
     * of order values within each priority — the windowed partner of
     * the exact-percentile aggregate.
@@ -284,6 +306,35 @@ object Analytics {
         expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("p50_est"),
         expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)").as("p90_est"),
         count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** `q_approx_quantile` gate surface: Greenwald–Khanna's contract —
+    * the returned value's RANK is within ε·n of the target rank — made
+    * recordable. Per group, the estimate's empirical rank
+    * (count(x ≤ est)/n, one broadcast-join pass back over the data) is
+    * checked against |rank − q| ≤ 0.005 (5× the nominal ε = 1/accuracy,
+    * headroom for value ties at the estimate). The oracle recomputes
+    * the exact group count and predicts both verdicts true, so a rank
+    * excursion fails the hash gate.
+    */
+  def approxQuantileGate(spark: SparkSession, dir: String,
+      accuracy: Int = 1000, epsCheck: Double = 0.005): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val est = o.groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("p50_est"),
+        expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)").as("p90_est"))
+    def rankOk(le: Column, n: Column, q: Double): Column =
+      abs(le.cast("double") / n.cast("double") - lit(q)) <= lit(epsCheck)
+    o.join(broadcast(est), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice") <= col("p50_est")).cast("long")).as("le50"),
+        sum((col("o_totalprice") <= col("p90_est")).cast("long")).as("le90"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        rankOk(col("le50"), col("n_orders"), 0.5).as("p50_rank_ok"),
+        rankOk(col("le90"), col("n_orders"), 0.9).as("p90_rank_ok"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -510,6 +561,20 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `q_hll_rollup` gate surface: [[hllRollup]]'s error report
+    * collapsed to the oracle-replayable verdict — month count and
+    * exact distinct are recomputed by DuckDB, and `approx_ok` asserts
+    * the merged-sketch estimate is within 5% of exact (Spark's HLL
+    * sketch defaults to lgK=12 ≈ 1.6% rsd, so 5% is ≥3σ headroom).
+    * The sketch build + hll_union_agg merge stay load-bearing: a
+    * broken merge shows up as `approx_ok = false` → hash FAIL.
+    */
+  def hllRollupGate(spark: SparkSession, dir: String): DataFrame =
+    hllRollup(spark, dir)
+      .select(col("o_orderpriority"), col("n_months"), col("exact_custs"),
+        (col("rel_err") <= 0.05).as("approx_ok"))
+      .orderBy(col("o_orderpriority"))
+
   /** Sketch-algebra audience overlap (`q_hll_intersect`, *rows-only*):
     * |A∩B| estimated by inclusion–exclusion over MERGEABLE HLL
     * sketches — est(A) + est(B) − est(A∪B) — for every event-type
@@ -549,9 +614,26 @@ object Analytics {
       .select(col("t_a"), col("t_b"),
         col("est_inter").cast("long").as("est_inter"),
         coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
-        col("est_union").cast("long").as("est_union"))
+        col("est_union").cast("long").as("est_union"),
+        (col("exact_a") + col("exact_b") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"))
       .orderBy(col("t_a"), col("t_b"))
   }
+
+  /** `q_hll_intersect` gate surface: the inclusion–exclusion overlap
+    * matrix with its error bound recorded. IE's absolute error scales
+    * with the UNION terms (three ~1.6%-rsd sketches), not the possibly
+    * tiny intersection, so the verdict is union-relative:
+    * |est∩ − exact∩| ≤ 5% of exact∪. DuckDB recomputes both exact
+    * sides (pairwise distinct-user intersection/union) and predicts
+    * `inter_ok = true`; a sketch-algebra regression is a hash FAIL.
+    */
+  def hllIntersectGate(spark: SparkSession, dir: String): DataFrame =
+    hllIntersect(spark, dir)
+      .select(col("t_a"), col("t_b"), col("exact_inter"), col("exact_union"),
+        (abs(col("est_inter") - col("exact_inter")).cast("double") <=
+          lit(0.05) * col("exact_union").cast("double")).as("inter_ok"))
+      .orderBy(col("t_a"), col("t_b"))
 
   def statsPerPriority(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")

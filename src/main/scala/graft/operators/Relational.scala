@@ -208,6 +208,25 @@ object Relational {
     }.toSeq.toDF("rk", "key", "n_exact", "n_est")
   }
 
+  /** `q_cms_topk` gate surface: the CMS contract recorded per heavy
+    * hitter. Rank/key/exact count are DuckDB-recomputable (exact top-k
+    * with the same desc-count, asc-key tie-break); `cms_ok` asserts
+    * never-under + over ≤ 2·eps·N (the spec's w.h.p. bound with 2×
+    * slack — deterministic here: fixed seed, fixed data). The sketch
+    * build and probe stay load-bearing; an under-count or an
+    * out-of-bound collision is a hash FAIL in the artifact.
+    */
+  def cmsTopkGate(spark: SparkSession, dir: String, k: Int = 20,
+      eps: Double = 0.0005): DataFrame = {
+    val n = Tables.load(spark, dir, "lineitem").count()
+    val bound = (2 * eps * n).toLong + 1
+    cmsHeavyHitters(spark, dir, k, eps)
+      .select(col("rk"), col("key"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + lit(bound)).as("cms_ok"))
+      .orderBy(col("rk"))
+  }
+
   /** `q_bloom_prune` surface: lineitem ⋈ urgent-orders revenue with a
     * bloom filter on the urgent order keys pruning the fact scan FIRST.
     * The build is a distributed aggregate (`stat.bloomFilter`); the

@@ -288,6 +288,34 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** `sim_ivf_kmeans` gate surface: the k-means IVF index measured
+    * against the exact brute-force ranking and collapsed to the
+    * verdict the DuckDB oracle can predict. Per-row top-k output is
+    * float-summation-order sensitive (seeded k-means|| centroids are
+    * reduced distributively, so borderline cell assignments may flip
+    * between cluster layouts); MEAN recall over the query set is not —
+    * a flipped borderline neighbor moves it by 1/(n·k) = 0.025. The
+    * bound (≥ 0.4) sits 4+ flips under the measured recall at every
+    * gate corpus (0.50 / 0.55 / 0.675 at sf0.001/0.01/0.1 with the
+    * default nprobe=4 of 16 cells), so the gate records "the index
+    * actually retrieves" without pinning reduction order; the full
+    * recall-vs-nprobe CURVE is separately oracle-gated by
+    * `sim_nprobe_sweep`. n_queries/k are exact, DuckDB-recomputed.
+    */
+  def ivfKMeansGate(spark: SparkSession, dir: String, k: Int = TopK,
+      minRecall: Double = 0.4): DataFrame = {
+    val exact = bruteforceTopK(spark, dir, k).select(col("q_id"), col("vec_id"))
+    val approx = ivfKMeansTopK(spark, dir, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("tot_hits"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        (col("tot_hits").cast("double") >=
+          lit(minRecall) * col("n_queries").cast("double") * k).as("recall_ok"))
+  }
+
   /** Nearest-centroid classification: assign every vector to its
     * closest label centroid and emit the (true label × predicted label)
     * confusion counts — the label-cleaning / propagation diagnostic a
