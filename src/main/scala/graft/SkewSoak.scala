@@ -192,6 +192,13 @@ object SkewSoak {
 
     def timed(variant: String, scale: Int, skewOn: Boolean)
         (run: => Unit): Unit = {
+      // release the PREVIOUS variant's shuffle files before timing the
+      // next: at 1000x each join shuffles ~15 GB, and five variants'
+      // worth of dead shuffle data would exhaust the scratch disk the
+      // join-free v3 generator just reclaimed (ContextCleaner removes
+      // shuffle dirs only after the owning objects are collected).
+      System.gc()
+      Thread.sleep(2000)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
       val clock = new TaskClock
       spark.sparkContext.addSparkListener(clock)

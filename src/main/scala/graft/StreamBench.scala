@@ -49,6 +49,56 @@ object StreamBench {
         pmod(col("value"), lit(97L)).cast("double").as("value"),
         col("value").as("event_id"))
 
+  /** The same events shape with `user_id` drawn Zipf(1.1) over the
+    * 100k-key domain (SkewSoak's inverse-CDF: rank = ⌊u^-10⌋ wrapped
+    * into the domain; rank 1 carries ~6.7% of all rows) — the hot-key
+    * regime for keyed STREAMING state: every micro-batch funnels ~7%
+    * of its rows through one state-store partition.
+    */
+  private def zipfEvents(spark: SparkSession, rps: Long): DataFrame = {
+    val nKeys = 100000L
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString)
+      .option("numPartitions", "32")
+      .load()
+    val u = (pmod(xxhash64(col("value")), lit(1000000000L)).cast("double") +
+      lit(0.5)) / lit(1000000000.0)
+    val raw = least(floor(pow(u, lit(-10.0))), lit(9.0e15)).cast("long")
+    base.select(col("timestamp").as("ts"),
+      (pmod(raw - lit(1L), lit(nKeys))).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("cart"), lit("purchase")),
+        (pmod(col("value"), lit(4L)) + 1).cast("int")).as("event_type"),
+      pmod(col("value"), lit(97L)).cast("double").as("value"),
+      col("value").as("event_id"))
+  }
+
+  /** Successful-task durations across the run, for the hot-partition
+    * drag ratio (max/median task ms of the stage holding the longest
+    * task — same methodology as SkewSoak's join/agg ratios).
+    */
+  private final class TaskClock extends org.apache.spark.scheduler.SparkListener {
+    val byStage = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        byStage.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration): Unit
+      }
+    def skewRatio(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val stages = byStage.values().asScala.map(_.asScala.toVector.sorted)
+        .filter(_.nonEmpty)
+      if (stages.isEmpty) (0L, 0L)
+      else {
+        val worst = stages.maxBy(_.last)
+        (worst.last, worst(worst.size / 2))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(20)
     val rps = args.drop(1).headOption.map(_.toLong).getOrElse(4000000L)
@@ -105,7 +155,7 @@ object StreamBench {
       */
     def run(name: String, build: () => DataFrame, provider: String,
         runSecs: Int, outputMode: String = "append",
-        changelog: Boolean = false): Unit = {
+        changelog: Boolean = false, zipf: Boolean = false): Unit = {
       val label = if (provider == RocksDbProvider) "rocksdb" else "hdfs"
       val clLabel = if (changelog) "on" else "off"
       val prev = spark.conf.getOption(ProviderKey)
@@ -113,6 +163,8 @@ object StreamBench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       if (provider.nonEmpty) spark.conf.set(ProviderKey, provider)
       spark.conf.set(clKey, changelog.toString)
+      val clock = new TaskClock
+      spark.sparkContext.addSparkListener(clock)
       try {
         val q = build().writeStream.format("noop")
           .trigger(Trigger.ProcessingTime("1 second"))
@@ -141,8 +193,12 @@ object StreamBench {
         val commitMean =
           if (commits.isEmpty) 0.0 else commits.sum.toDouble / commits.size
         val commitMax = if (commits.isEmpty) 0L else commits.max
-        emit(f"""{"metric":"stream_bench","pipeline":"$name","provider":"$label","changelog":"$clLabel","rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows,"state_rows":$stateRows,"state_mem_bytes":$stateMem,"sst_bytes":$sstBytes,"commit_ms_mean":$commitMean%.0f,"commit_ms_max":$commitMax}""")
+        Thread.sleep(1000) // drain the listener bus
+        val (taskMax, taskMed) = clock.skewRatio()
+        val taskRatio = if (taskMed > 0) taskMax.toDouble / taskMed else 0.0
+        emit(f"""{"metric":"stream_bench","pipeline":"$name","provider":"$label","changelog":"$clLabel","zipf":$zipf,"rows_per_sec":$sustained%.0f,"batches":${progress.size},"rows":$rows,"state_rows":$stateRows,"state_mem_bytes":$stateMem,"sst_bytes":$sstBytes,"commit_ms_mean":$commitMean%.0f,"commit_ms_max":$commitMax,"task_max_ms":$taskMax,"task_med_ms":$taskMed,"task_ratio":$taskRatio%.1f}""")
       } finally {
+        spark.sparkContext.removeSparkListener(clock)
         prev match {
           case Some(v) => spark.conf.set(ProviderKey, v)
           case None => spark.conf.unset(ProviderKey)
@@ -157,6 +213,29 @@ object StreamBench {
         run(name, build, RocksDbProvider, secs)
         run(name, build, RocksDbProvider, secs, changelog = true)
       }
+    }
+
+    // ---- the same stateful shapes under a Zipf(1.1) HOT KEY
+    // (VERDICT r9 item 6): rank 1 carries ~6.7% of every micro-batch
+    // into one state-store partition. task_ratio (max/median task ms)
+    // is the hot-partition drag number; compare against the uniform
+    // rows above. Both providers, changelog on for RocksDB — the
+    // deployment shape SCALING.md recommends.
+    def zEvents = zipfEvents(spark, rps)
+    val zipfPipelines: Seq[(String, () => DataFrame)] = Seq(
+      // dedup keyed directly on the Zipf user: the 100k-key domain
+      // dedups hard at 4M rows/s, and the rank-1 key funnels ~6.7% of
+      // every batch through one partition's state lookups
+      ("dedup_within_watermark", () =>
+        EventStream.dedupWithinWatermark(
+          zEvents.withColumn("dedup_key", col("user_id")),
+          Seq("dedup_key"), "5 seconds")),
+      ("stateful_sessionize", () => EventStream.sessionizeStateful(
+        zEvents.select(col("user_id"), col("ts"), col("value"))
+          .as[EventStream.Ev]).toDF()))
+    for ((name, build) <- zipfPipelines) {
+      run(name, build, "", secs, zipf = true)
+      run(name, build, RocksDbProvider, secs, changelog = true, zipf = true)
     }
 
     // State-exceeds-heap: every event is a NEW key and the state row
