@@ -190,7 +190,24 @@ object SkewSoak {
       new java.io.FileWriter("soak_results.jsonl", true))
     def emit(line: String): Unit = { println(line); sink.println(line); sink.flush() }
 
+    // optional second arg: run only these comma-separated variants
+    // (the layouts and profile still materialize) — lets a new variant
+    // be measured without re-timing the whole decade.
+    val only: Set[String] = args.drop(1).headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+
     def timed(variant: String, scale: Int, skewOn: Boolean)
+        (run: => Unit): Unit = if (only.isEmpty || only(variant)) {
+      // a FATAL task error (e.g. SparkOutOfMemoryError when the sort
+      // spill hits ENOSPC) stops the local-mode context; without this
+      // guard the next variant dies on addSparkListener and every
+      // remaining row is lost instead of recorded as skipped.
+      if (spark.sparkContext.isStopped) {
+        emit(s"""{"metric":"skew","scale":$scale,"variant":"$variant","sec":0.0,"task_max_ms":0,"task_med_ms":0,"ratio":0.0,"status":"skipped: SparkContext stopped by a prior variant's fatal error"}""")
+      } else timedRun(variant, scale, skewOn)(run)
+    }
+
+    def timedRun(variant: String, scale: Int, skewOn: Boolean)
         (run: => Unit): Unit = {
       // release the PREVIOUS variant's shuffle files before timing the
       // next: at 1000x each join shuffles ~15 GB, and five variants'
@@ -242,13 +259,41 @@ object SkewSoak {
       timed("uniform", k, skewOn = false) { noop(plainRevenue(spark, base)) }
       timed("plain", k, skewOn = false) { noop(plainRevenue(spark, skew)) }
       timed("aqe", k, skewOn = true) { noop(plainRevenue(spark, skew)) }
+      // AQE with the split trigger TUNED to this skew: the default
+      // trigger is hot > 5x median AND > 256 MB, but a 6.7%-share hot
+      // key over 32 reducers is only ~3x the median partition — AQE
+      // ships and does nothing (the `aqe` row above measures exactly
+      // that). factor=2 + 64 MB makes the trigger match the observed
+      // skew; on a real cluster this is a per-job tuning knob, not a
+      // code change.
+      def aqeWith(factor: String, threshold: String)(body: => Unit): Unit = {
+        val fKey = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        val bKey =
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        val f0 = spark.conf.getOption(fKey); val b0 = spark.conf.getOption(bKey)
+        spark.conf.set(fKey, factor); spark.conf.set(bKey, threshold)
+        try body
+        finally {
+          f0.fold(spark.conf.unset(fKey))(spark.conf.set(fKey, _))
+          b0.fold(spark.conf.unset(bKey))(spark.conf.set(bKey, _))
+        }
+      }
+      timed("aqe_tuned", k, skewOn = true) {
+        aqeWith("2.0", "64m") { noop(plainRevenue(spark, skew)) }
+      }
+      // ProbeSkewAqe finding: the detector compares shuffle BYTES, and
+      // an identical hot key lz4-compresses ~2x better than uniform
+      // keys — a 2.9x ROW skew reads as 1.95x in bytes, so factor 2.0
+      // never fires. 1.2/16m is the setting the measured byte
+      // histogram says will trigger (and at 100x the hot partition is
+      // smaller than the 64 MB advisory chunk, so no split is even
+      // constructible — splitting needs >1 target-size chunk).
+      timed("aqe_split", k, skewOn = true) {
+        aqeWith("1.2", "16m") { noop(plainRevenue(spark, skew)) }
+      }
       timed("salted4", k, skewOn = false) {
         noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 4))
       }
-      timed("salted16", k, skewOn = false) {
-        noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 16))
-      }
-
       // ---- AGGREGATION under the same Zipf key (VERDICT r9 item 5).
       // Three aggregate classes, because "skewed groupBy" is not one
       // phenomenon:
@@ -309,6 +354,14 @@ object SkewSoak {
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
       timed("aggdist_salted8", k, skewOn = false) {
         noop(aggDistinctSalted(skew, 8))
+      }
+      // LAST on purpose: the 16x-replicated orders side is the
+      // largest sort spill of the decade — at 1000x it can hit ENOSPC
+      // on this host's scratch disk, and SparkOutOfMemoryError is
+      // FATAL to a local-mode context (both r10 attempts died here).
+      // Running it last means a fatal ending costs only this row.
+      timed("salted16", k, skewOn = false) {
+        noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 16))
       }
     }
     sink.close()
