@@ -332,6 +332,22 @@ object SkewSoak {
         graft.sources.Tables.load(spark, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(expr("percentile_approx(l_extendedprice, 0.5, 100)").as("med"))
+      // the count-map escape hatch closed: a per-row-distinct value
+      // (hash noise at 1e-9) forces percentile to buffer every VALUE
+      // of the hot key in one reducer — the regime where the exact
+      // path's round-10 survival story breaks and the mergeable
+      // sketch is REQUIRED, not just faster.
+      def hcValue = col("l_extendedprice") +
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(1000000L))
+          .cast("double") * lit(1e-9)
+      def aggMedianHC(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(percentile_approx(hcValue, lit(0.5), lit(100)).as("med"))
+      def aggMedianHCExact(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(expr("percentile(l_extendedprice + cast(pmod(xxhash64(l_orderkey, l_linenumber), 1000000) as double) * 1e-9, 0.5)").as("med"))
       def aggDistinct(dir: String): DataFrame =
         graft.sources.Tables.load(spark, dir, "lineitem")
           .groupBy(col("l_orderkey"))
@@ -350,6 +366,11 @@ object SkewSoak {
       timed("aggmed_uniform", k, skewOn = false) { noop(aggMedian(base)) }
       timed("aggmed_plain", k, skewOn = false) { noop(aggMedian(skew)) }
       timed("aggmed_sketch", k, skewOn = false) { noop(aggMedianSketch(skew)) }
+      // sketch first: the exact variant's hot-key buffer (~25 B per
+      // distinct value, 40M values at 1000x) can be fatal, and a
+      // fatal variant takes the context with it
+      timed("aggmedhc_sketch", k, skewOn = false) { noop(aggMedianHC(skew)) }
+      timed("aggmedhc_exact", k, skewOn = false) { noop(aggMedianHCExact(skew)) }
       timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
       timed("aggdist_salted8", k, skewOn = false) {
