@@ -291,6 +291,31 @@ object SkewSoak {
       timed("aqe_split", k, skewOn = true) {
         aqeWith("1.2", "16m") { noop(plainRevenue(spark, skew)) }
       }
+      // the advisor's own recommendation, measured end-to-end: advise
+      // on the skewed fact (row histogram + haircut), apply the
+      // returned trigger, run the same join. The advise() cost is
+      // deliberately INSIDE the timing — it is part of what the
+      // mitigation costs a real pipeline.
+      timed("aqe_advised", k, skewOn = true) {
+        val li = graft.sources.Tables.load(spark, skew, "lineitem")
+        val advice = graft.operators.SkewAdvisor.advise(
+          li, Seq(col("l_orderkey")), nPartitions = 32,
+          bytesPerRow =
+            graft.operators.SkewAdvisor.estimateBytesPerRow(
+              li.select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount"))),
+          sampleFraction = 0.02)
+        System.err.println(s"[skew] advisor: $advice")
+        val aKeys = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val saved = aKeys.map(k0 => k0 -> spark.conf.getOption(k0))
+        advice.applyTo(spark): Unit
+        try noop(plainRevenue(spark, skew))
+        finally saved.foreach { case (k0, v) =>
+          v.fold(spark.conf.unset(k0))(spark.conf.set(k0, _)) }
+      }
       timed("salted4", k, skewOn = false) {
         noop(graft.operators.Temporal.saltedJoinRevenue(spark, skew, nSalt = 4))
       }

@@ -83,16 +83,26 @@ object SkewAdvisor {
   def estimateBytesPerRow(df: DataFrame): Long =
     math.max(8L, df.schema.defaultSize.toLong)
 
+  /** @param sampleFraction measure the histogram on a Bernoulli
+    *   sample and scale the counts back up — at 600M rows a 2%
+    *   sample reproduces the reducer histogram to well under the
+    *   1.5x decision boundary and cuts the advise() cost ~50x.
+    */
   def advise(df: DataFrame, keys: Seq[Column], nPartitions: Int,
-      bytesPerRow: Long): Advice = {
+      bytesPerRow: Long, sampleFraction: Double = 1.0): Advice = {
     require(keys.nonEmpty, "advise needs at least one key column")
     require(nPartitions > 1, "advise needs nPartitions > 1")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val input =
+      if (sampleFraction < 1.0) df.sample(sampleFraction, seed = 42L) else df
     // the same reducer assignment HashPartitioning will produce:
     // Murmur3 hash of the key columns, pmod into nPartitions
-    val hist = df
+    val hist = input
       .groupBy(pmod(hash(keys: _*), lit(nPartitions)).as("__p"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(_.getAs[Long]("__n")).sorted
+      .collect().map(r => (r.getAs[Long]("__n") / sampleFraction).toLong)
+      .sorted
     val hot = if (hist.isEmpty) 0L else hist.last
     // empty reducers count as zero-row partitions
     val full = Array.fill(nPartitions - hist.length)(0L) ++ hist
@@ -118,9 +128,16 @@ object SkewAdvisor {
       // fire margin: stay 15% under the predicted byte ratio, never
       // below 1.1 (factor 1.0 would split everything)
       val factor = math.max(1.1, predictedByteRatio * 0.85)
-      // make the split constructible: >= 4 chunks of the advisory
-      // size fit in the hot partition's compressed bytes
-      val advisory = math.max(8L * 1024 * 1024, estHotCompressed / 4)
+      // make the split constructible with margin: aim for >= 8 chunks
+      // of the advisory size in the ESTIMATED hot bytes, because the
+      // estimate's compression guess errs large (measured ~5x codec
+      // compression on a repeated-key fact vs the 3x baseline here —
+      // an advisory derived at /4 left only ~2 real chunks and the
+      // max task barely moved). Finer advisory chunks are cheap:
+      // coalescing only MERGES partitions, it never splits non-skewed
+      // ones, so a smaller advisory does not fragment the rest of the
+      // plan.
+      val advisory = math.max(8L * 1024 * 1024, estHotCompressed / 8)
       val threshold = advisory
       Advice(nPartitions, hot, med, rowRatio, predictedByteRatio,
         estHotCompressed, skewed = true,

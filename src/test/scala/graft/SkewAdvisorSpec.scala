@@ -25,9 +25,10 @@ class SkewAdvisorSpec extends SparkSpec {
     // will see (predicted = rows / haircut), or it can never fire
     val f = a.recommendedFactor.get
     assert(f >= 1.1 && f < a.predictedByteRatio)
-    // and the hot partition must divide into >= 4 advisory chunks,
-    // or no split is constructible
-    assert(a.recommendedAdvisoryBytes.get * 4 <= a.estHotCompressedBytes)
+    // and the hot partition must divide into >= 8 advisory chunks
+    // (margin for the compression estimate erring large), or no
+    // split is constructible
+    assert(a.recommendedAdvisoryBytes.get * 8 <= a.estHotCompressedBytes)
     assert(a.recommendedThresholdBytes.get <= a.estHotCompressedBytes)
 
     // applying the advice lands the three confs verbatim
@@ -67,6 +68,24 @@ class SkewAdvisorSpec extends SparkSpec {
     assert(a.skewed) // the row ratio is real
     assert(a.recommendedFactor.isEmpty) // but not worth configuring
     assert(a.note.contains("too small"))
+  }
+
+  test("sampled advise reproduces the full histogram's decision") {
+    import spark.implicits._
+    val n = 200000
+    val df = spark.range(n).select(
+      when(col("id") < (n * 3 / 10), lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000L))).as("k"))
+    val full = SkewAdvisor.advise(df, Seq($"k"), 32, 4096)
+    val sampled = SkewAdvisor.advise(df, Seq($"k"), 32, 4096,
+      sampleFraction = 0.1)
+    assert(sampled.skewed == full.skewed)
+    // scaled-back counts land near the full measurement
+    assert(math.abs(sampled.hotRows - full.hotRows).toDouble /
+      full.hotRows < 0.1)
+    assert(sampled.rowRatio / full.rowRatio > 0.8 &&
+      sampled.rowRatio / full.rowRatio < 1.25)
+    assert(sampled.recommendedFactor.isDefined)
   }
 
   test("advice is deterministic across runs") {
