@@ -1,0 +1,246 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.catalyst.expressions.{
+  AttributeReference, BinaryComparison, Expression, In, InSet, Literal,
+  ScalaUDF, StringPredicate}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.{
+  CollectLimitExec, FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{
+  AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{
+  BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+  SortMergeJoinExec}
+
+/** One plan-lint finding. Severity is `error` (will not survive a
+  * large input), `warn` (survives only when a side/result is bounded —
+  * a human must confirm the bound), or `info` (worth knowing, usually
+  * fine).
+  */
+final case class LintFinding(
+    rule: String, severity: String, node: String, detail: String)
+
+/** Static scale lint over a physical plan: the checklist the per-round
+  * plan audit (docs/PLAN_AUDIT.md) applies by hand, as a library call a
+  * pipeline can run in CI before pointing a query at 100 TB.
+  *
+  * Rules (each encodes a measured failure mode from docs/SCALING.md /
+  * docs/CLUSTER.md rather than a style preference):
+  *
+  *  - `cartesian-product` (error): a non-broadcast cartesian pairs
+  *    every partition with every other — quadratic shuffle, no input
+  *    size survives it.
+  *  - `nested-loop-join` (warn): BroadcastNestedLoopJoin is linear in
+  *    the fact side but compares every row against the WHOLE broadcast
+  *    side; fine for one-row/bounded aggregates and spines (this
+  *    repo's only uses), fatal when the broadcast side grows with the
+  *    data.
+  *  - `single-partition-exchange` (warn): a 1-partition shuffle
+  *    serializes the stage onto one task — bounded-by-design heads
+  *    (top-k, calendar grids) are fine, fact tables are not.
+  *  - `udf-in-plan` (warn): a Scala UDF blocks whole-stage codegen and
+  *    ships closures; prefer `functions._` or a codegen Expression.
+  *  - `unpushed-scan-filter` (warn): the scan carries data filters the
+  *    source could not translate, OR the session has
+  *    `spark.sql.parquet.filterPushdown` off (the plan's PushedFilters
+  *    reflect TRANSLATION; the reader consults the conf, so a disabled
+  *    conf means advertised-but-ignored pushdown). Either way every
+  *    row is read and decoded before filtering — at 100 TB the
+  *    difference between a pushed and an unpushed predicate is the
+  *    whole scan.
+  *  - `non-broadcast-small-side` (info under AQE, warn without): a
+  *    shuffle join whose smaller side's optimizer estimate fits the
+  *    broadcast threshold — plan-time stats missed it; AQE usually
+  *    rescues this at runtime from actual shuffle sizes (hence info),
+  *    but with AQE off it is a real lost broadcast.
+  *  - `large-collect-limit` (warn): a CollectLimit above 1M rows
+  *    materializes on the driver.
+  *  - `codegen-gap` (info): a codegen-capable Filter/Project/Aggregate
+  *    left outside every WholeStageCodegen span. Only assessed when
+  *    the tree contains at least one span (under AQE, codegen collapse
+  *    happens per-stage at materialization, so a pre-execution plan is
+  *    skipped rather than false-flagged).
+  *
+  * Lint is STATIC: it reads `df.queryExecution.executedPlan` without
+  * running the query (under AQE that is the initial plan — the one
+  * whose anti-patterns you must fix; AQE can re-plan stages but never
+  * un-cartesian a join). `lintPlan` accepts an already-executed plan
+  * for post-run audits (graft.ExplainAudit does this).
+  */
+object PlanLint {
+
+  val severityRank: Map[String, Int] =
+    Map("info" -> 0, "warn" -> 1, "error" -> 2)
+
+  /** Every node reachable from `root`, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec holds the current plan, QueryStageExec the
+    * stage body) and expression subqueries.
+    */
+  def walk(root: SparkPlan): Seq[SparkPlan] = {
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: (kids ++ p.subqueries).flatMap(deep)
+    }
+    deep(root)
+  }
+
+  def lint(df: Dataset[_]): Seq[LintFinding] = {
+    val conf = df.sparkSession.sessionState.conf
+    lintPlan(df.queryExecution.executedPlan,
+      conf.autoBroadcastJoinThreshold, conf.adaptiveExecutionEnabled,
+      conf.parquetFilterPushDown)
+  }
+
+  def lintPlan(root: SparkPlan, autoBroadcastThreshold: Long,
+      adaptiveEnabled: Boolean, parquetPushdownEnabled: Boolean = true)
+      : Seq[LintFinding] = {
+    val nodes = walk(root)
+    val out = Seq.newBuilder[LintFinding]
+
+    nodes.foreach {
+      case c: CartesianProductExec =>
+        out += LintFinding("cartesian-product", "error", c.nodeName,
+          "non-broadcast cartesian join: every partition pairs with " +
+            "every other; no input size survives this at scale")
+      case b: BroadcastNestedLoopJoinExec =>
+        val cond = b.condition.map(_.sql).getOrElse("<none>")
+        out += LintFinding("nested-loop-join", "warn", b.nodeName,
+          s"compares each row against the whole broadcast side " +
+            s"(condition: $cond); safe only when the broadcast side is " +
+            "bounded by construction (one-row aggregate, spine, grid)")
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 =>
+        out += LintFinding("single-partition-exchange", "warn", e.nodeName,
+          "one-partition shuffle serializes the stage onto a single " +
+            "task; acceptable for bounded heads (top-k, calendar " +
+            "grids), fatal for fact-sized inputs")
+      case c: CollectLimitExec if c.limit > 1000000 =>
+        out += LintFinding("large-collect-limit", "warn", c.nodeName,
+          s"collects ${c.limit} rows onto the driver")
+      case s: FileSourceScanExec if s.dataFilters.nonEmpty &&
+          s.metadata.get("PushedFilters").contains("[]") &&
+          hasPushableShape(s.dataFilters) =>
+        out += LintFinding("unpushed-scan-filter", "warn", s.nodeName,
+          s"scan evaluates ${s.dataFilters.size} filter(s) after " +
+            "decoding every row — none were translated to source " +
+            s"pushdown (filters: ${s.dataFilters.map(_.sql).mkString(", ").take(200)})")
+      case s: FileSourceScanExec if s.dataFilters.nonEmpty &&
+          !parquetPushdownEnabled &&
+          s.relation.fileFormat.isInstanceOf[ParquetFileFormat] =>
+        // `PushedFilters` in the plan shows the TRANSLATED filters, but
+        // the parquet reader consults spark.sql.parquet.filterPushdown
+        // at read time — with it off, the plan advertises pushdown that
+        // never happens (easy to leave behind after debugging a
+        // pushdown issue).
+        out += LintFinding("unpushed-scan-filter", "warn", s.nodeName,
+          "spark.sql.parquet.filterPushdown is false: the scan's " +
+            "PushedFilters are advertised in the plan but ignored by " +
+            "the parquet reader — every row group is read and decoded")
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec) =>
+        smallSideEstimate(j, autoBroadcastThreshold).foreach { small =>
+          val (sev, rescue) =
+            if (adaptiveEnabled)
+              ("info", "AQE usually converts this to broadcast at " +
+                "runtime from actual shuffle sizes")
+            else ("warn", "AQE is off — the broadcast is genuinely lost")
+          out += LintFinding("non-broadcast-small-side", sev, j.nodeName,
+            f"smaller side estimated at $small%d bytes, within the " +
+              f"broadcast threshold ($autoBroadcastThreshold%d); $rescue")
+        }
+      case _ =>
+    }
+
+    nodes.foreach { p =>
+      if (p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))) {
+        out += LintFinding("udf-in-plan", "warn", p.nodeName,
+          "Scala UDF blocks whole-stage codegen and ships a closure; " +
+            "prefer org.apache.spark.sql.functions or a codegen Expression")
+      }
+    }
+
+    // codegen gaps: only meaningful once CollapseCodegenStages ran
+    if (nodes.exists(_.isInstanceOf[WholeStageCodegenExec])) {
+      val inSpan = nodes.collect { case w: WholeStageCodegenExec => w }
+        .flatMap(w => walk(w.child)).toSet
+      nodes.foreach {
+        case p: org.apache.spark.sql.execution.FilterExec if !inSpan(p) =>
+          out += codegenGap(p)
+        case p: org.apache.spark.sql.execution.ProjectExec if !inSpan(p) =>
+          out += codegenGap(p)
+        case p: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if !inSpan(p) => out += codegenGap(p)
+        case _ =>
+      }
+    }
+    out.result()
+  }
+
+  private def codegenGap(p: SparkPlan): LintFinding =
+    LintFinding("codegen-gap", "info", p.nodeName,
+      "codegen-capable operator outside every WholeStageCodegen span")
+
+  /** Smaller-side optimizer estimate when it fits the broadcast
+    * threshold — from the logical Join this physical join was planned
+    * from. None when stats are unavailable or the side is big.
+    */
+  private def smallSideEstimate(
+      j: SparkPlan, threshold: Long): Option[BigInt] =
+    if (threshold <= 0) None
+    else j.logicalLink.collect { case lj: Join =>
+      Try {
+        val small = lj.left.stats.sizeInBytes.min(lj.right.stats.sizeInBytes)
+        if (small <= threshold) Some(small) else None
+      }.toOption.flatten
+    }.flatten
+
+  /** A filter shaped like something a columnar source CAN usually
+    * push: attribute-vs-literal comparison, IN, or a string-prefix
+    * predicate. Filters on computed values are excluded — not pushable,
+    * not worth flagging.
+    */
+  private def hasPushableShape(filters: Seq[Expression]): Boolean =
+    filters.exists(_.exists {
+      case cmp: BinaryComparison =>
+        (cmp.left.isInstanceOf[AttributeReference] &&
+          cmp.right.isInstanceOf[Literal]) ||
+        (cmp.right.isInstanceOf[AttributeReference] &&
+          cmp.left.isInstanceOf[Literal])
+      case In(_: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+      case InSet(_: AttributeReference, _) => true
+      case sp: StringPredicate => sp.left.isInstanceOf[AttributeReference] &&
+        sp.right.isInstanceOf[Literal]
+      case _ => false
+    })
+
+  /** Human-readable lint report (one line per finding, worst first). */
+  def report(df: Dataset[_]): String = {
+    val fs = lint(df).sortBy(f => -severityRank(f.severity))
+    if (fs.isEmpty) "plan-lint: clean"
+    else fs.map(f => s"[${f.severity}] ${f.rule} @ ${f.node}: ${f.detail}")
+      .mkString("\n")
+  }
+
+  /** CI gate: throw when any finding at or above `failOn` severity is
+    * present (default: errors only — `warn` covers patterns that are
+    * legitimate when a side is bounded, which a static lint cannot
+    * prove).
+    */
+  def assertClean(df: Dataset[_], failOn: String = "error"): Unit = {
+    val bar = severityRank(failOn)
+    val bad = lint(df).filter(f => severityRank(f.severity) >= bar)
+    if (bad.nonEmpty) {
+      throw new AssertionError(
+        s"plan lint found ${bad.size} finding(s) at or above '$failOn':\n" +
+          bad.map(f => s"[${f.severity}] ${f.rule} @ ${f.node}: ${f.detail}")
+            .mkString("\n"))
+    }
+  }
+}

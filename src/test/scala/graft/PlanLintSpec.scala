@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanLint
+
+class PlanLintSpec extends SparkSpec {
+
+  private val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+
+  private def rules(df: org.apache.spark.sql.Dataset[_]): Set[String] =
+    PlanLint.lint(df).map(_.rule).toSet
+
+  test("non-broadcast cartesian is an error") {
+    val graftKey = "spark.graft.broadcastDimThreshold"
+    val prev = spark.conf.get(autoKey)
+    try {
+      // disable BOTH broadcast paths (Spark's size threshold and the
+      // graft small-dim hint rule) so the planner has to pick
+      // CartesianProductExec
+      spark.conf.set(autoKey, "-1")
+      spark.conf.set(graftKey, "1")
+      val a = spark.range(100).toDF("x")
+      val b = spark.range(100).toDF("y")
+      val cross = a.crossJoin(b)
+      val fs = PlanLint.lint(cross)
+      assert(fs.exists(f => f.rule == "cartesian-product" && f.severity == "error"),
+        fs.mkString("\n"))
+      val ex = intercept[AssertionError] { PlanLint.assertClean(cross) }
+      assert(ex.getMessage.contains("cartesian-product"))
+    } finally {
+      spark.conf.set(autoKey, prev)
+      spark.conf.unset(graftKey)
+    }
+  }
+
+  test("broadcast nested-loop join is a warn, not an error") {
+    // the engine's own bounded-spine crossJoins plan as BNLJ: they must
+    // pass assertClean (default failOn=error) but still surface a warn
+    val one = spark.range(5).agg(count(lit(1)).as("n"))
+    val df = spark.range(100).toDF("x").crossJoin(broadcast(one))
+    val fs = PlanLint.lint(df)
+    assert(fs.exists(f => f.rule == "nested-loop-join" && f.severity == "warn"),
+      fs.mkString("\n"))
+    PlanLint.assertClean(df) // no error-level findings
+  }
+
+  test("one-partition shuffle is flagged") {
+    val df = spark.range(1000).toDF("x").repartition(1)
+    assert(rules(df).contains("single-partition-exchange"),
+      PlanLint.report(df))
+  }
+
+  test("Scala UDF in the plan is flagged") {
+    val inc = udf((i: Long) => i + 1)
+    val df = spark.range(10).toDF("x").select(inc(col("x")).as("y"))
+    assert(rules(df).contains("udf-in-plan"), PlanLint.report(df))
+    // the same computation through functions._ is clean
+    val native = spark.range(10).toDF("x").select((col("x") + 1).as("y"))
+    assert(!rules(native).contains("udf-in-plan"), PlanLint.report(native))
+  }
+
+  test("filter the source could not push down is flagged; a pushed one is not") {
+    val pushKey = "spark.sql.parquet.filterPushdown"
+    val prev = spark.conf.get(pushKey)
+    try {
+      spark.conf.set(pushKey, "false")
+      val unpushed = graft.sources.Tables.load(spark, sf, "lineitem")
+        .filter(col("l_quantity") < 5).select("l_orderkey")
+      assert(rules(unpushed).contains("unpushed-scan-filter"),
+        PlanLint.report(unpushed))
+
+      spark.conf.set(pushKey, "true")
+      val pushed = graft.sources.Tables.load(spark, sf, "lineitem")
+        .filter(col("l_quantity") < 5).select("l_orderkey")
+      assert(!rules(pushed).contains("unpushed-scan-filter"),
+        PlanLint.report(pushed))
+    } finally spark.conf.set(pushKey, prev)
+  }
+
+  test("forced shuffle join with a broadcastable side is surfaced") {
+    // a merge hint (or a full-outer join type) keeps a small dim out of
+    // broadcast at plan time — the lint names the lost broadcast
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val n = graft.sources.Tables.load(spark, sf, "nation").hint("merge")
+    val df = li.join(n, li("l_suppkey") % 25 === n("n_nationkey"))
+      .groupBy("n_name").count()
+    val fs = PlanLint.lint(df)
+    assert(fs.exists(_.rule == "non-broadcast-small-side"), PlanLint.report(df))
+    // AQE is on in the graft session -> advisory severity, not a warn
+    assert(fs.filter(_.rule == "non-broadcast-small-side")
+      .forall(_.severity == "info"), fs.mkString("\n"))
+  }
+
+  test("headline queries carry no error-level findings") {
+    Seq("q1_pricing_summary", "q_star_join_agg", "dedup_minhash",
+      "text_tfidf", "sim_bruteforce_topk", "q_fusion_etl",
+      "q_salted_join_agg").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      PlanLint.assertClean(df)
+    }
+  }
+
+  test("clean plan reports clean") {
+    val df = spark.range(1000).toDF("x")
+      .groupBy((col("x") % 10).as("k")).agg(sum("x").as("s"))
+    assert(PlanLint.report(df) == "plan-lint: clean")
+  }
+}
