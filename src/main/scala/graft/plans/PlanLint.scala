@@ -45,14 +45,16 @@ final case class LintFinding(
   *    (top-k, calendar grids) are fine, fact tables are not.
   *  - `udf-in-plan` (warn): a Scala UDF blocks whole-stage codegen and
   *    ships closures; prefer `functions._` or a codegen Expression.
-  *  - `unpushed-scan-filter` (warn): the scan carries data filters the
-  *    source could not translate, OR the session has
-  *    `spark.sql.parquet.filterPushdown` off (the plan's PushedFilters
-  *    reflect TRANSLATION; the reader consults the conf, so a disabled
-  *    conf means advertised-but-ignored pushdown). Either way every
-  *    row is read and decoded before filtering — at 100 TB the
-  *    difference between a pushed and an unpushed predicate is the
-  *    whole scan.
+  *  - `unpushed-scan-filter` (warn): the scan carries data filters
+  *    that will not reach the parquet reader — the source could not
+  *    translate them, `spark.sql.parquet.filterPushdown` is off, or
+  *    the filter compares a TIMESTAMP_NTZ column (the plan's
+  *    PushedFilters reflect the source-Filter TRANSLATION, but the
+  *    reader-side ParquetFilters layer drops NTZ literals, so the
+  *    advertised pushdown skips nothing — measured in the layout
+  *    soak). Either way every row is read and decoded before
+  *    filtering — at 100 TB the difference between a pushed and an
+  *    unpushed predicate is the whole scan.
   *  - `non-broadcast-small-side` (info under AQE, warn without): a
   *    shuffle join whose smaller side's optimizer estimate fits the
   *    broadcast threshold — plan-time stats missed it; AQE usually
@@ -132,6 +134,24 @@ object PlanLint {
           s"scan evaluates ${s.dataFilters.size} filter(s) after " +
             "decoding every row — none were translated to source " +
             s"pushdown (filters: ${s.dataFilters.map(_.sql).mkString(", ").take(200)})")
+      case s: FileSourceScanExec
+          if s.relation.fileFormat.isInstanceOf[ParquetFileFormat] &&
+            hasNtzComparison(s.dataFilters) =>
+        // Measured (docs/SCALING.md round 10, layout soak): a pushed
+        // filter on a TIMESTAMP_NTZ column never skips a row group —
+        // the plan's PushedFilters come from the source-Filter
+        // translation, but ParquetFilters (the layer that builds the
+        // actual parquet predicate) accepts java.sql.Timestamp /
+        // java.time.Instant values and an NTZ literal arrives as
+        // LocalDateTime, so no predicate is ever handed to the reader.
+        // An identical out-of-range filter on a LONG column of the
+        // same files skips everything. Revisit if a later Spark adds
+        // LocalDateTime to ParquetFilters.valueCanMakeFilterOn.
+        out += LintFinding("unpushed-scan-filter", "warn", s.nodeName,
+          "filter on a TIMESTAMP_NTZ column: pushdown is advertised in " +
+            "the plan but inert in the parquet reader (no row-group " +
+            "skipping) — cluster and filter on a DATE or epoch-long " +
+            "column instead")
       case s: FileSourceScanExec if s.dataFilters.nonEmpty &&
           !parquetPushdownEnabled &&
           s.relation.fileFormat.isInstanceOf[ParquetFileFormat] =>
@@ -200,6 +220,21 @@ object PlanLint {
         if (small <= threshold) Some(small) else None
       }.toOption.flatten
     }.flatten
+
+  /** A comparison of a TIMESTAMP_NTZ attribute against a literal —
+    * the shape whose parquet pushdown is advertised but inert (see the
+    * rule above).
+    */
+  private def hasNtzComparison(filters: Seq[Expression]): Boolean =
+    filters.exists(_.exists {
+      case cmp: BinaryComparison =>
+        Seq(cmp.left, cmp.right).exists {
+          case a: AttributeReference =>
+            a.dataType == org.apache.spark.sql.types.TimestampNTZType
+          case _ => false
+        } && Seq(cmp.left, cmp.right).exists(_.isInstanceOf[Literal])
+      case _ => false
+    })
 
   /** A filter shaped like something a columnar source CAN usually
     * push: attribute-vs-literal comparison, IN, or a string-prefix

@@ -92,6 +92,50 @@ class PlanLintSpec extends SparkSpec {
       .forall(_.severity == "info"), fs.mkString("\n"))
   }
 
+  test("timestamp_ntz pushdown is advertised but inert; date/long skip row groups — and the lint names it") {
+    // The mechanism behind the NTZ leg of `unpushed-scan-filter`:
+    // ParquetFilters accepts java.sql.Timestamp / java.time.Instant
+    // values, an NTZ literal arrives as LocalDateTime, so the reader
+    // never receives a predicate — while the SAME out-of-range filter
+    // on a date or long column of the SAME files skips every row
+    // group. If a future Spark fixes NTZ pushdown, this spec fails and
+    // the lint rule should be retired with it.
+    val p = java.nio.file.Files.createTempDirectory("lint_ntz").toString
+    spark.range(50000).toDF("id")
+      .withColumn("ts", to_timestamp_ntz(
+        concat(lit("1997-"), lpad((col("id") % 12 + 1).cast("string"), 2, "0"),
+          lit("-15 12:00:00"))))
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").parquet(p)
+
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val agg = df.select(count(lit(1)).as("c"))
+      agg.queryExecution.executedPlan.executeCollect(): Unit
+      PlanLint.walk(agg.queryExecution.executedPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.get
+    }
+    val all = spark.read.parquet(p)
+    // out-of-domain predicates: with working pushdown every row group's
+    // min/max excludes them and the scan outputs ZERO rows
+    assert(scanRows(all.filter(col("id") < -1L)) == 0L)
+    assert(scanRows(all.filter(
+      col("day") < lit(java.sql.Date.valueOf("1990-01-01")))) == 0L)
+    // the NTZ filter is advertised as pushed but skips nothing
+    val ntz = all.filter(col("ts") < lit("1990-01-01"))
+    assert(scanRows(ntz) == 50000L)
+    val fs = PlanLint.lint(all.filter(col("ts") < lit("1990-01-01"))
+      .select(count(lit(1)).as("c")))
+    assert(fs.exists(f => f.rule == "unpushed-scan-filter" &&
+      f.detail.contains("TIMESTAMP_NTZ")), fs.mkString("\n"))
+    // the date filter on the same files is clean
+    val okFs = PlanLint.lint(all.filter(
+      col("day") < lit(java.sql.Date.valueOf("1990-01-01")))
+      .select(count(lit(1)).as("c")))
+    assert(!okFs.exists(_.rule == "unpushed-scan-filter"), okFs.mkString("\n"))
+  }
+
   test("headline queries carry no error-level findings") {
     Seq("q1_pricing_summary", "q_star_join_agg", "dedup_minhash",
       "text_tfidf", "sim_bruteforce_topk", "q_fusion_etl",
