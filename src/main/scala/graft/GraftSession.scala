@@ -39,6 +39,12 @@ object GraftSession {
       // reader refuses; read as epoch-nanos long, Tables.load converts
       // to timestamp_ntz (microsecond floor, same as DuckDB's reader).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark still WRITES TimestampType as INT96 by default (Impala-era
+      // compatibility), and INT96 has no usable min/max stats — a filter
+      // on an engine-written timestamp column could never skip a row
+      // group (measured in the round-10 layout soak; the same filter on
+      // a MICROS column skips everything). Write modern micros.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Managed (bucketed) tables land outside the repo checkout.
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))

@@ -63,7 +63,9 @@ object LayoutSoak {
     * Soak.GeneratorVersion — a silently-stale layout invalidates the
     * measurement).
     */
-  val LayoutGeneratorVersion = 2 // v2: sorted layout carries l_shipday DATE
+  // v2: sorted layout carries l_shipday DATE; v3: + l_shipts
+  // session-TZ TIMESTAMP (the other pushdown-live twin of the NTZ col)
+  val LayoutGeneratorVersion = 3
 
   /** Per-task IO totals: scan input (rows + bytes) and shuffle write
     * bytes — the numbers that prove pruning/bucketing did what the
@@ -200,10 +202,13 @@ object LayoutSoak {
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.write(marker.toPath,
       LayoutGeneratorVersion.toString.getBytes): Unit
-    // l_shipday: the DATE twin of the TIMESTAMP_NTZ l_shipdate — the
-    // column type on which parquet min/max skipping actually works
+    // l_shipday / l_shipts: the DATE and session-TZ TIMESTAMP twins of
+    // the TIMESTAMP_NTZ l_shipdate — the column types on which parquet
+    // min/max skipping actually works (under the engine's UTC session
+    // the LTZ cast preserves every instant bit-for-bit)
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
       .withColumn("l_shipday", to_date(col("l_shipdate")))
+      .withColumn("l_shipts", col("l_shipdate").cast("timestamp"))
     graft.sources.Sink.writeSorted(li, s"$dir/lineitem.parquet",
       Seq("l_shipdate"), numFiles = 32)
     System.err.println(s"[layout] $dir ready")
@@ -247,6 +252,12 @@ object LayoutSoak {
   def dayWindowScan(li: DataFrame): DataFrame =
     li.filter(col("l_shipday") >= lit(java.sql.Date.valueOf("1997-03-01")) &&
         col("l_shipday") < lit(java.sql.Date.valueOf("1997-04-01")))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+        count(lit(1)).as("n"))
+
+  def tsLtzWindowScan(li: DataFrame): DataFrame =
+    li.filter(col("l_shipts") >= lit("1997-03-01") &&
+        col("l_shipts") < lit("1997-04-01"))
       .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
         count(lit(1)).as("n"))
 
@@ -320,6 +331,9 @@ object LayoutSoak {
     keyAgg(warmLi).write.format("noop").mode("overwrite").save()
     tsWindowScan(warmLi).write.format("noop").mode("overwrite").save()
     dayWindowScan(warmLi.withColumn("l_shipday", to_date(col("l_shipdate"))))
+      .write.format("noop").mode("overwrite").save()
+    tsLtzWindowScan(warmLi.withColumn("l_shipts",
+        col("l_shipdate").cast("timestamp")))
       .write.format("noop").mode("overwrite").save()
 
     for (k <- scales.sorted) {
@@ -410,6 +424,9 @@ object LayoutSoak {
       }
       timed("scan_sorted_date", k) {
         dayWindowScan(spark.read.parquet(s"$sorted/lineitem.parquet"))
+      }
+      timed("scan_sorted_tstz", k) {
+        tsLtzWindowScan(spark.read.parquet(s"$sorted/lineitem.parquet"))
       }
     }
     sink.close()

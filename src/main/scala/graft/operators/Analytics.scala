@@ -385,7 +385,9 @@ object Analytics {
     */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    e.groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+    // NTZ cast for the same reason as ohlcBars' bar_ts
+    e.groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        .as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
   }
@@ -664,7 +666,12 @@ object Analytics {
     */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
-    e.select(col("user_id"), date_trunc("hour", col("ts")).as("bar_ts"),
+    // date_trunc returns session-TZ TimestampType even for an NTZ
+    // input; keep the engine's NTZ convention (identical instants
+    // under the UTC session, and the parquet the gate writes reads
+    // back as plain TIMESTAMP rather than TIMESTAMPTZ)
+    e.select(col("user_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bar_ts"),
         col("ts"), col("event_id"), col("value"))
       .groupBy(col("user_id"), col("bar_ts"))
       .agg(

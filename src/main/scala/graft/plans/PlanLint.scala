@@ -150,8 +150,9 @@ object PlanLint {
         out += LintFinding("unpushed-scan-filter", "warn", s.nodeName,
           "filter on a TIMESTAMP_NTZ column: pushdown is advertised in " +
             "the plan but inert in the parquet reader (no row-group " +
-            "skipping) — cluster and filter on a DATE or epoch-long " +
-            "column instead")
+            "skipping) — cluster and filter on a DATE, epoch-long, or " +
+            "session-TZ TIMESTAMP twin column instead (under a UTC " +
+            "session the LTZ cast preserves every instant)")
       case s: FileSourceScanExec if s.dataFilters.nonEmpty &&
           !parquetPushdownEnabled &&
           s.relation.fileFormat.isInstanceOf[ParquetFileFormat] =>

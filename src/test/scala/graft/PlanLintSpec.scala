@@ -106,6 +106,7 @@ class PlanLintSpec extends SparkSpec {
         concat(lit("1997-"), lpad((col("id") % 12 + 1).cast("string"), 2, "0"),
           lit("-15 12:00:00"))))
       .withColumn("day", to_date(col("ts")))
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
       .write.mode("overwrite").parquet(p)
 
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
@@ -122,6 +123,9 @@ class PlanLintSpec extends SparkSpec {
     assert(scanRows(all.filter(col("id") < -1L)) == 0L)
     assert(scanRows(all.filter(
       col("day") < lit(java.sql.Date.valueOf("1990-01-01")))) == 0L)
+    // the session-TZ TIMESTAMP twin also skips (its literal is an
+    // Instant, which ParquetFilters accepts)
+    assert(scanRows(all.filter(col("ts_ltz") < lit("1990-01-01"))) == 0L)
     // the NTZ filter is advertised as pushed but skips nothing
     val ntz = all.filter(col("ts") < lit("1990-01-01"))
     assert(scanRows(ntz) == 50000L)
