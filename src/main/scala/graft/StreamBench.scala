@@ -103,6 +103,11 @@ object StreamBench {
     val secs = args.headOption.map(_.toInt).getOrElse(20)
     val rps = args.drop(1).headOption.map(_.toLong).getOrElse(4000000L)
     val blowupSecs = args.drop(2).headOption.map(_.toInt).getOrElse(secs * 3)
+    // optional 4th arg: run only these comma-separated pipelines —
+    // lets a new pipeline be measured at a longer duration without
+    // re-timing the whole suite (empty = everything, as before)
+    val only: Set[String] = args.drop(3).headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val spark = GraftSession
       .builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
@@ -141,7 +146,30 @@ object StreamBench {
           .as[EventStream.Ev]).toDF()),
       ("stateful_ewma", true, () => EventStream.ewmaStateful(
         events.select(col("user_id"), col("ts"), col("value"))
-          .as[EventStream.Ev]).toDF()))
+          .as[EventStream.Ev]).toDF()),
+      // Stream-stream interval join: BOTH sides buffer state until
+      // their watermark passes the join window — the heaviest stateful
+      // operator class, previously spec-covered but never
+      // throughput-measured. Purchases (1/4 of one rate stream) join
+      // same-user clicks (1/4 of an INDEPENDENT rate stream) within
+      // the preceding 5 seconds; 10s/20s watermarks keep the buffered
+      // window bounded inside the bench run. ~12.5 matches per
+      // purchase at the 100k-user default rate, so the output
+      // amplification is part of what is being measured.
+      ("stream_stream_join", true, () => EventStream.purchaseClickJoin(
+        events.filter(col("event_type") === "purchase"),
+        rateEvents(spark, rps).filter(col("event_type") === "click"),
+        window = "5 SECONDS", pWatermark = "10 seconds",
+        cWatermark = "20 seconds")),
+      // LEFT OUTER twin: unmatched purchases emit (with null click
+      // columns) only once the click watermark proves no match can
+      // arrive — measures the extra state the outer side must hold.
+      ("stream_stream_left_join", true, () =>
+        EventStream.purchaseClickLeftJoin(
+          events.filter(col("event_type") === "purchase"),
+          rateEvents(spark, rps).filter(col("event_type") === "click"),
+          window = "5 SECONDS", pWatermark = "10 seconds",
+          cWatermark = "20 seconds")))
 
     /** Run one pipeline for `runSecs`; emits sustained rows/s, state
       * sizes from the LAST progress with state metrics, and the
@@ -156,6 +184,7 @@ object StreamBench {
     def run(name: String, build: () => DataFrame, provider: String,
         runSecs: Int, outputMode: String = "append",
         changelog: Boolean = false, zipf: Boolean = false): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val label = if (provider == RocksDbProvider) "rocksdb" else "hdfs"
       val clLabel = if (changelog) "on" else "off"
       val prev = spark.conf.getOption(ProviderKey)

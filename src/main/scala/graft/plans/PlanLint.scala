@@ -62,6 +62,11 @@ final case class LintFinding(
   *    but with AQE off it is a real lost broadcast.
   *  - `large-collect-limit` (warn): a CollectLimit above 1M rows
   *    materializes on the driver.
+  *  - `unpruned-partitioned-scan` (info): a partitioned table scanned
+  *    with no partition filter — the layout soak measured this at 2x
+  *    the cost of the same data unpartitioned (directory/small-file
+  *    overhead with no pruning payoff). Fine when a full scan is the
+  *    intent; a smell when the table was partitioned for this query.
   *  - `codegen-gap` (info): a codegen-capable Filter/Project/Aggregate
   *    left outside every WholeStageCodegen span. Only assessed when
   *    the tree contains at least one span (under AQE, codegen collapse
@@ -165,6 +170,19 @@ object PlanLint {
           "spark.sql.parquet.filterPushdown is false: the scan's " +
             "PushedFilters are advertised in the plan but ignored by " +
             "the parquet reader — every row group is read and decoded")
+      case s: FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty &&
+            s.partitionFilters.isEmpty =>
+        // measured (layout soak, 1000x): a partitioned layout scanned
+        // WITHOUT a partition predicate reads 2x slower than the same
+        // data unpartitioned — many directories of smaller files are a
+        // pure tax when nothing prunes
+        out += LintFinding("unpruned-partitioned-scan", "info", s.nodeName,
+          s"scan of a table partitioned by " +
+            s"[${s.relation.partitionSchema.fieldNames.mkString(", ")}] " +
+            "with no partition filter: every directory is listed and " +
+            "read — the layout's small-files overhead without its " +
+            "pruning payoff")
       case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec) =>
         smallSideEstimate(j, autoBroadcastThreshold).foreach { small =>
           val (sev, rescue) =

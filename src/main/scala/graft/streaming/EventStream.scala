@@ -97,12 +97,14 @@ object EventStream {
     * join state — the streaming twin of `Temporal.purchaseAsOfClick`
     * (all candidates in the window rather than just the latest).
     */
-  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "1 hour").alias("p")
-    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 HOUR", pWatermark: String = "1 hour",
+      cWatermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", pWatermark).alias("p")
+    val c = clicks.withWatermark("ts", cWatermark).alias("c")
     p.join(c,
         expr("p.user_id = c.user_id AND " +
-          "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"))
+          s"c.ts BETWEEN p.ts - INTERVAL $window AND p.ts"))
       .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
         col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))
   }
@@ -113,12 +115,14 @@ object EventStream {
     * window (only then can Spark prove no match will arrive). The
     * funnel-drop-off query: "purchases without a preceding click".
     */
-  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "1 hour").alias("p")
-    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 HOUR", pWatermark: String = "1 hour",
+      cWatermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", pWatermark).alias("p")
+    val c = clicks.withWatermark("ts", cWatermark).alias("c")
     p.join(c,
         expr("p.user_id = c.user_id AND " +
-          "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"),
+          s"c.ts BETWEEN p.ts - INTERVAL $window AND p.ts"),
         "left_outer")
       .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
         col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))

@@ -140,6 +140,20 @@ class PlanLintSpec extends SparkSpec {
     assert(!okFs.exists(_.rule == "unpushed-scan-filter"), okFs.mkString("\n"))
   }
 
+  test("partitioned scan without a partition filter is surfaced; a pruned one is not") {
+    val p = java.nio.file.Files.createTempDirectory("lint_part").toString
+    spark.range(1000).toDF("id")
+      .withColumn("part", (col("id") % 5).cast("string"))
+      .write.partitionBy("part").mode("overwrite").parquet(p)
+    val unpruned = spark.read.parquet(p).groupBy("part").count()
+    assert(PlanLint.lint(unpruned)
+      .exists(_.rule == "unpruned-partitioned-scan"), PlanLint.report(unpruned))
+    val pruned = spark.read.parquet(p).filter(col("part") === "3")
+      .groupBy("part").count()
+    assert(!PlanLint.lint(pruned)
+      .exists(_.rule == "unpruned-partitioned-scan"), PlanLint.report(pruned))
+  }
+
   test("headline queries carry no error-level findings") {
     Seq("q1_pricing_summary", "q_star_join_agg", "dedup_minhash",
       "text_tfidf", "sim_bruteforce_topk", "q_fusion_etl",
