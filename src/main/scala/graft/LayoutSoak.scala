@@ -341,13 +341,26 @@ object LayoutSoak {
       val part = materializePartitioned(spark, k, base)
       val (liT, ordT) = materializeBucketed(spark, k, base)
       val sorted = materializeSorted(spark, k, base)
-      // prime the page cache for every layout so variant order doesn't
-      // decide who pays the disk reads
-      Seq(s"$base/lineitem.parquet", s"$base/orders.parquet",
-        s"$part/lineitem.parquet", s"$sorted/lineitem.parquet")
-        .foreach(p => spark.read.parquet(p).count(): Unit)
-      spark.table(liT).count(): Unit
-      spark.table(ordT).count(): Unit
+      // Prime the page cache for every layout so variant order doesn't
+      // decide who pays the disk reads. NOT count(): parquet answers
+      // count from footer metadata without touching a data page, so a
+      // count() "prime" primes nothing — the first layout-soak run
+      // recorded a 2.6x dpp_off-vs-unpart gap that was pure cold-disk
+      // order, and flipped sign when re-run order-controlled. Hashing
+      // the measured columns forces their pages through the cache.
+      def prime(df: DataFrame, cols: Seq[String]): Unit =
+        df.agg(sum(hash(cols.map(col): _*).cast("long"))).collect(): Unit
+      prime(spark.read.parquet(s"$base/lineitem.parquet"),
+        Seq("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"))
+      prime(spark.read.parquet(s"$base/orders.parquet"),
+        Seq("o_orderkey", "o_orderpriority"))
+      prime(spark.read.parquet(s"$part/lineitem.parquet"),
+        Seq("l_extendedprice", "l_shipmonth"))
+      prime(spark.read.parquet(s"$sorted/lineitem.parquet"),
+        Seq("l_extendedprice", "l_shipdate", "l_shipday", "l_shipts"))
+      prime(spark.table(liT),
+        Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      prime(spark.table(ordT), Seq("o_orderkey", "o_orderpriority"))
       // profile: prove the selections are non-vacuous before trusting
       // the variant rows (3 months of ~84; a ~1-month date window)
       val factPartAll = spark.read.parquet(s"$part/lineitem.parquet")

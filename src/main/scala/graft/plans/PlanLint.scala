@@ -63,10 +63,13 @@ final case class LintFinding(
   *  - `large-collect-limit` (warn): a CollectLimit above 1M rows
   *    materializes on the driver.
   *  - `unpruned-partitioned-scan` (info): a partitioned table scanned
-  *    with no partition filter — the layout soak measured this at 2x
-  *    the cost of the same data unpartitioned (directory/small-file
-  *    overhead with no pruning payoff). Fine when a full scan is the
-  *    intent; a smell when the table was partitioned for this query.
+  *    with no partition filter. An intent smell — the table was
+  *    partitioned so queries could prune and this one doesn't (missing
+  *    or non-foldable predicate, or the wrong partition column for the
+  *    workload) — not a measured full-scan cost: warm order-controlled
+  *    runs put the month-partitioned full scan slightly AHEAD of the
+  *    unpartitioned base (the directory value is free where the base
+  *    derives it per row).
   *  - `codegen-gap` (info): a codegen-capable Filter/Project/Aggregate
   *    left outside every WholeStageCodegen span. Only assessed when
   *    the tree contains at least one span (under AQE, codegen collapse
@@ -173,16 +176,20 @@ object PlanLint {
       case s: FileSourceScanExec
           if s.relation.partitionSchema.nonEmpty &&
             s.partitionFilters.isEmpty =>
-        // measured (layout soak, 1000x): a partitioned layout scanned
-        // WITHOUT a partition predicate reads 2x slower than the same
-        // data unpartitioned — many directories of smaller files are a
-        // pure tax when nothing prunes
+        // intent smell, not a measured cost: the table was partitioned
+        // so queries could prune, and this one doesn't — either the
+        // predicate is missing/non-foldable or the partition column is
+        // the wrong one for this workload. (Warm full-scan cost of the
+        // month-partitioned layout measured FINE — slightly faster
+        // than unpartitioned, the directory value is free — but a
+        // layout accreted by many incremental writes degrades into
+        // small files unless compacted.)
         out += LintFinding("unpruned-partitioned-scan", "info", s.nodeName,
           s"scan of a table partitioned by " +
             s"[${s.relation.partitionSchema.fieldNames.mkString(", ")}] " +
             "with no partition filter: every directory is listed and " +
-            "read — the layout's small-files overhead without its " +
-            "pruning payoff")
+            "read — if this query was meant to prune, the predicate " +
+            "did not reach the scan")
       case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec) =>
         smallSideEstimate(j, autoBroadcastThreshold).foreach { small =>
           val (sev, rescue) =
