@@ -261,7 +261,29 @@ object StreamBench {
           Seq("dedup_key"), "5 seconds")),
       ("stateful_sessionize", () => EventStream.sessionizeStateful(
         zEvents.select(col("user_id"), col("ts"), col("value"))
-          .as[EventStream.Ev]).toDF()))
+          .as[EventStream.Ev]).toDF()),
+      // Stream-stream join with a HOT key on one side only: the
+      // rank-1 user's purchases all route to one join-state partition
+      // (state skew), but each still matches a UNIFORM user's
+      // in-window clicks, so output stays linear — the survivable
+      // skewed-stream-join regime.
+      ("stream_stream_join", () => EventStream.purchaseClickJoin(
+        zEvents.filter(col("event_type") === "purchase"),
+        rateEvents(spark, rps).filter(col("event_type") === "click"),
+        window = "5 SECONDS", pWatermark = "10 seconds",
+        cWatermark = "20 seconds")),
+      // HOT key on BOTH sides: the join output for the rank-1 user is
+      // purchases x in-window clicks — QUADRATIC in the key's share
+      // (~67k purchases/s x ~330k buffered clicks ≈ 2e10 rows/s for
+      // one key at this rate). No state-store or salt fixes an output
+      // that large; the recorded stall IS the measurement, and the
+      // mitigation is semantic (pre-aggregate one side, cap the
+      // window, or de-hot the key upstream).
+      ("stream_stream_join_hot2", () => EventStream.purchaseClickJoin(
+        zEvents.filter(col("event_type") === "purchase"),
+        zipfEvents(spark, rps).filter(col("event_type") === "click"),
+        window = "5 SECONDS", pWatermark = "10 seconds",
+        cWatermark = "20 seconds")))
     for ((name, build) <- zipfPipelines) {
       run(name, build, "", secs, zipf = true)
       run(name, build, RocksDbProvider, secs, changelog = true, zipf = true)
