@@ -15,6 +15,21 @@ import sys
 from collections import defaultdict
 
 path = sys.argv[1] if len(sys.argv) > 1 else "soak_results.jsonl"
+
+print("NOTE: rows aggregate last-write-wins across EVERY run in the",
+      file=sys.stderr)
+print("jsonl, including subset re-runs. 'cold' means first-pass-per-",
+      file=sys.stderr)
+print("query WITHIN a run: in a subset re-run an earlier query may have",
+      file=sys.stderr)
+print("built the shared substrate caches (Dedup.scala), so its 'cold'",
+      file=sys.stderr)
+print("can be far below a full-family run's (e.g. text_quality 0.7s vs",
+      file=sys.stderr)
+print("41.5s at 100x). Verdicts are only meaningful over a single",
+      file=sys.stderr)
+print("full-family run; docs/SCALING.md holds the vetted table.",
+      file=sys.stderr)
 runs = defaultdict(dict)   # query -> scale -> (cold, warm); last write wins
 errors = []
 with open(path) as f:
