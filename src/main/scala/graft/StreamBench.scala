@@ -264,9 +264,14 @@ object StreamBench {
           .as[EventStream.Ev]).toDF()),
       // Stream-stream join with a HOT key on one side only: the
       // rank-1 user's purchases all route to one join-state partition
-      // (state skew), but each still matches a UNIFORM user's
-      // in-window clicks, so output stays linear — the survivable
-      // skewed-stream-join regime.
+      // (state skew) while output stays linear (each matches a
+      // uniform user's in-window clicks). Expected survivable;
+      // MEASURED not: zero batches committed within 120 s under
+      // either provider (vs 25-73 s commits for the uniform twin) —
+      // the hot key's join-state entry list grows with every buffered
+      // purchase, and each probe/cleanup walks it, so a large
+      // catch-up first batch never finishes. The boundary row is the
+      // measurement (docs/SCALING.md).
       ("stream_stream_join", () => EventStream.purchaseClickJoin(
         zEvents.filter(col("event_type") === "purchase"),
         rateEvents(spark, rps).filter(col("event_type") === "click"),
