@@ -394,8 +394,20 @@ object SkewSoak {
       // sketch first: the exact variant's hot-key buffer (~25 B per
       // distinct value, 40M values at 1000x) can be fatal, and a
       // fatal variant takes the context with it
+      // the round-11 third answer: exact AND memory-bounded — value-
+      // domain narrowing (Quantiles.exactMedianAnyScale) takes the
+      // classic count-map for every key under the threshold and
+      // histogram refinement (O(buckets) state) for the hot keys, so
+      // the decade that kills aggmedhc_exact's 40M-entry buffer can't
+      // kill this one. Timed with the same per-row-distinct value.
+      def aggMedianHCNarrow(dir: String): DataFrame =
+        graft.operators.Quantiles.exactMedianAnyScale(
+          graft.sources.Tables.load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), hcValue.as("__hc")),
+          "l_orderkey", "__hc", hotThreshold = 1000000L)
       timed("aggmedhc_sketch", k, skewOn = false) { noop(aggMedianHC(skew)) }
       timed("aggmedhc_exact", k, skewOn = false) { noop(aggMedianHCExact(skew)) }
+      timed("aggmedhc_narrow", k, skewOn = false) { noop(aggMedianHCNarrow(skew)) }
       timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
       timed("aggdist_salted8", k, skewOn = false) {

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Analytics.gapFillDaily(s, d)),
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
+    "q_median_narrow" -> ((s, d) => graft.operators.Quantiles.medianNarrow(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
@@ -902,6 +903,9 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_median_narrow" ->
+      """SELECT l_returnflag, round(median(l_extendedprice), 4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_median" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

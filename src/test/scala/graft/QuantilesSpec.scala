@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.SortableDoubleBits
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random doubles (no Random: repeatable). */
+  private def hashDouble(i: Int, salt: Int, scale: Double): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((i, salt))
+    (h.toDouble / Int.MaxValue) * scale
+  }
+
+  private def referenceMedian(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  private def narrowed(df: DataFrame, hotThreshold: Long, buckets: Int,
+      finish: Long): Map[String, Double] =
+    Quantiles.exactMedianAnyScale(df, "k", "v",
+      hotThreshold = hotThreshold, buckets = buckets, finish = finish)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("sortable bits preserve double ordering across signs and magnitudes") {
+    val vals = Seq(Double.MinValue, -1.7e308, -4.2e5, -1.0, -1e-300,
+      -java.lang.Double.MIN_VALUE, -0.0, 0.0, java.lang.Double.MIN_VALUE,
+      1e-300, 0.5, 1.0, 4.2e5, 1.7e308, Double.MaxValue) ++
+      (0 until 500).map(i => hashDouble(i, 7, 1e9))
+    val sortedByVal = vals.sorted
+    val sortedByBits = vals.sortBy(SortableDoubleBits.toSortable)
+    // -0.0/0.0 compare equal as doubles but have distinct bit images;
+    // compare numerically (== treats them equal) position by position
+    assert(sortedByVal.zip(sortedByBits).forall { case (a, b) => a == b })
+    vals.foreach { d =>
+      assert(SortableDoubleBits.fromSortable(SortableDoubleBits.toSortable(d))
+        .equals(d)) // .equals: bit-exact round trip, including -0.0
+    }
+    // the Expression agrees with the driver-side map, and NaN -> null
+    val got = Seq(1.5, -2.5, Double.NaN).toDF("d")
+      .select(SortableDoubleBits.sortableBits(col("d"))).collect()
+    assert(got(0).getLong(0) == SortableDoubleBits.toSortable(1.5))
+    assert(got(1).getLong(0) == SortableDoubleBits.toSortable(-2.5))
+    assert(got(2).isNullAt(0))
+  }
+
+  test("narrowing median equals the classic exact median on mixed groups") {
+    // groups crossing the hot threshold both ways, odd and even sizes,
+    // negatives, and values forcing multiple refinement passes
+    val rows = Seq.tabulate(4000)(i => ("hot_even", hashDouble(i, 1, 1e6))) ++
+      Seq.tabulate(3001)(i => ("hot_odd", hashDouble(i, 2, 1e3) - 500.0)) ++
+      Seq.tabulate(40)(i => ("small", hashDouble(i, 3, 10.0))) ++
+      Seq(("tiny", 42.0))
+    val df = rows.toDF("k", "v")
+    val got = narrowed(df, hotThreshold = 100, buckets = 16, finish = 8)
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> referenceMedian(vs.map(_._2))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, m) =>
+      assert(math.abs(got(k) - m) <= math.max(1e-9, math.abs(m) * 1e-12),
+        s"group $k: got ${got(k)}, want $m")
+    }
+  }
+
+  test("plateau, straddle, and two-sign groups resolve exactly") {
+    val rows =
+      // plateau: the median region is one repeated value
+      Seq.tabulate(1200)(_ => ("plateau", 7.25)) ++
+        Seq.tabulate(10)(i => ("plateau", i.toDouble)) ++
+        // straddle: even count, two distinct middle values far apart
+        Seq.tabulate(600)(_ => ("straddle", -100.0)) ++
+        Seq.tabulate(600)(_ => ("straddle", 300.0)) ++
+        // mixed signs around zero, even count -> average crosses zero
+        Seq.tabulate(500)(i => ("signs", -(i + 1).toDouble)) ++
+        Seq.tabulate(500)(i => ("signs", (i + 1).toDouble))
+    val df = rows.toDF("k", "v")
+    val got = narrowed(df, hotThreshold = 50, buckets = 8, finish = 4)
+    assert(got("plateau") == 7.25)
+    assert(got("straddle") == 100.0) // (-100 + 300) / 2
+    assert(got("signs") == 0.0) // (-1 + 1) / 2
+  }
+
+  test("nulls and NaNs are excluded; a hot null key narrows, not buffers") {
+    val schema = StructType(Seq(StructField("k", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    val rows: Seq[Row] =
+      Seq.tabulate(900)(i => Row(null, i.toDouble)) ++
+        Seq(Row("a", 1.0), Row("a", null), Row("a", Double.NaN), Row("a", 3.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Quantiles.exactMedianAnyScale(df, "k", "v",
+      hotThreshold = 100, buckets = 8, finish = 16)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got(Some("a")) == 2.0) // null + NaN dropped -> median of (1, 3)
+    assert(got(None) == referenceMedian((0 until 900).map(_.toDouble)))
+  }
+
+  test("q_median_narrow matches the classic percentile on lineitem") {
+    val narrow = Quantiles.medianNarrow(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val classic = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(narrow == classic && narrow.size == 3)
+  }
+}
