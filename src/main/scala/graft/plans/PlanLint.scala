@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   ScalaUDF, StringPredicate}
 import org.apache.spark.sql.catalyst.plans.logical.Join
 import org.apache.spark.sql.execution.{
-  CollectLimitExec, FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+  CollectLimitExec, FileSourceScanExec, SortExec, SparkPlan,
+  WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{
   AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -70,6 +71,17 @@ final case class LintFinding(
   *    runs put the month-partitioned full scan slightly AHEAD of the
   *    unpartitioned base (the directory value is free where the base
   *    derives it per row).
+  *  - `bucketed-smj-resort` (warn): a sort-merge join side that reads
+  *    a BUCKETED scan with an in-task Sort and no shuffle between scan
+  *    and join. Bucketing removed the exchange, but Spark ≥3.0 bucket
+  *    scans do not report per-bucket sort order, so the SMJ re-sorts
+  *    every bucket inside the task — measured in the r10 layout soak
+  *    at 1000x: SLOWER than the unbucketed join (153 s vs 118 s) and
+  *    fatal in an 8 GB heap, while the same join runs 19x faster with
+  *    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (the
+  *    buckets were written sorted) or 14x with a SHUFFLE_HASH hint
+  *    (hash joins don't need order). The win bucketing promised is
+  *    real — the default plan just doesn't collect it.
   *  - `codegen-gap` (info): a codegen-capable Filter/Project/Aggregate
   *    left outside every WholeStageCodegen span. Only assessed when
   *    the tree contains at least one span (under AQE, codegen collapse
@@ -204,6 +216,26 @@ object PlanLint {
       case _ =>
     }
 
+    nodes.foreach {
+      case j: SortMergeJoinExec =>
+        Seq("left" -> j.left, "right" -> j.right).foreach { case (name, side) =>
+          val sub = noShuffleSubtree(side)
+          if (sub.exists(_.isInstanceOf[SortExec]) &&
+              sub.exists { case s: FileSourceScanExec => s.bucketedScan
+                           case _ => false }) {
+            out += LintFinding("bucketed-smj-resort", "warn", j.nodeName,
+              s"$name side sorts a bucketed scan inside the task (bucket " +
+                "scans don't report sort order, so the SMJ re-sorts every " +
+                "bucket in memory — measured at 1000x: slower than not " +
+                "bucketing at all, fatal in small heaps); set " +
+                "spark.sql.legacy.bucketedTableScan.outputOrdering=true " +
+                "if the buckets were written sorted (19x), or hint " +
+                "SHUFFLE_HASH (14x)")
+          }
+        }
+      case _ =>
+    }
+
     nodes.foreach { p =>
       if (p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))) {
         out += LintFinding("udf-in-plan", "warn", p.nodeName,
@@ -227,6 +259,20 @@ object PlanLint {
       }
     }
     out.result()
+  }
+
+  /** Nodes reachable from `p` without crossing a shuffle — the subtree
+    * that executes inside one task pipeline. Descends through AQE
+    * wrappers; a shuffle query stage stops at its exchange.
+    */
+  private def noShuffleSubtree(p: SparkPlan): Seq[SparkPlan] = {
+    def deep(x: SparkPlan): Seq[SparkPlan] = x match {
+      case _: ShuffleExchangeExec => Seq.empty
+      case a: AdaptiveSparkPlanExec => x +: deep(a.executedPlan)
+      case q: QueryStageExec => x +: deep(q.plan)
+      case other => x +: other.children.flatMap(deep)
+    }
+    deep(p)
   }
 
   private def codegenGap(p: SparkPlan): LintFinding =

@@ -154,6 +154,48 @@ class PlanLintSpec extends SparkSpec {
       .exists(_.rule == "unpruned-partitioned-scan"), PlanLint.report(pruned))
   }
 
+  test("bucketed SMJ with an in-task re-sort is flagged; the ordered-scan escape is clean") {
+    // the r10 layout-soak trap: joining two bucketed tables avoids the
+    // shuffle but re-sorts every bucket inside the task, because bucket
+    // scans don't report sort order by default
+    val dir = java.nio.file.Files.createTempDirectory("lint_bucket").toString
+    val df = spark.range(20000).toDF("id")
+      .withColumn("v", (col("id") * 7 % 100).cast("double"))
+    Seq("a", "b").foreach { t =>
+      // one file per bucket: the scan reports bucket sort order (under
+      // the legacy flag) only when no bucket needs a file merge
+      df.repartition(1).write.bucketBy(4, "id").sortBy("id").mode("overwrite")
+        .option("path", s"$dir/$t").saveAsTable(s"lint_bucket_$t")
+    }
+    val orderKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    try {
+      val a = spark.table("lint_bucket_a")
+      val b = spark.table("lint_bucket_b")
+      def joined = a.hint("merge")
+        .join(b.hint("merge"), Seq("id")).select(a("v"))
+
+      val fs = PlanLint.lint(joined)
+      assert(fs.exists(f => f.rule == "bucketed-smj-resort" &&
+        f.severity == "warn"), PlanLint.report(joined))
+
+      // the measured 19x escape: the buckets WERE written sorted, the
+      // legacy flag lets the scan say so, the in-task Sort disappears
+      spark.conf.set(orderKey, "true")
+      assert(!PlanLint.lint(joined).exists(_.rule == "bucketed-smj-resort"),
+        PlanLint.report(joined))
+      spark.conf.unset(orderKey)
+
+      // unbucketed SMJ (shuffle + sort) is the normal plan — not flagged
+      val plain = spark.read.parquet(s"$dir/a").hint("merge")
+        .join(spark.read.parquet(s"$dir/b").hint("merge"), Seq("id"))
+      assert(!PlanLint.lint(plain).exists(_.rule == "bucketed-smj-resort"),
+        PlanLint.report(plain))
+    } finally {
+      spark.conf.unset(orderKey)
+      Seq("a", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lint_bucket_$t"))
+    }
+  }
+
   test("headline queries carry no error-level findings") {
     Seq("q1_pricing_summary", "q_star_join_agg", "dedup_minhash",
       "text_tfidf", "sim_bruteforce_topk", "q_fusion_etl",
