@@ -49,13 +49,21 @@ import graft.sources.Tables
   *     otherwise once the interval holds ≤ `finish` rows they are
   *     collected per key and the ranks read off directly.
   *
-  * Cost shape: 1 full pass for counts, 1 full pass for the small-key
-  * medians, and (passes + 1) scans of the HOT KEYS' rows only (a
-  * broadcast semi-join away from the fact — at Zipf(1.1) that is a
-  * minority of the corpus). Executor memory per key is
-  * O(max(hotThreshold, buckets)); driver traffic per pass is
-  * O(hotKeys) rows (rank location runs in a per-key window on the
-  * executors, only the chosen bucket edges come back).
+  * Cost shape: 1 full pass for counts, 1 full pass that EXTRACTS the
+  * hot keys' rows into a DISK_ONLY persisted subset (at Zipf(1.1) a
+  * minority of the corpus — the passes must not re-scan 100 TB to
+  * reach 7% of it), then (passes + 1) jobs over that subset; with the
+  * default `finish` the pass count is usually 1-2 — narrowing runs
+  * only until the candidate interval fits one bounded collect, not
+  * until it pinpoints the value. Hot medians resolve EAGERLY (at most
+  * `maxHotKeys` driver rows) and the subset is unpersisted before
+  * returning, so the returned lazy plan is just the small-key
+  * percentile plus a literal hot-median table — one more full pass
+  * when the caller consumes it. Executor memory per key is
+  * O(max(hotThreshold, finish, buckets)) — all knobs, none scaling
+  * with the data; driver traffic per pass is O(hotKeys) rows (rank
+  * location runs in a per-key window on the executors, only the
+  * chosen bucket edges come back).
   *
   * Numerics: medians of even-count groups average two order
   * statistics — identical to linear interpolation at 0.5 up to one
@@ -106,8 +114,8 @@ object Quantiles {
   def exactMedianAnyScale(
       rows: DataFrame, key: String, value: String,
       hotThreshold: Long = 4000000L,
-      buckets: Int = 1024,
-      finish: Long = 65536L,
+      buckets: Int = 8192,
+      finish: Long = 1048576L,
       maxHotKeys: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     require(hotThreshold >= 1 && maxHotKeys >= 1,
@@ -119,13 +127,14 @@ object Quantiles {
     val v = col(value).cast("double")
     val base = rows
       .filter(col(value).isNotNull && !isnan(v))
-      .select(col(key).as("__k"), v.as("__v"),
-        SortableDoubleBits.sortableBits(v).as("__b"))
+      .select(col(key).as("__k"), v.as("__v"))
     val keyField = StructField("__k", base.schema("__k").dataType, nullable = true)
 
-    // pass 0: count + bit bracket per key (algebraic, skew-immune)
+    // pass 0: count + value bracket per key (algebraic, skew-immune);
+    // the bracket converts to bit space on the driver, so the full
+    // corpus never evaluates the bit expression — only hot rows do
     val counts = base.groupBy(col("__k")).agg(
-      count(lit(1)).as("__n"), min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val hot = counts.filter(col("__n") > hotThreshold).collect()
     require(hot.length <= maxHotKeys,
       s"${hot.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
@@ -154,9 +163,22 @@ object Quantiles {
       .agg(expr("percentile(__v, 0.5)").as("__med"))
     if (hot.isEmpty) return finishKeys(smallMedians)
 
+    // one extraction pass; every narrowing pass then reads the (small)
+    // hot subset, not the full fact. DISK_ONLY: predictable, no
+    // executor-memory claim beyond the write buffers.
     val hotRows = hotJoin(base, hotKeysDf, "left_semi")
-    val states = hot.map(r =>
-      new HotState(r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .withColumn("__b", SortableDoubleBits.sortableBits(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val states = hot.map { r =>
+      // min/max may report either of ±0.0 (they compare equal as
+      // doubles); widen the bit bracket to cover both so no row can
+      // fall outside it
+      val loV = r.getDouble(2)
+      val hiV = r.getDouble(3)
+      new HotState(r.get(0), r.getLong(1),
+        SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV),
+        SortableDoubleBits.toSortable(if (hiV == 0.0) 0.0 else hiV))
+    }
 
     // interval shrinks ~buckets-fold per pass (half that on the one
     // possible mixed-sign shifted pass); this bound is generous
@@ -242,14 +264,13 @@ object Quantiles {
     states.filter(s => s.result.isEmpty && s.straddleCut.isEmpty && s.lo == s.hi)
       .foreach(s => s.result = Some(SortableDoubleBits.fromSortable(s.lo)))
 
-    val pieces = Seq.newBuilder[DataFrame]
-    pieces += smallMedians
-
-    val resolved = states.filter(_.result.isDefined)
-    if (resolved.nonEmpty) {
-      pieces += spark.createDataFrame(
-        resolved.map(s => Row(s.key, s.result.get)).toSeq.asJava,
-        StructType(Seq(keyField, StructField("__med", DoubleType))))
+    // the remaining endgames resolve EAGERLY (one bounded job each over
+    // the persisted subset, at most maxHotKeys rows back), so the
+    // subset can be unpersisted and the returned plan stays lazy-cheap
+    def absorb(results: Array[Row]): Unit = {
+      val byKey = results.map(r => r.get(0) -> r.getDouble(1)).toMap
+      states.foreach(s =>
+        if (s.result.isEmpty) byKey.get(s.key).foreach(m => s.result = Some(m)))
     }
 
     val straddled = states.filter(_.straddleCut.isDefined)
@@ -257,15 +278,15 @@ object Quantiles {
       val cuts = spark.createDataFrame(
         straddled.map(s => Row(s.key, s.straddleCut.get)).toSeq.asJava,
         StructType(Seq(keyField, StructField("__cut", LongType))))
-      pieces += hotJoin(hotRows, cuts, "inner")
+      absorb(hotJoin(hotRows, cuts, "inner")
         .groupBy(col("__k"))
         .agg(max(when(col("__b") <= col("__cut"), col("__v"))).as("__v1"),
           min(when(col("__b") > col("__cut"), col("__v"))).as("__v2"))
         .select(col("__k"), ((col("__v1") + col("__v2")) / 2).as("__med"))
+        .collect())
     }
 
-    val collecting = states.filter(s =>
-      s.result.isEmpty && s.straddleCut.isEmpty)
+    val collecting = states.filter(_.result.isEmpty)
     if (collecting.nonEmpty) {
       val fin = spark.createDataFrame(
         collecting.map(s => Row(s.key, s.lo, s.hi,
@@ -273,7 +294,7 @@ object Quantiles {
         StructType(Seq(keyField,
           StructField("__lo", LongType), StructField("__hi", LongType),
           StructField("__r1", LongType), StructField("__r2", LongType))))
-      pieces += hotJoin(hotRows, fin, "inner")
+      absorb(hotJoin(hotRows, fin, "inner")
         .filter(col("__b") >= col("__lo") && col("__b") <= col("__hi"))
         .groupBy(col("__k"))
         .agg(sort_array(collect_list(col("__v"))).as("__vs"),
@@ -281,9 +302,16 @@ object Quantiles {
         .select(col("__k"),
           ((element_at(col("__vs"), col("__r1").cast("int")) +
             element_at(col("__vs"), col("__r2").cast("int"))) / 2).as("__med"))
+        .collect())
     }
+    hotRows.unpersist()
+    require(states.forall(_.result.isDefined),
+      "a hot key resolved no median — endgame invariant broken")
 
-    finishKeys(pieces.result().reduce(_.unionByName(_)))
+    val hotMedians = spark.createDataFrame(
+      states.map(s => Row(s.key, s.result.get)).toSeq.asJava,
+      StructType(Seq(keyField, StructField("__med", DoubleType))))
+    finishKeys(smallMedians.unionByName(hotMedians))
   }
 
   /** `q_median_narrow` gate surface: the narrowing median against the
