@@ -169,7 +169,16 @@ object StreamBench {
           events.filter(col("event_type") === "purchase"),
           rateEvents(spark, rps).filter(col("event_type") === "click"),
           window = "5 SECONDS", pWatermark = "10 seconds",
-          cWatermark = "20 seconds")))
+          cWatermark = "20 seconds")),
+      // pre-aggregated twin under UNIFORM keys: the baseline cost of
+      // the hot-key mitigation when no key is hot (what the bucketing
+      // stage charges a healthy stream)
+      ("stream_stream_join_preagg", true, () =>
+        EventStream.purchaseClickJoinPreAgg(
+          events.filter(col("event_type") === "purchase"),
+          rateEvents(spark, rps).filter(col("event_type") === "click"),
+          bucket = "5 seconds", window = "5 SECONDS",
+          pWatermark = "10 seconds", cWatermark = "20 seconds")))
 
     /** Run one pipeline for `runSecs`; emits sustained rows/s, state
       * sizes from the LAST progress with state metrics, and the
@@ -277,6 +286,17 @@ object StreamBench {
         rateEvents(spark, rps).filter(col("event_type") === "click"),
         window = "5 SECONDS", pWatermark = "10 seconds",
         cWatermark = "20 seconds")),
+      // the SEMANTIC mitigation for the stall above, measured in the
+      // same regime: the hot purchase side is pre-aggregated into 5 s
+      // buckets before the join (windowed agg feeding the join —
+      // chained stateful operators), so the rank-1 key buffers ~2
+      // bucket rows instead of ~6.7% of every batch and probes stop
+      // walking an unbounded entry list
+      ("stream_stream_join_preagg", () => EventStream.purchaseClickJoinPreAgg(
+        zEvents.filter(col("event_type") === "purchase"),
+        rateEvents(spark, rps).filter(col("event_type") === "click"),
+        bucket = "5 seconds", window = "5 SECONDS",
+        pWatermark = "10 seconds", cWatermark = "20 seconds")),
       // HOT key on BOTH sides: the join output for the rank-1 user is
       // purchases x in-window clicks — QUADRATIC in the key's share
       // (~67k purchases/s x ~330k buffered clicks ≈ 2e10 rows/s for

@@ -109,6 +109,51 @@ object EventStream {
         col("c.ts").as("click_ts"), col("p.value").as("purchase_value"))
   }
 
+  /** The measured SEMANTIC mitigation for a hot-key stream-stream
+    * join (docs/SCALING.md round 10: one Zipf-hot side stalls
+    * `purchaseClickJoin` — the hot key's join-state entry list grows
+    * with every buffered purchase and every probe walks it; no state
+    * provider fixes it). When the downstream question is
+    * aggregate-shaped ("how much purchase volume had an in-window
+    * click"), pre-aggregate the hot side into tumbling `bucket`s
+    * BEFORE the join: the join then buffers one row per (user,
+    * bucket) — BOUNDED per key by watermark/bucket — instead of one
+    * per purchase, and the hot key's state no longer scales with its
+    * row share. A windowed aggregation feeding a stream-stream join
+    * is a supported chained-stateful shape (the aggregate's event
+    * time is `window_time` of the bucket).
+    *
+    * Semantics change is the point (that is what "semantic
+    * mitigation" means): output is per (user, purchase-bucket, click)
+    * with the bucket's purchase count/sum, and the interval is
+    * evaluated against the bucket END time with `bucket` of slack on
+    * the far edge (a click in-window for SOME purchase of the bucket
+    * is in `[bucketEnd - window - bucket, bucketEnd]`). The spec pins
+    * these semantics against a batch recompute.
+    */
+  def purchaseClickJoinPreAgg(purchases: DataFrame, clicks: DataFrame,
+      bucket: String = "5 seconds", window: String = "5 SECONDS",
+      pWatermark: String = "10 seconds",
+      cWatermark: String = "20 seconds"): DataFrame = {
+    val p = purchases.withWatermark("ts", pWatermark)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.window(col("ts"), bucket).as("w"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("purchase_value"))
+      .select(col("user_id"), window_time(col("w")).as("pts"),
+        col("n_purchases"), col("purchase_value"))
+      .alias("p")
+    val c = clicks.withWatermark("ts", cWatermark).alias("c")
+    p.join(c,
+        expr("p.user_id = c.user_id AND " +
+          s"c.ts BETWEEN p.pts - INTERVAL $window - INTERVAL $bucket " +
+          "AND p.pts"))
+      .select(col("p.user_id").as("user_id"),
+        col("p.pts").as("purchase_bucket_end"),
+        col("p.n_purchases").as("n_purchases"),
+        col("p.purchase_value").as("purchase_value"),
+        col("c.ts").as("click_ts"))
+  }
+
   /** Stream-stream LEFT OUTER interval join: like `purchaseClickJoin`
     * but purchases with NO in-window click still emit — with null
     * click columns — once the click-side watermark passes the join

@@ -261,6 +261,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pre-aggregated stream-stream join: bucketed hot side, batch-equal semantics") {
+    // the hot-key mitigation: a windowed aggregation FEEDS the
+    // stream-stream interval join, so join state per key is buckets,
+    // not purchases. Semantics (bucket granularity, bucket of interval
+    // slack) are pinned here against the batch run of the same plan.
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Double)]
+    val cIn = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = pIn.toDF().toDF("user_id", "ts", "value")
+    val clicks = cIn.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.purchaseClickJoinPreAgg(purchases, clicks)
+      .writeStream.format("memory").queryName("ssjoin_preagg_test")
+      .outputMode(OutputMode.Append).start()
+    val pData = Seq(
+      (1L, ts("2024-01-01 10:00:01"), 10.0), // same 5s bucket ...
+      (1L, ts("2024-01-01 10:00:03"), 32.0), // ... aggregates to n=2, 42.0
+      (3L, ts("2024-01-01 10:00:02"), 5.0))  // no click: inner join drops
+    val cData = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.0), // in window of the bucket
+      (1L, ts("2024-01-01 09:59:52"), 0.0), // beyond window+bucket slack
+      (2L, ts("2024-01-01 10:00:02"), 0.0)) // wrong user
+    try {
+      cIn.addData(cData: _*)
+      pIn.addData(pData: _*)
+      // close the purchase bucket (agg emits on watermark) and the join
+      pIn.addData((9L, ts("2024-01-01 10:05:00"), 0.0))
+      cIn.addData((9L, ts("2024-01-01 10:05:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_purchases, purchase_value, click_ts " +
+          "FROM ssjoin_preagg_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3))).toSet
+      assert(got == Set((1L, 2L, 42.0, ts("2024-01-01 10:00:00"))))
+      // batch twin of the same plan on the same frames agrees
+      val batch = EventStream.purchaseClickJoinPreAgg(
+        (pData :+ ((9L, ts("2024-01-01 10:05:00"), 0.0)))
+          .toDF("user_id", "ts", "value"),
+        (cData :+ ((9L, ts("2024-01-01 10:05:00"), 0.0)))
+          .toDF("user_id", "ts", "value"))
+        .select(col("user_id"), col("n_purchases"), col("purchase_value"),
+          col("click_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3))).toSet
+      // batch ignores watermarks, so the closing 10:05 helper rows join
+      // each other there — exclude that pair, the semantics under test
+      // are user 1's bucket
+      assert(batch.filter(_._1 != 9L) == got)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Timestamp, Double)]
