@@ -68,6 +68,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_median_narrow" -> ((s, d) => graft.operators.Quantiles.medianNarrow(s, d)),
+    "q_quantile_narrow" -> ((s, d) => graft.operators.Quantiles.quantileNarrow(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
@@ -906,6 +907,9 @@ object SparkEntry {
     "q_median_narrow" ->
       """SELECT l_returnflag, round(median(l_extendedprice), 4) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantile_narrow" ->
+      """SELECT l_linenumber, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
     "q_median" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -80,11 +80,18 @@ import graft.sources.Tables
   */
 object Quantiles {
 
-  /** Driver-side narrowing state for one hot key. */
+  /** Driver-side narrowing state for one hot key: the interpolated
+    * quantile at `p` needs order statistics k1 = ⌊p(n−1)⌋+1 and
+    * k2 = ⌈p(n−1)⌉+1 (1-based) combined as v1 + (v2−v1)·frac — the
+    * same linear-interpolation rule Spark's `percentile` and DuckDB's
+    * `quantile_cont` use, computed in double like both engines.
+    */
   private final class HotState(
-      val key: Any, val n: Long, var lo: Long, var hi: Long) {
-    val k1: Long = (n + 1) / 2
-    val k2: Long = (n + 2) / 2
+      val key: Any, val n: Long, p: Double, var lo: Long, var hi: Long) {
+    private val pos: Double = p * (n - 1)
+    val k1: Long = math.floor(pos).toLong + 1
+    val k2: Long = math.ceil(pos).toLong + 1
+    val frac: Double = pos - math.floor(pos)
     var below: Long = 0L // rows with bits < lo (bit order, exact)
     var inCount: Long = n // rows with lo <= bits <= hi
     var straddleCut: Option[Long] = None // bit edge with exactly k1 rows <= it
@@ -94,8 +101,23 @@ object Quantiles {
         (lo != hi) && inCount > finishAt
   }
 
-  /** Exact median of `value` per `key`, any group size.
+  /** Exact median of `value` per `key`, any group size — the p = 0.5
+    * case of [[exactQuantileAnyScale]].
+    */
+  def exactMedianAnyScale(
+      rows: DataFrame, key: String, value: String,
+      hotThreshold: Long = 4000000L,
+      buckets: Int = 8192,
+      finish: Long = 1048576L,
+      maxHotKeys: Int = 4096): DataFrame =
+    exactQuantileAnyScale(rows, key, value, 0.5,
+      hotThreshold, buckets, finish, maxHotKeys)
+
+  /** Exact linear-interpolated quantile of `value` per `key`, any
+    * group size.
     *
+    * @param p the quantile in [0, 1] (0.5 = median); interpolation
+    *   semantics match Spark `percentile` / DuckDB `quantile_cont`.
     * @param hotThreshold groups larger than this take the narrowing
     *   path; smaller ones the classic count-map percentile (whose
     *   buffer this caps). Tune to the largest per-key buffer an
@@ -108,15 +130,17 @@ object Quantiles {
     *   per-pass histogram, ≤ maxHotKeys·(buckets+2) rows): more hot
     *   keys than this fails fast with advice to raise the threshold.
     * @return one row per distinct key: (`key` as named, `median`
-    *   double), nulls/NaNs in `value` ignored; groups with no
-    *   remaining rows are absent.
+    *   double — named for the flagship use; it holds the p-quantile),
+    *   nulls/NaNs in `value` ignored; groups with no remaining rows
+    *   are absent.
     */
-  def exactMedianAnyScale(
-      rows: DataFrame, key: String, value: String,
+  def exactQuantileAnyScale(
+      rows: DataFrame, key: String, value: String, p: Double,
       hotThreshold: Long = 4000000L,
       buckets: Int = 8192,
       finish: Long = 1048576L,
       maxHotKeys: Int = 4096): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"quantile p=$p outside [0, 1]")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     require(hotThreshold >= 1 && maxHotKeys >= 1,
       s"bad knobs: hotThreshold=$hotThreshold maxHotKeys=$maxHotKeys")
@@ -160,7 +184,7 @@ object Quantiles {
     val smallMedians = (if (hot.isEmpty) base
       else hotJoin(base, hotKeysDf, "left_anti"))
       .groupBy(col("__k"))
-      .agg(expr("percentile(__v, 0.5)").as("__med"))
+      .agg(percentile(col("__v"), lit(p)).as("__med"))
     if (hot.isEmpty) return finishKeys(smallMedians)
 
     // one extraction pass; every narrowing pass then reads the (small)
@@ -175,7 +199,7 @@ object Quantiles {
       // fall outside it
       val loV = r.getDouble(2)
       val hiV = r.getDouble(3)
-      new HotState(r.get(0), r.getLong(1),
+      new HotState(r.get(0), r.getLong(1), p,
         SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV),
         SortableDoubleBits.toSortable(if (hiV == 0.0) 0.0 else hiV))
     }
@@ -266,11 +290,15 @@ object Quantiles {
 
     // the remaining endgames resolve EAGERLY (one bounded job each over
     // the persisted subset, at most maxHotKeys rows back), so the
-    // subset can be unpersisted and the returned plan stays lazy-cheap
+    // subset can be unpersisted and the returned plan stays lazy-cheap.
+    // Each endgame returns the two order statistics; the interpolation
+    // (v1 + (v2−v1)·frac, frac per key) happens here on the driver.
     def absorb(results: Array[Row]): Unit = {
-      val byKey = results.map(r => r.get(0) -> r.getDouble(1)).toMap
+      val byKey = results.map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       states.foreach(s =>
-        if (s.result.isEmpty) byKey.get(s.key).foreach(m => s.result = Some(m)))
+        if (s.result.isEmpty) byKey.get(s.key).foreach { case (v1, v2) =>
+          s.result = Some(v1 + (v2 - v1) * s.frac)
+        })
     }
 
     val straddled = states.filter(_.straddleCut.isDefined)
@@ -282,7 +310,6 @@ object Quantiles {
         .groupBy(col("__k"))
         .agg(max(when(col("__b") <= col("__cut"), col("__v"))).as("__v1"),
           min(when(col("__b") > col("__cut"), col("__v"))).as("__v2"))
-        .select(col("__k"), ((col("__v1") + col("__v2")) / 2).as("__med"))
         .collect())
     }
 
@@ -300,8 +327,8 @@ object Quantiles {
         .agg(sort_array(collect_list(col("__v"))).as("__vs"),
           first(col("__r1")).as("__r1"), first(col("__r2")).as("__r2"))
         .select(col("__k"),
-          ((element_at(col("__vs"), col("__r1").cast("int")) +
-            element_at(col("__vs"), col("__r2").cast("int"))) / 2).as("__med"))
+          element_at(col("__vs"), col("__r1").cast("int")).as("__v1"),
+          element_at(col("__vs"), col("__r2").cast("int")).as("__v2"))
         .collect())
     }
     hotRows.unpersist()
@@ -326,5 +353,18 @@ object Quantiles {
       hotThreshold = 100L, buckets = 64, finish = 48L)
       .select(col("l_returnflag"), round(col("median"), 4).as("med"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** `q_quantile_narrow` gate surface: the general-p narrowing
+    * quantile (p90 here — frac-weighted interpolation, not the
+    * median's midpoint) against DuckDB `quantile_cont`; knobs forced
+    * low like the median gate so refinement and the endgames run.
+    */
+  def quantileNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    exactQuantileAnyScale(l, "l_linenumber", "l_extendedprice", 0.9,
+      hotThreshold = 100L, buckets = 64, finish = 48L)
+      .select(col("l_linenumber"), round(col("median"), 4).as("p90"))
+      .orderBy(col("l_linenumber"))
   }
 }

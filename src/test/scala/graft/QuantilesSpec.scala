@@ -102,6 +102,26 @@ class QuantilesSpec extends SparkSpec {
     assert(got(None) == referenceMedian((0 until 900).map(_.toDouble)))
   }
 
+  test("general-p narrowing quantile matches the classic percentile across p") {
+    val rows = Seq.tabulate(3000)(i => ("hot", hashDouble(i, 11, 1e5) - 5e4)) ++
+      Seq.tabulate(33)(i => ("small", hashDouble(i, 12, 7.0)))
+    val df = rows.toDF("k", "v")
+    val classic = (p: Double) => df.groupBy("k")
+      .agg(percentile(col("v"), lit(p)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq(0.0, 0.25, 0.9, 0.99, 1.0).foreach { p =>
+      val got = Quantiles.exactQuantileAnyScale(df, "k", "v", p,
+        hotThreshold = 100, buckets = 16, finish = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = classic(p)
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, q) =>
+        assert(math.abs(got(k) - q) <= math.max(1e-9, math.abs(q) * 1e-12),
+          s"p=$p group $k: got ${got(k)}, want $q")
+      }
+    }
+  }
+
   test("q_median_narrow matches the classic percentile on lineitem") {
     val narrow = Quantiles.medianNarrow(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
