@@ -308,7 +308,18 @@ object StreamBench {
         zEvents.filter(col("event_type") === "purchase"),
         zipfEvents(spark, rps).filter(col("event_type") === "click"),
         window = "5 SECONDS", pWatermark = "10 seconds",
-        cWatermark = "20 seconds")))
+        cWatermark = "20 seconds")),
+      // pre-aggregation against the BOTH-SIDES-hot quadratic regime:
+      // bucketing the purchase side caps the hot key's left cardinality
+      // at ~2 bucket rows, so output per hot key drops from
+      // purchases x clicks to buckets x clicks — linear in the click
+      // share. Measures whether that is enough to commit.
+      ("stream_stream_join_preagg_hot2", () =>
+        EventStream.purchaseClickJoinPreAgg(
+          zEvents.filter(col("event_type") === "purchase"),
+          zipfEvents(spark, rps).filter(col("event_type") === "click"),
+          bucket = "5 seconds", window = "5 SECONDS",
+          pWatermark = "10 seconds", cWatermark = "20 seconds")))
     for ((name, build) <- zipfPipelines) {
       run(name, build, "", secs, zipf = true)
       run(name, build, RocksDbProvider, secs, changelog = true, zipf = true)
