@@ -73,10 +73,12 @@ import graft.sources.Tables
   * +0.0 in bit space; both compare numerically equal, so any selected
   * order statistic is numerically correct.
   *
-  * Reference anchor: the reference's summary layer computes pandas
-  * `median()` over collision attributes (helper_main_operation.py's
-  * describe-style summaries); this is that statistic under a group-by,
-  * engineered for groups that do not fit one machine.
+  * This extends the engine's own exact-median operator (`q_median`,
+  * [[graft.operators.Analytics.medianPricePerPriority]]) past the
+  * group size where its per-group buffer stops fitting an executor —
+  * a capability the reference pipeline (single-node pandas at
+  * sample_size=888) never needs, and a 100 TB group-by cannot live
+  * without.
   */
 object Quantiles {
 
