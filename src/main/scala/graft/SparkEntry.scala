@@ -69,6 +69,7 @@ object SparkEntry {
     "q_median" -> ((s, d) => Analytics.medianPricePerPriority(s, d)),
     "q_median_narrow" -> ((s, d) => graft.operators.Quantiles.medianNarrow(s, d)),
     "q_quantile_narrow" -> ((s, d) => graft.operators.Quantiles.quantileNarrow(s, d)),
+    "q_quantiles_multi" -> ((s, d) => graft.operators.Quantiles.quantilesNarrowMulti(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
@@ -910,6 +911,19 @@ object SparkEntry {
     "q_quantile_narrow" ->
       """SELECT l_linenumber, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    "q_quantiles_multi" ->
+      """SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS p,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS q
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.99 AS DOUBLE) AS p,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS q
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, p""".stripMargin,
     "q_median" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -10,17 +10,18 @@ import org.apache.spark.sql.types._
 import graft.functions.SortableDoubleBits
 import graft.sources.Tables
 
-/** Exact per-group median with scale-independent memory.
+/** Exact per-group quantiles with scale-independent memory.
   *
   * Why: the r10 skew soak measured the boundary of the classic exact
   * median (`percentile`, a per-group count-map buffer): a Zipf hot key
   * with ~40M distinct values completes at 1000x on a 48 GB heap at
-  * 1.52x the GK sketch — and one more decade puts the buffer past
-  * executor memory (docs/SCALING.md, `aggmedhc_*`). The usual answer
-  * is "switch to the sketch", which gives up exactness. This operator
-  * keeps exactness at ANY group cardinality by binary-searching the
-  * VALUE DOMAIN of the oversized groups instead of buffering their
-  * values:
+  * 1.52x the GK sketch — and graft.MedianEdge then measured the next
+  * step directly: 50M distinct values on one key is FATAL (OOM) in the
+  * 4 GB heap a normal executor gets (docs/SCALING.md round 11). The
+  * usual answer is "switch to the sketch", which gives up exactness.
+  * This operator keeps exactness at ANY group cardinality by
+  * binary-searching the VALUE DOMAIN of the oversized groups instead
+  * of buffering their values:
   *
   *  1. One algebraic pass counts rows and brackets min/max per key
   *     (partial aggregation makes this skew-immune — measured).
@@ -29,49 +30,55 @@ import graft.sources.Tables
   *     not by the data.
   *  3. For each oversized ("hot") key — by construction a handful; a
   *     corpus where millions of keys exceed the threshold has no skew
-  *     problem to survive — the median ranks k1 = ⌊(n+1)/2⌋ and
-  *     k2 = ⌊(n+2)/2⌋ are located by iterated histogram refinement
-  *     over the ORDER-PRESERVING BIT IMAGE of the value
+  *     problem to survive — each requested quantile's order-statistic
+  *     ranks are located by iterated histogram refinement over the
+  *     ORDER-PRESERVING BIT IMAGE of the value
   *     ([[graft.functions.SortableDoubleBits]]): each pass buckets the
-  *     key's current [lo, hi] bit interval into `buckets` integer-
-  *     exact sub-ranges, counts rows per (key, bucket) — an algebraic
-  *     aggregation whose state is O(buckets) per key — and narrows to
-  *     the bucket holding the target ranks. Integer interval
-  *     arithmetic means the histogram a pass counts and the range the
-  *     next pass narrows to can never disagree (float bucket edges
-  *     can misplace boundary values); the interval shrinks by ~the
-  *     bucket count per pass, so ≤ ⌈64 / log2(buckets)⌉ + 1 passes
-  *     cover the whole double domain.
-  *  4. Three exact endgames: a single-bit-value interval IS the median
-  *     (plateau); ranks k1 ≠ k2 falling in different buckets means the
-  *     median straddles a bucket edge whose below-count is exactly k1,
-  *     so one conditional max/min pass yields both order statistics;
-  *     otherwise once the interval holds ≤ `finish` rows they are
-  *     collected per key and the ranks read off directly.
+  *     (key, quantile) pair's current [lo, hi] bit interval into
+  *     `buckets` integer-exact sub-ranges, counts rows per bucket — an
+  *     algebraic aggregation whose state is O(buckets) per pair — and
+  *     narrows to the bucket holding the target ranks. Integer
+  *     interval arithmetic means the histogram a pass counts and the
+  *     range the next pass narrows to can never disagree (float bucket
+  *     edges can misplace boundary values); the interval shrinks by
+  *     ~the bucket count per pass, so ≤ ⌈64 / log2(buckets)⌉ + 1
+  *     passes cover the whole double domain. ALL requested quantiles
+  *     of ALL hot keys narrow inside the SAME per-pass job — asking
+  *     for p50/p90/p99 costs one shared scan per pass, not three.
+  *  4. Three exact endgames per (key, quantile): a single-bit-value
+  *     interval IS the answer (plateau); ranks k1 ≠ k2 falling in
+  *     different buckets means the quantile straddles a bucket edge
+  *     whose below-count is exactly k1, so one conditional max/min
+  *     pass yields both order statistics; otherwise once the interval
+  *     holds ≤ `finish` rows they are collected and the ranks read
+  *     off directly.
   *
   * Cost shape: 1 full pass for counts, 1 full pass that EXTRACTS the
   * hot keys' rows into a DISK_ONLY persisted subset (at Zipf(1.1) a
   * minority of the corpus — the passes must not re-scan 100 TB to
-  * reach 7% of it), then (passes + 1) jobs over that subset; with the
-  * default `finish` the pass count is usually 1-2 — narrowing runs
-  * only until the candidate interval fits one bounded collect, not
-  * until it pinpoints the value. Hot medians resolve EAGERLY (at most
-  * `maxHotKeys` driver rows) and the subset is unpersisted before
-  * returning, so the returned lazy plan is just the small-key
-  * percentile plus a literal hot-median table — one more full pass
-  * when the caller consumes it. Executor memory per key is
+  * reach 7% of it), then (passes + 1) jobs over that subset shared by
+  * every requested quantile; with the default `finish` the pass count
+  * is usually 1-2 — narrowing runs only until the candidate interval
+  * fits one bounded collect, not until it pinpoints the value. Hot
+  * results resolve EAGERLY (at most `maxHotKeys`·|ps| driver rows)
+  * and the subset is unpersisted before returning, so the returned
+  * lazy plan is just the small-key percentile plus a literal
+  * hot-result table — one more full pass when the caller consumes it.
+  * Executor memory per (key, quantile) is
   * O(max(hotThreshold, finish, buckets)) — all knobs, none scaling
-  * with the data; driver traffic per pass is O(hotKeys) rows (rank
-  * location runs in a per-key window on the executors, only the
-  * chosen bucket edges come back).
+  * with the data; driver traffic per pass is O(hotKeys·|ps|) rows
+  * (rank location runs in a per-pair window on the executors, only
+  * the chosen bucket edges come back).
   *
-  * Numerics: medians of even-count groups average two order
-  * statistics — identical to linear interpolation at 0.5 up to one
-  * ulp. NaN and null values are excluded (DuckDB `median` semantics;
-  * Spark's `percentile` sorts NaN last instead — don't feed NaN to
-  * either and expect cross-engine agreement). −0.0 orders just below
-  * +0.0 in bit space; both compare numerically equal, so any selected
-  * order statistic is numerically correct.
+  * Numerics: quantiles interpolate as v1 + (v2−v1)·frac over the
+  * order statistics at ⌊p(n−1)⌋+1 and ⌈p(n−1)⌉+1 — the same rule
+  * Spark's `percentile` and DuckDB's `quantile_cont` apply, with the
+  * rank position computed in double like both engines. NaN and null
+  * values are excluded (DuckDB semantics; Spark's `percentile` sorts
+  * NaN last instead — don't feed NaN to either and expect
+  * cross-engine agreement). −0.0 orders just below +0.0 in bit space;
+  * both compare numerically equal, so any selected order statistic is
+  * numerically correct.
   *
   * This extends the engine's own exact-median operator (`q_median`,
   * [[graft.operators.Analytics.medianPricePerPriority]]) past the
@@ -82,14 +89,14 @@ import graft.sources.Tables
   */
 object Quantiles {
 
-  /** Driver-side narrowing state for one hot key: the interpolated
-    * quantile at `p` needs order statistics k1 = ⌊p(n−1)⌋+1 and
-    * k2 = ⌈p(n−1)⌉+1 (1-based) combined as v1 + (v2−v1)·frac — the
-    * same linear-interpolation rule Spark's `percentile` and DuckDB's
-    * `quantile_cont` use, computed in double like both engines.
+  /** Driver-side narrowing state for one (hot key, quantile): the
+    * interpolated quantile at `p` needs order statistics
+    * k1 = ⌊p(n−1)⌋+1 and k2 = ⌈p(n−1)⌉+1 (1-based) combined as
+    * v1 + (v2−v1)·frac.
     */
   private final class HotState(
-      val key: Any, val n: Long, p: Double, var lo: Long, var hi: Long) {
+      val sid: Int, val key: Any, val n: Long, val p: Double,
+      var lo: Long, var hi: Long) {
     private val pos: Double = p * (n - 1)
     val k1: Long = math.floor(pos).toLong + 1
     val k2: Long = math.ceil(pos).toLong + 1
@@ -115,34 +122,52 @@ object Quantiles {
     exactQuantileAnyScale(rows, key, value, 0.5,
       hotThreshold, buckets, finish, maxHotKeys)
 
-  /** Exact linear-interpolated quantile of `value` per `key`, any
-    * group size.
-    *
-    * @param p the quantile in [0, 1] (0.5 = median); interpolation
-    *   semantics match Spark `percentile` / DuckDB `quantile_cont`.
-    * @param hotThreshold groups larger than this take the narrowing
-    *   path; smaller ones the classic count-map percentile (whose
-    *   buffer this caps). Tune to the largest per-key buffer an
-    *   executor should hold.
-    * @param buckets histogram resolution per narrowing pass (memory
-    *   per hot key during the pass; fewer buckets = more passes).
-    * @param finish collect-and-select once a hot key's candidate
-    *   interval holds at most this many rows.
-    * @param maxHotKeys guard on the driver-side state (and on the
-    *   per-pass histogram, ≤ maxHotKeys·(buckets+2) rows): more hot
-    *   keys than this fails fast with advice to raise the threshold.
-    * @return one row per distinct key: (`key` as named, `median`
-    *   double — named for the flagship use; it holds the p-quantile),
-    *   nulls/NaNs in `value` ignored; groups with no remaining rows
-    *   are absent.
+  /** One exact quantile per key: the |ps| = 1 case of
+    * [[exactQuantilesAnyScale]], returned as (`key`, `median`) for the
+    * operator's flagship shape.
     */
   def exactQuantileAnyScale(
       rows: DataFrame, key: String, value: String, p: Double,
       hotThreshold: Long = 4000000L,
       buckets: Int = 8192,
       finish: Long = 1048576L,
+      maxHotKeys: Int = 4096): DataFrame =
+    exactQuantilesAnyScale(rows, key, value, Seq(p),
+      hotThreshold, buckets, finish, maxHotKeys)
+      .select(col(key), col("quantile").as("median"))
+
+  /** Exact linear-interpolated quantiles of `value` per `key`, any
+    * group size, all `ps` sharing the discovery/extraction passes and
+    * every narrowing job.
+    *
+    * @param ps distinct quantiles in [0, 1]; interpolation semantics
+    *   match Spark `percentile` / DuckDB `quantile_cont`.
+    * @param hotThreshold groups larger than this take the narrowing
+    *   path; smaller ones the classic count-map percentile (whose
+    *   buffer this caps). Tune to the largest per-key buffer an
+    *   executor should hold.
+    * @param buckets histogram resolution per narrowing pass (memory
+    *   per (key, quantile) during the pass; fewer buckets = more
+    *   passes).
+    * @param finish collect-and-select once a pair's candidate interval
+    *   holds at most this many rows.
+    * @param maxHotKeys guard on the driver-side state (and on the
+    *   per-pass histogram, ≤ maxHotKeys·|ps|·(buckets+2) rows): more
+    *   hot keys than this fails fast with advice to raise the
+    *   threshold.
+    * @return one row per (distinct key, p): (`key` as named,
+    *   `p` double, `quantile` double), nulls/NaNs in `value` ignored;
+    *   groups with no remaining rows are absent.
+    */
+  def exactQuantilesAnyScale(
+      rows: DataFrame, key: String, value: String, ps: Seq[Double],
+      hotThreshold: Long = 4000000L,
+      buckets: Int = 8192,
+      finish: Long = 1048576L,
       maxHotKeys: Int = 4096): DataFrame = {
-    require(p >= 0.0 && p <= 1.0, s"quantile p=$p outside [0, 1]")
+    require(ps.nonEmpty && ps.distinct.size == ps.size &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ps must be distinct quantiles in [0, 1], got $ps")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     require(hotThreshold >= 1 && maxHotKeys >= 1,
       s"bad knobs: hotThreshold=$hotThreshold maxHotKeys=$maxHotKeys")
@@ -167,8 +192,11 @@ object Quantiles {
         "raise the threshold — a workload where this many keys are oversized " +
         "is big everywhere, not skewed")
 
+    // small path: classic count-map percentile, all ps in one buffer
     def finishKeys(df: DataFrame): DataFrame =
-      df.select(col("__k").as(key), col("__med").as("median"))
+      df.select(col("__k").as(key), col("__p").as("p"),
+        col("__med").as("quantile"))
+    val psLit = lit(ps.toArray)
 
     // joins against driver-built key tables are NULL-SAFE (`<=>`): the
     // null surrogate is the canonical hot key, and an equality join
@@ -183,11 +211,13 @@ object Quantiles {
     val hotKeysDf = spark.createDataFrame(
       hot.map(r => Row(r.get(0))).toSeq.asJava, StructType(Seq(keyField)))
 
-    val smallMedians = (if (hot.isEmpty) base
+    val smallQuantiles = (if (hot.isEmpty) base
       else hotJoin(base, hotKeysDf, "left_anti"))
       .groupBy(col("__k"))
-      .agg(percentile(col("__v"), lit(p)).as("__med"))
-    if (hot.isEmpty) return finishKeys(smallMedians)
+      .agg(percentile(col("__v"), psLit).as("__qs"))
+      .select(col("__k"), posexplode(col("__qs")).as(Seq("__pi", "__med")))
+      .withColumn("__p", element_at(psLit, col("__pi") + 1))
+    if (hot.isEmpty) return finishKeys(smallQuantiles)
 
     // one extraction pass; every narrowing pass then reads the (small)
     // hot subset, not the full fact. DISK_ONLY: predictable, no
@@ -195,15 +225,17 @@ object Quantiles {
     val hotRows = hotJoin(base, hotKeysDf, "left_semi")
       .withColumn("__b", SortableDoubleBits.sortableBits(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val states = hot.map { r =>
+    val states = hot.zipWithIndex.flatMap { case (r, ki) =>
       // min/max may report either of ±0.0 (they compare equal as
       // doubles); widen the bit bracket to cover both so no row can
       // fall outside it
       val loV = r.getDouble(2)
       val hiV = r.getDouble(3)
-      new HotState(r.get(0), r.getLong(1), p,
-        SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV),
-        SortableDoubleBits.toSortable(if (hiV == 0.0) 0.0 else hiV))
+      val loB = SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV)
+      val hiB = SortableDoubleBits.toSortable(if (hiV == 0.0) 0.0 else hiV)
+      ps.zipWithIndex.map { case (p, pi) =>
+        new HotState(ki * ps.size + pi, r.get(0), r.getLong(1), p, loB, hiB)
+      }
     }
 
     // interval shrinks ~buckets-fold per pass (half that on the one
@@ -214,7 +246,7 @@ object Quantiles {
       iter += 1
       val active = states.filter(_.open(finish))
 
-      // per-key bucket geometry, integer-exact. A mixed-sign interval
+      // per-pair bucket geometry, integer-exact. A mixed-sign interval
       // wider than Long.MaxValue would overflow (bits - lo); shifting
       // both by one bit is order-preserving and never needed twice.
       case class Geo(s: HotState, shift: Int, sLo: Long, sHi: Long, w: Long)
@@ -227,45 +259,48 @@ object Quantiles {
         Geo(s, shift, sLo, sHi, (sHi - sLo) / buckets + 1)
       }
       val boundsSchema = StructType(Seq(keyField,
+        StructField("__sid", IntegerType),
         StructField("__lo", LongType), StructField("__hi", LongType),
         StructField("__slo", LongType), StructField("__w", LongType),
         StructField("__shift", IntegerType),
         StructField("__k1", LongType), StructField("__k2", LongType)))
       val bounds = spark.createDataFrame(
-        geo.map(g => Row(g.s.key, g.s.lo, g.s.hi, g.sLo, g.w, g.shift,
-          g.s.k1, g.s.k2)).toSeq.asJava, boundsSchema)
+        geo.map(g => Row(g.s.key, g.s.sid, g.s.lo, g.s.hi, g.sLo, g.w,
+          g.shift, g.s.k1, g.s.k2)).toSeq.asJava, boundsSchema)
 
-      // every hot row lands in exactly one monotone bucket; the -1 / B
-      // sentinels keep rows outside the current interval in the rank
-      // arithmetic, so ranks stay ABSOLUTE and nothing needs carrying
-      // between passes except the interval itself
+      // every hot row lands in exactly one monotone bucket PER ACTIVE
+      // PAIR of its key (the inner join fans rows out per pair — this
+      // is how every requested quantile narrows in one shared scan);
+      // the -1 / B sentinels keep rows outside a pair's interval in
+      // its rank arithmetic, so ranks stay ABSOLUTE and nothing needs
+      // carrying between passes except the interval itself
       val bkt = when(col("__b") < col("__lo"), lit(-1L))
         .when(col("__b") > col("__hi"), lit(buckets.toLong))
         .otherwise(expr(s"(shiftright(__b, __shift) - __slo) div __w"))
-      val wnd = Window.partitionBy(col("__k")).orderBy(col("__bkt"))
+      val wnd = Window.partitionBy(col("__sid")).orderBy(col("__bkt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val edges = hotJoin(hotRows, bounds, "inner")
         .withColumn("__bkt", bkt)
-        .groupBy(col("__k"), col("__bkt"))
+        .groupBy(col("__sid"), col("__bkt"))
         .agg(count(lit(1)).as("__c"), first(col("__k1")).as("__k1"),
           first(col("__k2")).as("__k2"))
         .withColumn("__cum", sum(col("__c")).over(wnd))
-        .groupBy(col("__k"))
+        .groupBy(col("__sid"))
         .agg(
           min(when(col("__cum") >= col("__k1"),
             struct(col("__bkt"), col("__cum"), col("__c")))).as("__e1"),
           min(when(col("__cum") >= col("__k2"),
             struct(col("__bkt"), col("__cum"), col("__c")))).as("__e2"))
         .collect()
-        .map(r => r.get(0) -> (r.getStruct(1), r.getStruct(2))).toMap
+        .map(r => r.getInt(0) -> (r.getStruct(1), r.getStruct(2))).toMap
 
       geo.foreach { g =>
         val s = g.s
-        val (e1, e2) = edges(s.key)
+        val (e1, e2) = edges(s.sid)
         val (b1, cum1, c1) = (e1.getLong(0), e1.getLong(1), e1.getLong(2))
         val b2 = e2.getLong(0)
         require(b1 >= 0 && b1 < buckets && b2 >= 0 && b2 < buckets,
-          s"median rank left the bracketed interval (b1=$b1 b2=$b2) — " +
+          s"rank left the bracketed interval (b1=$b1 b2=$b2, p=${s.p}) — " +
             "narrowing invariant broken")
         val mask = (1L << g.shift) - 1
         if (b1 == b2) {
@@ -284,32 +319,33 @@ object Quantiles {
       }
     }
     require(!states.exists(_.open(finish)),
-      s"median narrowing did not converge in $maxIter passes")
+      s"quantile narrowing did not converge in $maxIter passes")
 
     // plateau endgame: a single-bit interval IS the value
     states.filter(s => s.result.isEmpty && s.straddleCut.isEmpty && s.lo == s.hi)
       .foreach(s => s.result = Some(SortableDoubleBits.fromSortable(s.lo)))
 
     // the remaining endgames resolve EAGERLY (one bounded job each over
-    // the persisted subset, at most maxHotKeys rows back), so the
+    // the persisted subset, at most maxHotKeys·|ps| rows back), so the
     // subset can be unpersisted and the returned plan stays lazy-cheap.
     // Each endgame returns the two order statistics; the interpolation
-    // (v1 + (v2−v1)·frac, frac per key) happens here on the driver.
-    def absorb(results: Array[Row]): Unit = {
-      val byKey = results.map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      states.foreach(s =>
-        if (s.result.isEmpty) byKey.get(s.key).foreach { case (v1, v2) =>
-          s.result = Some(v1 + (v2 - v1) * s.frac)
-        })
-    }
+    // (v1 + (v2−v1)·frac, frac per pair) happens here on the driver.
+    val bySid = states.map(s => s.sid -> s).toMap
+    def absorb(results: Array[Row]): Unit =
+      results.foreach { r =>
+        val s = bySid(r.getInt(0))
+        if (s.result.isEmpty)
+          s.result = Some(r.getDouble(1) + (r.getDouble(2) - r.getDouble(1)) * s.frac)
+      }
 
     val straddled = states.filter(_.straddleCut.isDefined)
     if (straddled.nonEmpty) {
       val cuts = spark.createDataFrame(
-        straddled.map(s => Row(s.key, s.straddleCut.get)).toSeq.asJava,
-        StructType(Seq(keyField, StructField("__cut", LongType))))
+        straddled.map(s => Row(s.key, s.sid, s.straddleCut.get)).toSeq.asJava,
+        StructType(Seq(keyField, StructField("__sid", IntegerType),
+          StructField("__cut", LongType))))
       absorb(hotJoin(hotRows, cuts, "inner")
-        .groupBy(col("__k"))
+        .groupBy(col("__sid"))
         .agg(max(when(col("__b") <= col("__cut"), col("__v"))).as("__v1"),
           min(when(col("__b") > col("__cut"), col("__v"))).as("__v2"))
         .collect())
@@ -318,29 +354,31 @@ object Quantiles {
     val collecting = states.filter(_.result.isEmpty)
     if (collecting.nonEmpty) {
       val fin = spark.createDataFrame(
-        collecting.map(s => Row(s.key, s.lo, s.hi,
+        collecting.map(s => Row(s.key, s.sid, s.lo, s.hi,
           s.k1 - s.below, s.k2 - s.below)).toSeq.asJava,
-        StructType(Seq(keyField,
+        StructType(Seq(keyField, StructField("__sid", IntegerType),
           StructField("__lo", LongType), StructField("__hi", LongType),
           StructField("__r1", LongType), StructField("__r2", LongType))))
       absorb(hotJoin(hotRows, fin, "inner")
         .filter(col("__b") >= col("__lo") && col("__b") <= col("__hi"))
-        .groupBy(col("__k"))
+        .groupBy(col("__sid"))
         .agg(sort_array(collect_list(col("__v"))).as("__vs"),
           first(col("__r1")).as("__r1"), first(col("__r2")).as("__r2"))
-        .select(col("__k"),
+        .select(col("__sid"),
           element_at(col("__vs"), col("__r1").cast("int")).as("__v1"),
           element_at(col("__vs"), col("__r2").cast("int")).as("__v2"))
         .collect())
     }
     hotRows.unpersist()
     require(states.forall(_.result.isDefined),
-      "a hot key resolved no median — endgame invariant broken")
+      "a hot (key, quantile) resolved no result — endgame invariant broken")
 
-    val hotMedians = spark.createDataFrame(
-      states.map(s => Row(s.key, s.result.get)).toSeq.asJava,
-      StructType(Seq(keyField, StructField("__med", DoubleType))))
-    finishKeys(smallMedians.unionByName(hotMedians))
+    val hotQuantiles = spark.createDataFrame(
+      states.map(s => Row(s.key, s.p, s.result.get)).toSeq.asJava,
+      StructType(Seq(keyField, StructField("__p", DoubleType),
+        StructField("__med", DoubleType))))
+    finishKeys(smallQuantiles.select(col("__k"), col("__p"), col("__med"))
+      .unionByName(hotQuantiles))
   }
 
   /** `q_median_narrow` gate surface: the narrowing median against the
@@ -368,5 +406,18 @@ object Quantiles {
       hotThreshold = 100L, buckets = 64, finish = 48L)
       .select(col("l_linenumber"), round(col("median"), 4).as("p90"))
       .orderBy(col("l_linenumber"))
+  }
+
+  /** `q_quantiles_multi` gate surface: p50/p90/p99 per group through
+    * ONE shared set of narrowing passes, long format, against three
+    * DuckDB `quantile_cont` calls unioned — proves cross-engine that
+    * pass-sharing changes nothing about any individual quantile.
+    */
+  def quantilesNarrowMulti(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    exactQuantilesAnyScale(l, "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.9, 0.99), hotThreshold = 100L, buckets = 64, finish = 48L)
+      .select(col("l_returnflag"), col("p"), round(col("quantile"), 4).as("q"))
+      .orderBy(col("l_returnflag"), col("p"))
   }
 }

@@ -122,6 +122,26 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("multi-p shared-pass quantiles equal the per-p single calls") {
+    val rows = Seq.tabulate(2500)(i => ("hot", hashDouble(i, 21, 3e4))) ++
+      Seq.tabulate(60)(i => ("small", hashDouble(i, 22, 9.0)))
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val multi = Quantiles.exactQuantilesAnyScale(df, "k", "v", ps,
+      hotThreshold = 100, buckets = 16, finish = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(multi.size == 6) // 2 groups x 3 quantiles
+    ps.foreach { p =>
+      val single = Quantiles.exactQuantileAnyScale(df, "k", "v", p,
+        hotThreshold = 100, buckets = 16, finish = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      single.foreach { case (k, q) =>
+        assert(multi((k, p)) == q, s"p=$p group $k: multi=${multi((k, p))}, single=$q")
+      }
+    }
+  }
+
   test("q_median_narrow matches the classic percentile on lineitem") {
     val narrow = Quantiles.medianNarrow(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
