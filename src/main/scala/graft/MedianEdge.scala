@@ -87,10 +87,17 @@ object MedianEdge {
       val rc = if (finished) p.exitValue() else -1
       val out = outF.get()
       val marker = out.linesIterator.find(_.startsWith("MEDIAN_EDGE_OK "))
-      val row = marker match {
-        case Some(m) =>
+      // a garbled marker line (e.g. interleaved child stdout) records a
+      // fatal row for THIS variant instead of crashing the whole sweep
+      val parsed = marker.flatMap { m =>
+        scala.util.Try {
           val Array(_, _, sec, med, rows) = m.trim.split(" ")
-          val err = math.abs(med.toDouble - expected) / expected
+          (sec, med.toDouble, rows)
+        }.toOption
+      }
+      val row = parsed match {
+        case Some((sec, med, rows)) =>
+          val err = math.abs(med - expected) / expected
           // exact variants must hit the closed form; the sketch records
           // its observed error (GK is approximate by construction)
           require(variant == "sketch" || err < 1e-12,
@@ -101,6 +108,7 @@ object MedianEdge {
             if (!finished) "timeout-1200s"
             else if (errF.get().contains("OutOfMemoryError") || rc == 3)
               "oom" // ExitOnOutOfMemoryError exits 3; message may be on stderr
+            else if (marker.isDefined) "garbled-marker"
             else s"rc=$rc"
           f"""{"metric":"median_edge","variant":"$variant","hot_distinct":$hotN,"heap_gb":$heapGb,"sec":null,"status":"fatal:$why"}"""
       }

@@ -111,7 +111,7 @@ object Quantiles {
   }
 
   /** Exact median of `value` per `key`, any group size — the p = 0.5
-    * case of [[exactQuantileAnyScale]].
+    * case of [[exactQuantileAnyScale]], returned as (`key`, `median`).
     */
   def exactMedianAnyScale(
       rows: DataFrame, key: String, value: String,
@@ -121,10 +121,10 @@ object Quantiles {
       maxHotKeys: Int = 4096): DataFrame =
     exactQuantileAnyScale(rows, key, value, 0.5,
       hotThreshold, buckets, finish, maxHotKeys)
+      .withColumnRenamed("quantile", "median")
 
   /** One exact quantile per key: the |ps| = 1 case of
-    * [[exactQuantilesAnyScale]], returned as (`key`, `median`) for the
-    * operator's flagship shape.
+    * [[exactQuantilesAnyScale]], returned as (`key`, `quantile`).
     */
   def exactQuantileAnyScale(
       rows: DataFrame, key: String, value: String, p: Double,
@@ -134,7 +134,7 @@ object Quantiles {
       maxHotKeys: Int = 4096): DataFrame =
     exactQuantilesAnyScale(rows, key, value, Seq(p),
       hotThreshold, buckets, finish, maxHotKeys)
-      .select(col(key), col("quantile").as("median"))
+      .select(col(key), col("quantile"))
 
   /** Exact linear-interpolated quantiles of `value` per `key`, any
     * group size, all `ps` sharing the discovery/extraction passes and
@@ -157,7 +157,17 @@ object Quantiles {
     *   threshold.
     * @return one row per (distinct key, p): (`key` as named,
     *   `p` double, `quantile` double), nulls/NaNs in `value` ignored;
-    *   groups with no remaining rows are absent.
+    *   groups with no remaining rows are absent. `key` must not be
+    *   named `p` or `quantile` (the fixed output columns).
+    *
+    * @note SNAPSHOT ASSUMPTION: hot/small classification comes from an
+    *   eager pass-0 count, but the small-key path in the returned plan
+    *   is lazy over `rows`. The source must be stable between the call
+    *   and consumption (a file scan is; a non-deterministic or mutated
+    *   source is not) — otherwise a group that grows past the
+    *   threshold after pass 0 silently takes the unbounded count-map
+    *   path this operator exists to avoid. Persist `rows` for the
+    *   call's lifetime if the source can move.
     */
   def exactQuantilesAnyScale(
       rows: DataFrame, key: String, value: String, ps: Seq[Double],
@@ -173,6 +183,9 @@ object Quantiles {
       s"bad knobs: hotThreshold=$hotThreshold maxHotKeys=$maxHotKeys")
     require(finish >= 1 && finish <= 100000000L,
       s"finish=$finish must fit a collected per-key array")
+    require(key != "p" && key != "quantile",
+      s"key column '$key' collides with the fixed output columns " +
+        "(key, p, quantile) — alias it before calling")
     val spark = rows.sparkSession
 
     val v = col(value).cast("double")
@@ -334,8 +347,12 @@ object Quantiles {
     def absorb(results: Array[Row]): Unit =
       results.foreach { r =>
         val s = bySid(r.getInt(0))
-        if (s.result.isEmpty)
-          s.result = Some(r.getDouble(1) + (r.getDouble(2) - r.getDouble(1)) * s.frac)
+        if (s.result.isEmpty) {
+          val (v1, v2) = (r.getDouble(1), r.getDouble(2))
+          // equal order statistics return v1 directly: Inf + (Inf-Inf)*f
+          // would manufacture NaN where percentile/quantile_cont return Inf
+          s.result = Some(if (v1 == v2) v1 else v1 + (v2 - v1) * s.frac)
+        }
       }
 
     val straddled = states.filter(_.straddleCut.isDefined)
@@ -404,7 +421,7 @@ object Quantiles {
     val l = Tables.load(spark, dir, "lineitem")
     exactQuantileAnyScale(l, "l_linenumber", "l_extendedprice", 0.9,
       hotThreshold = 100L, buckets = 64, finish = 48L)
-      .select(col("l_linenumber"), round(col("median"), 4).as("p90"))
+      .select(col("l_linenumber"), round(col("quantile"), 4).as("p90"))
       .orderBy(col("l_linenumber"))
   }
 
