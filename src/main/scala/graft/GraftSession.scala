@@ -45,6 +45,18 @@ object GraftSession {
       // group (measured in the round-10 layout soak; the same filter on
       // a MICROS column skips everything). Write modern micros.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Read naive parquet timestamps (isAdjustedToUTC=false) as
+      // session-TZ TIMESTAMP instead of TIMESTAMP_NTZ. Under the UTC
+      // session every value is identical, but the pushdown behavior is
+      // not: ParquetFilters drops NTZ literals (LocalDateTime), so an
+      // NTZ filter is advertised in PushedFilters yet skips NOTHING,
+      // while the LTZ twin row-group-skips 80x on a date-clustered
+      // layout (docs/SCALING.md round 10, re-measured round 12). This
+      // makes every headline l_shipdate/o_orderdate filter actually
+      // reach the reader. Engine OUTPUT parquet converts back to NTZ at
+      // the Verify boundary, so cross-engine naive-timestamp semantics
+      // are unchanged.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Managed (bucketed) tables land outside the repo checkout.
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))

@@ -44,14 +44,18 @@ import org.apache.spark.sql.functions._
   *     sorted layout should answer from the few row groups whose
   *     min/max overlap the window; the unsorted base reads everything.
   *     Measured twice because the first attempt found a trap:
-  *     `scan_sorted_ts` filters the TIMESTAMP_NTZ column — the filter
-  *     shows in PushedFilters but ParquetFilters never builds the
-  *     reader predicate for an NTZ literal (LocalDateTime is not an
-  *     accepted value class), so NO row group is skipped and the
-  *     sorted layout buys nothing; `scan_sorted_date` filters the
-  *     same rows through a DATE column (`l_shipday`) in the same
-  *     files, where skipping works. The trap is also a PlanLint rule
-  *     (`unpushed-scan-filter` on TIMESTAMP_NTZ).
+  *     `scan_sorted_ts` filters the ship-date timestamp column — in
+  *     round 10 that column read as TIMESTAMP_NTZ, whose filter shows
+  *     in PushedFilters but never builds a reader predicate
+  *     (ParquetFilters drops LocalDateTime), so NO row group skipped;
+  *     `scan_sorted_date` filters the same rows through a DATE twin
+  *     (`l_shipday`) where skipping works, and `scan_sorted_tstz`
+  *     through a session-TZ TIMESTAMP twin. Round 12 closed the trap
+  *     at the engine level (GraftSession inferTimestampNTZ=false reads
+  *     naive parquet timestamps as session-TZ TIMESTAMP), so
+  *     `scan_sorted_ts` — the exact headline l_shipdate filter shape —
+  *     now skips like its twins; the NTZ PlanLint rule
+  *     (`unpushed-scan-filter`) remains for genuinely-NTZ user data.
   *
   * Usage: runMain graft.LayoutSoak [scales] [variants] — default
   * scales "10", all variants. Appends JSON lines to
@@ -64,8 +68,10 @@ object LayoutSoak {
     * measurement).
     */
   // v2: sorted layout carries l_shipday DATE; v3: + l_shipts
-  // session-TZ TIMESTAMP (the other pushdown-live twin of the NTZ col)
-  val LayoutGeneratorVersion = 3
+  // session-TZ TIMESTAMP (the other pushdown-live twin of the NTZ col);
+  // v4: l_shipdate itself is LTZ (Soak corpus v3 + the
+  // inferTimestampNTZ=false flip — see Soak.GeneratorVersion)
+  val LayoutGeneratorVersion = 4
 
   /** Per-task IO totals: scan input (rows + bytes) and shuffle write
     * bytes — the numbers that prove pruning/bucketing did what the

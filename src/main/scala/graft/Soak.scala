@@ -129,9 +129,14 @@ object Soak {
     * the measurements (r6 ADVICE: the per-copy orthogonal sign-flip
     * changed embeddings semantics but old dirs kept quadratic
     * verbatim copies). v2 = sign-flipped embeddings + text-seeded
-    * doc permutation.
+    * doc permutation. v3 = timestamp columns carried as session-TZ
+    * TIMESTAMP: engine-written parquet embeds the Spark schema in the
+    * footer, and a pre-flip corpus pins TIMESTAMP_NTZ through that
+    * metadata REGARDLESS of the session's inferTimestampNTZ=false —
+    * keeping every date filter over the corpus on the inert-pushdown
+    * path the flip exists to close (round 12).
     */
-  val GeneratorVersion = 2
+  val GeneratorVersion = 3
 
   /** Public so Bench's per-round 10x regression guard reuses the same
     * generator (and its version gate).

@@ -4,6 +4,36 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Serialize engine timestamps as NAIVE (TIMESTAMP_NTZ) parquet for
+    * the DuckDB compare. The engine reads naive parquet timestamps as
+    * session-TZ TIMESTAMP (inferTimestampNTZ=false — the type whose
+    * filters actually row-group-skip; see GraftSession), so under the
+    * UTC session this cast is value-lossless and only fixes the wire
+    * type: a TimestampType result would land as isAdjustedToUTC=true
+    * micros, which DuckDB reads as TIMESTAMPTZ and prints with an
+    * offset — hash-mismatching the naive oracle on identical values.
+    * Recurses into struct/array/map so windowed outputs convert too.
+    */
+  private[graft] def ntzOut(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    def swap(dt: DataType): DataType = dt match {
+      case TimestampType => TimestampNTZType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = swap(f.dataType))))
+      case a: ArrayType => a.copy(elementType = swap(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = swap(m.keyType), valueType = swap(m.valueType))
+      case other => other
+    }
+    val cols = df.schema.fields.map { f =>
+      val t = swap(f.dataType)
+      if (t == f.dataType) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.col(f.name).cast(t).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query-name filter]
     val (sfDir, outDir) = (args(0), args(1))
@@ -45,7 +75,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntzOut(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -128,7 +128,7 @@ object Incremental {
     */
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.sources.Tables.load(spark, dir, "events")
-    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
     val base = aggState(e.filter(col("ts") < cut), "user_id", "value", "ts")
     val delta = aggState(e.filter(col("ts") >= cut), "user_id", "value", "ts")
     // No derived avg column: sum/count with count a power of two lands

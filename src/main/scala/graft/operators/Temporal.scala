@@ -263,8 +263,8 @@ object Temporal {
     import spark.implicits._
     val promos = promoWindows.toDF("promo_id", "start_s", "end_s")
       .select(col("promo_id"),
-        unix_micros(to_timestamp_ntz(col("start_s")).cast("timestamp")).as("p0"),
-        unix_micros(to_timestamp_ntz(col("end_s")).cast("timestamp")).as("p1"))
+        unix_micros(to_timestamp(col("start_s")).cast("timestamp")).as("p0"),
+        unix_micros(to_timestamp(col("end_s")).cast("timestamp")).as("p1"))
     val spans = Tables.load(spark, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(min(unix_micros(col("ts").cast("timestamp"))).as("a0"),
@@ -300,8 +300,8 @@ object Temporal {
     import spark.implicits._
     val ranges = weekRanges.toDF("wk_bucket", "start_s", "end_s")
       .select(col("wk_bucket"),
-        to_timestamp_ntz(col("start_s")).as("start_ts"),
-        to_timestamp_ntz(col("end_s")).as("end_ts"))
+        to_timestamp(col("start_s")).as("start_ts"),
+        to_timestamp(col("end_s")).as("end_ts"))
     val e = Tables.load(spark, dir, "events")
     e.join(broadcast(ranges),
         col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
@@ -321,8 +321,8 @@ object Temporal {
     import spark.implicits._
     val ranges = weekRanges.toDF("wk_bucket", "start_s", "end_s")
       .select(col("wk_bucket"),
-        to_timestamp_ntz(col("start_s")).as("start_ts"),
-        to_timestamp_ntz(col("end_s")).as("end_ts"))
+        to_timestamp(col("start_s")).as("start_ts"),
+        to_timestamp(col("end_s")).as("end_ts"))
     val e = Tables.load(spark, dir, "events")
     graft.plans.IntervalJoinOps
       .intervalJoinNative(spark, e, ranges, "ts", "start_ts", "end_ts")

@@ -42,7 +42,7 @@ object Validity {
     import spark.implicits._
     cutoffs.toDF("wk", "cutoff_str")
       .select(col("wk"),
-        to_timestamp_ntz(col("cutoff_str")).as("cutoff_ts"))
+        to_timestamp(col("cutoff_str")).as("cutoff_ts"))
   }
 
   /** Earliest event per user + its week bucket (CollisionEarliestDate +

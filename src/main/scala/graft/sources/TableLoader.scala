@@ -21,11 +21,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts arrives as epoch-nanos long (see GraftSession nanosAsLong
-    // note); floor-divide to micros and present as timestamp_ntz so all
-    // engines (and written parquet) agree on the naive value.
+    // note); floor-divide to micros. Presented as session-TZ TIMESTAMP
+    // (UTC session — same naive value as every other engine timestamp
+    // since the inferTimestampNTZ=false flip; see GraftSession).
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts",
-        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 }

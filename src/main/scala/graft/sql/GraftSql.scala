@@ -19,7 +19,7 @@ object GraftSql {
 
   private val cutoffRows =
     graft.operators.Validity.cutoffs
-      .map { case (w, t) => s"($w, TIMESTAMP_NTZ '$t')" }.mkString(", ")
+      .map { case (w, t) => s"($w, TIMESTAMP '$t')" }.mkString(", ")
 
   /** The validity view as executable Spark SQL (CTE chain mirroring the
     * reference's view text, minus its redundant re-ranking passes).

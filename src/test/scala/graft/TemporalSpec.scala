@@ -59,20 +59,22 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("purchaseAsOfClick matches a manual per-row check") {
-    import java.time.{LocalDateTime, ZoneOffset}
-    def nanos(t: LocalDateTime): Long =
-      t.toEpochSecond(ZoneOffset.UTC) * 1000000000L + t.getNano
+    // events.ts decodes as java.sql.Timestamp (an instant) since the
+    // LTZ read flip (GraftSession inferTimestampNTZ=false); compare as
+    // instants, which is JVM-timezone-independent
+    def nanos(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
     val out = Temporal.purchaseAsOfClick(spark, sf)
     val e = graft.sources.Tables.load(spark, sf, "events")
       .select("user_id", "ts", "event_type", "event_id")
-      .as[(Long, LocalDateTime, String, Long)].collect()
+      .as[(Long, java.sql.Timestamp, String, Long)].collect()
     val byUser = e.groupBy(_._1)
     val rows = out.select("event_id", "user_id", "ts", "click_event_id")
       .collect()
     assert(rows.nonEmpty)
     rows.take(50).foreach { r =>
-      val (uid, t) = (r.getLong(1), r.getAs[LocalDateTime](2))
-      val expect = byUser(uid).filter(x => x._3 == "click" && !x._2.isAfter(t))
+      val (uid, t) = (r.getLong(1), r.getAs[java.sql.Timestamp](2))
+      val expect = byUser(uid).filter(x => x._3 == "click" && !x._2.after(t))
         .sortBy(x => (nanos(x._2), x._4)).lastOption.map(_._4)
       val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
       assert(got == expect, s"user $uid at $t")
