@@ -251,6 +251,90 @@ object Chaos {
 
   // ---------------------------------------------------------------- //
 
+  /** `quantile` phase: SIGKILL one executor while the multi-pass
+    * narrowing loop ([[graft.operators.Quantiles]]) is mid-flight.
+    * The loop's one piece of executor-resident state is the DISK_ONLY
+    * persisted hot subset that every narrowing pass re-reads — persist
+    * is a CACHE, not a checkpoint, so a lost executor's blocks must
+    * recompute from lineage (the known landmine is localCheckpoint-
+    * style truncation, which does NOT recover — see recoveryPhase leg
+    * 2). Knobs force ~30 passes (buckets=4) so a timed kill lands
+    * between passes; the attempt loop retries until an executor
+    * removal is OBSERVED before the run finishes. The killed run must
+    * equal the no-kill run bit-for-bit AND the closed-form hot median.
+    */
+  private def quantilePhase(spark: SparkSession,
+      awaitExecutors: Int => Unit): Unit = {
+    val sc = spark.sparkContext
+    val appId = sc.applicationId
+    awaitExecutors(2)
+    val hotN = 1000000L
+    def base: DataFrame =
+      spark.range(hotN)
+        .select(lit(0L).as("k"), (lit(1000.0) + col("id") * lit(1e-6)).as("v"))
+        .unionByName(spark.range(500000L)
+          .select((col("id") % 1000L + 1L).as("k"),
+            (col("id") % 97L).cast("double").as("v")))
+        .repartition(16)
+    val expectHot = 1000.0 + (hotN - 1) / 2.0 * 1e-6
+    def run(): Double =
+      graft.operators.Quantiles.exactMedianAnyScale(base, "k", "v",
+        hotThreshold = 100000L, buckets = 4, finish = 64L)
+        .filter(col("k") === 0L).head().getDouble(1)
+
+    val t0 = System.nanoTime()
+    val noKill = run()
+    val baseMs = math.max(4000L, (System.nanoTime() - t0) / 1000000L)
+    check("quantile_nokill_exact",
+      math.abs(noKill - expectHot) / expectHot < 1e-12)
+
+    var observedMidRun = false
+    var recovered = false
+    var attempt = 0
+    while (!observedMidRun && attempt < 6) {
+      attempt += 1
+      awaitExecutors(2)
+      val sawRemoval = new AtomicBoolean(false)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          sawRemoval.set(true)
+      }
+      sc.addSparkListener(listener)
+      val delayMs = (baseMs * (0.15 + 0.12 * attempt)).toLong
+      val killedAt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val killer = new Thread(() => {
+        Thread.sleep(delayMs)
+        if (killOneExecutor(appId)) killedAt.set(System.nanoTime())
+      })
+      killer.start()
+      val answer =
+        try run()
+        catch { case e: Throwable =>
+          System.err.println(s"[chaos] quantile run threw: ${e.getMessage}")
+          Double.NaN
+        }
+      val endedAt = System.nanoTime()
+      killer.join()
+      Thread.sleep(3000)
+      sc.removeSparkListener(listener)
+      observedMidRun = sawRemoval.get() &&
+        killedAt.get() != 0L && killedAt.get() < endedAt
+      recovered = answer == noKill
+      System.err.println(s"[chaos] quantile attempt $attempt " +
+        s"(kill@${delayMs}ms/${baseMs}ms): removal=${sawRemoval.get()} " +
+        s"midRun=$observedMidRun answerOk=$recovered")
+    }
+    if (!observedMidRun)
+      System.err.println("[chaos] quantile: no executor removal observed " +
+        s"mid-run after $attempt attempts (kill sweep 27%..87% of " +
+        s"${baseMs}ms no-kill wall) — failing quantile_kill_observed")
+    check("quantile_kill_observed", observedMidRun)
+    check("quantile_recovered_after_kill", recovered)
+  }
+
+  // ---------------------------------------------------------------- //
+
   private def streamPhase(spark: SparkSession,
       awaitExecutors: Int => Unit): Unit = {
     val appId = spark.sparkContext.applicationId
@@ -510,6 +594,7 @@ object Chaos {
 
     if (phases.contains("recovery")) recoveryPhase(spark, awaitExecutors)
     if (phases.contains("fetch")) fetchPhase(spark, awaitExecutors)
+    if (phases.contains("quantile")) quantilePhase(spark, awaitExecutors)
     if (phases.contains("stream")) streamPhase(spark, awaitExecutors)
     // driver-loss legs: A crash-halts this JVM mid-stream (never
     // returns); B runs in the NEXT JVM the spec launches

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *  - `sketch` — `percentile_approx` (GK): the mergeable estimate.
   *  - `narrow` — [[graft.operators.Quantiles.exactMedianAnyScale]]:
   *    exact, O(buckets) per hot key by value-domain narrowing.
+  *  - `auto`   — [[graft.operators.Quantiles.auto]] with DEFAULT
+  *    knobs: the one front door must route the hot key to narrowing
+  *    and survive the same wall with no tuning.
+  *  - `wnarrow` — `auto` with `weight = Some("w")` (alternating 1/2
+  *    weights, its own closed form): the weighted narrowing twin at
+  *    the same scale.
   *
   * The parent verifies the surviving variants' hot-key median against
   * the closed form (values are 1000 + i·1e-6 for i in [0, n): median =
@@ -38,36 +44,58 @@ object MedianEdge {
       args.headOption.map(_.toInt).getOrElse(50),
       args.drop(1).headOption.map(_.toInt).getOrElse(4),
       args.drop(2).headOption.map(_.split(",").toSet)
-        .getOrElse(Set("narrow", "sketch", "exact")))
+        .getOrElse(Set("narrow", "sketch", "exact", "auto", "wnarrow")))
 
   private def parent(hotMillions: Int, heapGb: Int, variants: Set[String]): Unit = {
     val hotN = hotMillions * 1000000L
-    val dir = s"/tmp/graft_soak/median_edge_h${hotMillions}m"
+    // "2": corpus schema v2 carries an alternating 1/2 weight column
+    // for the weighted-narrowing leg (old dirs lack it)
+    val dir = s"/tmp/graft_soak/median_edge2_h${hotMillions}m"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       val spark = GraftSession.builder(master = "local[32]",
         shufflePartitions = 32).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // hot key 0: n strictly-distinct values with a closed-form median;
-      // background: 1M keys x 10 rows through the classic small-key path
+      // background: 1M keys x 10 rows through the classic small-key
+      // path; w alternates 1/2 so the weighted leg has a closed form
+      // that is NOT the unweighted one
       val hot = spark.range(hotN)
-        .select(lit(0L).as("k"), (lit(1000.0) + col("id") * lit(1e-6)).as("v"))
+        .select(lit(0L).as("k"), (lit(1000.0) + col("id") * lit(1e-6)).as("v"),
+          (lit(1L) + col("id") % 2L).as("w"))
       val bg = spark.range(10000000L)
         .select((col("id") % 1000000L + 1L).as("k"),
-          (col("id") % 1000L).cast("double").as("v"))
+          (col("id") % 1000L).cast("double").as("v"),
+          (lit(1L) + col("id") % 2L).as("w"))
       hot.unionByName(bg).repartition(32)
         .write.mode("overwrite").parquet(dir)
       spark.stop()
     }
     val expected = 1000.0 + (hotN - 1) / 2.0 * 1e-6
+    // lower weighted median closed form: w(i) = 1 + (i % 2), so
+    // cumw(i) = #even≤i + 2·#odd≤i; answer = v at the smallest i with
+    // cumw(i) ≥ ⌈W/2⌉ (binary search over the closed-form cumsum)
+    val expectedW = {
+      def cumw(i: Long): Long = (i / 2 + 1) + 2 * ((i + 1) / 2)
+      val target = (cumw(hotN - 1) + 1) / 2
+      var lo = 0L; var hi = hotN - 1
+      while (lo < hi) {
+        val m = (lo + hi) / 2
+        if (cumw(m) >= target) hi = m else lo = m + 1
+      }
+      1000.0 + lo * 1e-6
+    }
 
     val sink = new java.io.PrintWriter(
       new java.io.FileWriter("soak_results.jsonl", true))
     def emit(line: String): Unit = { println(line); sink.println(line); sink.flush() }
 
     // narrow first: the success row lands even if a fatal variant
-    // destabilizes the host; each variant is its own JVM regardless
-    Seq("narrow", "sketch", "exact").filter(variants).foreach { variant =>
+    // destabilizes the host; each variant is its own JVM regardless.
+    // `auto`/`wnarrow` run with DEFAULT knobs — the front door must
+    // survive the wall with no tuning.
+    Seq("narrow", "auto", "wnarrow", "sketch", "exact").filter(variants)
+      .foreach { variant =>
       val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
         s"-Xmx${heapGb}g", "-XX:+ExitOnOutOfMemoryError",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -97,11 +125,12 @@ object MedianEdge {
       }
       val row = parsed match {
         case Some((sec, med, rows)) =>
-          val err = math.abs(med - expected) / expected
+          val want = if (variant == "wnarrow") expectedW else expected
+          val err = math.abs(med - want) / want
           // exact variants must hit the closed form; the sketch records
           // its observed error (GK is approximate by construction)
           require(variant == "sketch" || err < 1e-12,
-            s"$variant hot-key median ${med} != closed form $expected")
+            s"$variant hot-key median ${med} != closed form $want")
           f"""{"metric":"median_edge","variant":"$variant","hot_distinct":$hotN,"heap_gb":$heapGb,"sec":$sec,"rows":$rows,"hot_median_relerr":$err%.2e,"status":"ok"}"""
         case None =>
           val why =
@@ -132,6 +161,13 @@ object MedianEdge {
       case "narrow" =>
         graft.operators.Quantiles.exactMedianAnyScale(
           df, "k", "v", hotThreshold = 1000000L)
+      case "auto" => // the front door, DEFAULT knobs
+        graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5))
+          .select(col("k"), col("quantile").as("median"))
+      case "wnarrow" => // weighted front door, DEFAULT knobs
+        graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5),
+            weight = Some("w"))
+          .select(col("k"), col("quantile").as("median"))
       case other => sys.error(s"unknown variant $other")
     }
     // one execution: all group medians come back (1M rows, ~16 MB)

@@ -132,6 +132,13 @@ object StreamBench {
         EventStream.tumblingCounts(events, "10 seconds", "5 seconds")),
       ("windowed_distinct_hll", true, () =>
         EventStream.windowedDistinctUsers(events, "10 seconds", "5 seconds")),
+      // windowed percentile sketch: per-window state is ONE GK sketch
+      // (O(accuracy)), so the latency-quantile monitor costs the same
+      // state at any event cardinality — the streaming twin of
+      // q_approx_quantile
+      ("windowed_percentile", true, () =>
+        EventStream.windowedPercentiles(events, Seq(0.5, 0.9, 0.99),
+          10000, "10 seconds", "5 seconds")),
       // Bounded key domain (1M) so duplicates actually occur and the
       // watermark state stays ~1M entries: an all-unique key makes
       // state grow at the ingest rate (~4M keys/s) and heap-OOMs the

@@ -89,6 +89,74 @@ import graft.sources.Tables
   */
 object Quantiles {
 
+  /** How [[auto]] computes its quantiles. `Exact` routes per key from
+    * pass-0 counts (classic count-map percentile under the hot
+    * threshold, value-domain narrowing above — the decision the engine
+    * makes itself); `Sketch(accuracy)` is the explicit opt-in to the
+    * mergeable GK estimate (`percentile_approx`) when an approximate
+    * answer is acceptable and one pass is worth more than exactness.
+    */
+  sealed trait QuantileMode
+  object QuantileMode {
+    case object Exact extends QuantileMode
+    final case class Sketch(accuracy: Int = 10000) extends QuantileMode
+  }
+
+  /** One front door for per-key quantiles at any scale — the router
+    * over what were three separate APIs (classic exact `percentile`,
+    * the GK sketch, and the narrowing loop). Returns the uniform long
+    * format (`key`, `p` double, `quantile` double) for every mode.
+    *
+    *  - `mode = Exact` (default): [[exactQuantilesAnyScale]] — every
+    *    key exact; groups over `hotThreshold` rows take the
+    *    O(buckets)-state narrowing path, the rest the classic
+    *    count-map whose buffer the threshold caps. No knob changes
+    *    needed across scale: the default threshold keeps the classic
+    *    buffer executor-sized and the narrowing path has no
+    *    data-scaling state (measured surviving 50M+ distinct values
+    *    on one key in a 4 GiB JVM — graft.MedianEdge `auto` leg).
+    *  - `mode = Sketch(acc)`: `percentile_approx` per key — one pass,
+    *    mergeable, bounded rank error; for when the caller asks for
+    *    an estimate, never chosen implicitly.
+    *  - `weight = Some(col)`: exact LOWER weighted quantiles via
+    *    [[exactWeightedQuantilesAnyScale]] (Exact mode only — the GK
+    *    sketch has no weighted form here).
+    */
+  def auto(
+      rows: DataFrame, key: String, value: String, ps: Seq[Double],
+      mode: QuantileMode = QuantileMode.Exact,
+      weight: Option[String] = None,
+      hotThreshold: Long = 4000000L,
+      buckets: Int = 8192,
+      finish: Long = 1048576L,
+      maxHotKeys: Int = 4096): DataFrame = (mode, weight) match {
+    case (QuantileMode.Exact, None) =>
+      exactQuantilesAnyScale(rows, key, value, ps,
+        hotThreshold, buckets, finish, maxHotKeys)
+    case (QuantileMode.Exact, Some(w)) =>
+      exactWeightedQuantilesAnyScale(rows, key, value, w, ps,
+        hotThreshold, buckets, finish, maxHotKeys)
+    case (QuantileMode.Sketch(acc), None) =>
+      require(ps.nonEmpty && ps.distinct.size == ps.size &&
+        ps.forall(p => p >= 0.0 && p <= 1.0),
+        s"ps must be distinct quantiles in [0, 1], got $ps")
+      require(key != "p" && key != "quantile",
+        s"key column '$key' collides with the fixed output columns")
+      val psLit = lit(ps.toArray)
+      rows.filter(col(value).isNotNull && !isnan(col(value).cast("double")))
+        .groupBy(col(key).as("__k"))
+        .agg(percentile_approx(col(value).cast("double"), psLit, lit(acc))
+          .as("__qs"))
+        .select(col("__k"), posexplode(col("__qs")).as(Seq("__pi", "__med")))
+        .select(col("__k").as(key),
+          element_at(psLit, col("__pi") + 1).as("p"),
+          col("__med").as("quantile"))
+    case (QuantileMode.Sketch(_), Some(_)) =>
+      throw new IllegalArgumentException(
+        "weighted quantiles are exact-only: percentile_approx has no " +
+          "weighted form — use mode = Exact")
+  }
+
   /** Driver-side narrowing state for one (hot key, quantile): the
     * interpolated quantile at `p` needs order statistics
     * k1 = ⌊p(n−1)⌋+1 and k2 = ⌈p(n−1)⌉+1 (1-based) combined as
@@ -398,6 +466,248 @@ object Quantiles {
       .unionByName(hotQuantiles))
   }
 
+  /** Exact LOWER weighted quantiles of `value` per `key`, weighted by
+    * the integral column `weight`, any group size — the weighted twin
+    * of [[exactQuantilesAnyScale]] with the same narrowing machinery:
+    * bucket COUNTS become bucket WEIGHT SUMS and the order-statistic
+    * rank becomes a weight rank. Semantics per (key, p): the smallest
+    * value v whose cumulative weight cumw(v) = Σ weight over rows with
+    * value ≤ v reaches T = max(1, ⌈p·W⌉), W the key's total weight —
+    * at p = 0.5 exactly the classic `2·cumw ≥ W → min(value)` lower
+    * weighted median (the cumsum-replay formulation
+    * [[Analytics.weightedMedian]] computes with a per-key sort window,
+    * which this extends past the group size where that sort's task is
+    * executor-shaped).
+    *
+    * Groups at or under `hotThreshold` ROWS take the windowed-cumsum
+    * replay directly (per-key sort bounded by the knob); oversized
+    * groups narrow the value's bit domain with O(buckets) state per
+    * (key, p) — per pass one shared scan of the extracted hot subset
+    * counts (weight sum, row count) per bucket, the target bucket is
+    * the first whose absolute cumulative weight reaches T, and the
+    * endgame walks the ≤ `finish` collected rows of the final interval
+    * executor-side (an `aggregate` fold, only (key, p, value) rows
+    * return to the driver).
+    *
+    * Contracts: `weight` must be integral-valued and positive — rows
+    * with null/≤ 0 weight or null/NaN value are EXCLUDED (a zero
+    * weight cannot move cumw; excluding it matches the replay oracle
+    * whenever ties share the boundary, and l_quantity-style weights
+    * are ≥ 1 by construction); weights are summed as longs (Σ must
+    * fit). The pass-0 snapshot assumption of
+    * [[exactQuantilesAnyScale]] applies unchanged.
+    *
+    * @return one row per (distinct key, p): (`key`, `p` double,
+    *   `quantile` double).
+    */
+  def exactWeightedQuantilesAnyScale(
+      rows: DataFrame, key: String, value: String, weight: String,
+      ps: Seq[Double],
+      hotThreshold: Long = 4000000L,
+      buckets: Int = 8192,
+      finish: Long = 1048576L,
+      maxHotKeys: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.distinct.size == ps.size &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ps must be distinct quantiles in [0, 1], got $ps")
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    require(hotThreshold >= 1 && maxHotKeys >= 1,
+      s"bad knobs: hotThreshold=$hotThreshold maxHotKeys=$maxHotKeys")
+    require(finish >= 1 && finish <= 100000000L,
+      s"finish=$finish must fit a collected per-key array")
+    require(key != "p" && key != "quantile",
+      s"key column '$key' collides with the fixed output columns " +
+        "(key, p, quantile) — alias it before calling")
+    val spark = rows.sparkSession
+
+    val v = col(value).cast("double")
+    val base = rows
+      .filter(col(value).isNotNull && !isnan(v) &&
+        col(weight).isNotNull && col(weight) > 0)
+      .select(col(key).as("__k"), v.as("__v"),
+        col(weight).cast("long").as("__w"))
+    val keyField = StructField("__k", base.schema("__k").dataType, nullable = true)
+
+    // pass 0: rows, total weight, and value bracket per key (algebraic)
+    val counts = base.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"), sum(col("__w")).as("__tw"),
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val hot = counts.filter(col("__n") > hotThreshold).collect()
+    require(hot.length <= maxHotKeys,
+      s"${hot.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
+        "raise the threshold — a workload where this many keys are oversized " +
+        "is big everywhere, not skewed")
+
+    val psLit = lit(ps.toArray)
+    def finishKeys(df: DataFrame): DataFrame =
+      df.select(col("__k").as(key), col("__p").as("p"),
+        col("__med").as("quantile"))
+    def hotJoin(left: DataFrame, right: DataFrame, how: String): DataFrame = {
+      val r = broadcast(right.withColumnRenamed("__k", "__hk"))
+      val j = left.join(r, col("__k") <=> col("__hk"), how)
+      if (how == "inner") j.drop("__hk") else j
+    }
+    val hotKeysDf = spark.createDataFrame(
+      hot.map(r => Row(r.get(0))).toSeq.asJava, StructType(Seq(keyField)))
+
+    // small path: windowed cumsum replay; the RANGE default frame sums
+    // through value ties, so cumw is a function of the VALUE — the
+    // exact cumw(v) the definition wants. T uses the same double
+    // multiply as the hot path so both paths agree bit-for-bit.
+    val wByV = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__k"))
+    val smallQuantiles = (if (hot.isEmpty) base
+      else hotJoin(base, hotKeysDf, "left_anti"))
+      .withColumn("__cw", sum(col("__w")).over(wByV))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .select(col("__k"), col("__v"), col("__cw"), col("__tw"),
+        explode(psLit).as("__p"))
+      .withColumn("__t",
+        greatest(lit(1L), ceil(col("__p") * col("__tw")).cast("long")))
+      .filter(col("__cw") >= col("__t"))
+      .groupBy(col("__k"), col("__p"))
+      .agg(min(col("__v")).as("__med"))
+    if (hot.isEmpty) return finishKeys(smallQuantiles)
+
+    // hot path: one extraction pass, then shared narrowing passes
+    val hotRows = hotJoin(base, hotKeysDf, "left_semi")
+      .withColumn("__b", SortableDoubleBits.sortableBits(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+    final class WState(val sid: Int, val key: Any, val p: Double,
+        val target: Long, var lo: Long, var hi: Long, var inRows: Long) {
+      var belowW: Long = 0L
+      var result: Option[Double] = None
+      def open(finishAt: Long): Boolean =
+        result.isEmpty && lo != hi && inRows > finishAt
+    }
+    val states = hot.zipWithIndex.flatMap { case (r, ki) =>
+      val loV = r.getDouble(3)
+      val hiV = r.getDouble(4)
+      val loB = SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV)
+      val hiB = SortableDoubleBits.toSortable(if (hiV == 0.0) 0.0 else hiV)
+      ps.zipWithIndex.map { case (p, pi) =>
+        val t = math.max(1L, math.ceil(p * r.getLong(2)).toLong)
+        new WState(ki * ps.size + pi, r.get(0), p, t, loB, hiB, r.getLong(1))
+      }
+    }
+
+    val maxIter = 66 / (63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)).toInt + 4
+    var iter = 0
+    while (states.exists(_.open(finish)) && iter < maxIter) {
+      iter += 1
+      val active = states.filter(_.open(finish))
+      case class Geo(s: WState, shift: Int, sLo: Long, sHi: Long, w: Long)
+      val geo = active.map { s =>
+        val wide = s.lo < 0 && s.hi > 0 &&
+          (BigInt(s.hi) - BigInt(s.lo)) >= BigInt(Long.MaxValue)
+        val shift = if (wide) 1 else 0
+        val sLo = s.lo >> shift
+        val sHi = s.hi >> shift
+        Geo(s, shift, sLo, sHi, (sHi - sLo) / buckets + 1)
+      }
+      val boundsSchema = StructType(Seq(keyField,
+        StructField("__sid", IntegerType),
+        StructField("__lo", LongType), StructField("__hi", LongType),
+        StructField("__slo", LongType), StructField("__w0", LongType),
+        StructField("__shift", IntegerType),
+        StructField("__t", LongType)))
+      val bounds = spark.createDataFrame(
+        geo.map(g => Row(g.s.key, g.s.sid, g.s.lo, g.s.hi, g.sLo, g.w,
+          g.shift, g.s.target)).toSeq.asJava, boundsSchema)
+
+      // sentinel buckets keep the cumulative weight ABSOLUTE (bucket
+      // -1 carries the below-interval weight), so the target weight
+      // rank needs no carrying between passes
+      val bkt = when(col("__b") < col("__lo"), lit(-1L))
+        .when(col("__b") > col("__hi"), lit(buckets.toLong))
+        .otherwise(expr("(shiftright(__b, __shift) - __slo) div __w0"))
+      val wnd = Window.partitionBy(col("__sid")).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val edges = hotJoin(hotRows, bounds, "inner")
+        .withColumn("__bkt", bkt)
+        .groupBy(col("__sid"), col("__bkt"))
+        .agg(sum(col("__w")).as("__ws"), count(lit(1)).as("__c"),
+          first(col("__t")).as("__tt"))
+        .withColumn("__cum", sum(col("__ws")).over(wnd))
+        .groupBy(col("__sid"))
+        .agg(min(when(col("__cum") >= col("__tt"),
+          struct(col("__bkt"), col("__cum"), col("__ws"), col("__c"))))
+          .as("__e"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getStruct(1)).toMap
+
+      geo.foreach { g =>
+        val s = g.s
+        val e = edges(s.sid)
+        val (b, cum, ws, c) =
+          (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+        require(b >= 0 && b < buckets,
+          s"weight rank left the bracketed interval (b=$b, p=${s.p}) — " +
+            "narrowing invariant broken")
+        val mask = (1L << g.shift) - 1
+        val bHiS = math.min(g.sHi, g.sLo + (b + 1) * g.w - 1)
+        s.lo = math.max(s.lo, (g.sLo + b * g.w) << g.shift)
+        s.hi = math.min(s.hi, (bHiS << g.shift) | mask)
+        s.belowW = cum - ws
+        s.inRows = c
+      }
+    }
+    require(!states.exists(_.open(finish)),
+      s"weighted quantile narrowing did not converge in $maxIter passes")
+
+    // plateau endgame: a single-bit interval IS the value
+    states.filter(s => s.result.isEmpty && s.lo == s.hi)
+      .foreach(s => s.result = Some(SortableDoubleBits.fromSortable(s.lo)))
+
+    // collect endgame: the ≤ finish interval rows fold EXECUTOR-SIDE
+    // (sorted (value, weight) walk until the absolute cumulative
+    // weight reaches the target); one (sid, value) row returns per pair
+    val collecting = states.filter(_.result.isEmpty)
+    if (collecting.nonEmpty) {
+      val fin = spark.createDataFrame(
+        collecting.map(s => Row(s.key, s.sid, s.lo, s.hi,
+          s.belowW, s.target)).toSeq.asJava,
+        StructType(Seq(keyField, StructField("__sid", IntegerType),
+          StructField("__lo", LongType), StructField("__hi", LongType),
+          StructField("__bw", LongType), StructField("__t", LongType))))
+      val bySid = collecting.map(s => s.sid -> s).toMap
+      hotJoin(hotRows, fin, "inner")
+        .filter(col("__b") >= col("__lo") && col("__b") <= col("__hi"))
+        .groupBy(col("__sid"))
+        .agg(sort_array(collect_list(struct(col("__v"), col("__w"))))
+          .as("__vs"),
+          first(col("__bw")).as("__bw"), first(col("__t")).as("__t"))
+        .select(col("__sid"), expr(
+          """aggregate(__vs,
+            |  struct(__bw AS acc, CAST(NULL AS DOUBLE) AS res),
+            |  (a, x) -> CASE
+            |    WHEN a.res IS NOT NULL THEN a
+            |    WHEN a.acc + x.__w >= __t
+            |      THEN struct(a.acc + x.__w AS acc, x.__v AS res)
+            |    ELSE struct(a.acc + x.__w AS acc, CAST(NULL AS DOUBLE) AS res)
+            |  END,
+            |  a -> a.res)""".stripMargin).as("__med"))
+        .collect()
+        .foreach { r =>
+          require(!r.isNullAt(1),
+            "a hot (key, p) fold reached no target weight — endgame " +
+              "invariant broken")
+          bySid(r.getInt(0)).result = Some(r.getDouble(1))
+        }
+    }
+    hotRows.unpersist()
+    require(states.forall(_.result.isDefined),
+      "a hot (key, p) resolved no result — endgame invariant broken")
+
+    val hotQuantiles = spark.createDataFrame(
+      states.map(s => Row(s.key, s.p, s.result.get)).toSeq.asJava,
+      StructType(Seq(keyField, StructField("__p", DoubleType),
+        StructField("__med", DoubleType))))
+    finishKeys(smallQuantiles.select(col("__k"), col("__p"), col("__med"))
+      .unionByName(hotQuantiles))
+  }
+
   /** `q_median_narrow` gate surface: the narrowing median against the
     * classic-percentile groups the oracle can replay — hotThreshold
     * forced low so every group takes the narrowing path, buckets kept
@@ -406,9 +716,9 @@ object Quantiles {
     */
   def medianNarrow(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    exactMedianAnyScale(l, "l_returnflag", "l_extendedprice",
+    auto(l, "l_returnflag", "l_extendedprice", Seq(0.5),
       hotThreshold = 100L, buckets = 64, finish = 48L)
-      .select(col("l_returnflag"), round(col("median"), 4).as("med"))
+      .select(col("l_returnflag"), round(col("quantile"), 4).as("med"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -419,7 +729,7 @@ object Quantiles {
     */
   def quantileNarrow(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    exactQuantileAnyScale(l, "l_linenumber", "l_extendedprice", 0.9,
+    auto(l, "l_linenumber", "l_extendedprice", Seq(0.9),
       hotThreshold = 100L, buckets = 64, finish = 48L)
       .select(col("l_linenumber"), round(col("quantile"), 4).as("p90"))
       .orderBy(col("l_linenumber"))
@@ -432,9 +742,28 @@ object Quantiles {
     */
   def quantilesNarrowMulti(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    exactQuantilesAnyScale(l, "l_returnflag", "l_extendedprice",
+    auto(l, "l_returnflag", "l_extendedprice",
       Seq(0.5, 0.9, 0.99), hotThreshold = 100L, buckets = 64, finish = 48L)
       .select(col("l_returnflag"), col("p"), round(col("quantile"), 4).as("q"))
       .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** `q_weighted_median_narrow` gate surface: the weighted narrowing
+    * median (quantity-weighted price per return flag) against the
+    * DuckDB cumsum-replay oracle (`2·cumw ≥ W → min(value)`), knobs
+    * forced low so every group takes the narrowing path and the
+    * executor-side fold endgame runs, not just one histogram. The same
+    * statistic [[Analytics.weightedMedian]] computes with a per-key
+    * sort window — this is its any-scale twin through the [[auto]]
+    * front door.
+    */
+  def weightedMedianNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    auto(l, "l_returnflag", "l_extendedprice", Seq(0.5),
+      weight = Some("l_quantity"),
+      hotThreshold = 100L, buckets = 64, finish = 48L)
+      .select(col("l_returnflag"),
+        round(col("quantile"), 4).as("wmed"))
+      .orderBy(col("l_returnflag"))
   }
 }

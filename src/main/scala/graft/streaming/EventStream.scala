@@ -49,6 +49,35 @@ object EventStream {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket"), col("n_users"), col("n_events"))
 
+  /** Windowed percentile sketch (the streaming twin of
+    * `q_approx_quantile` — the latency-SLO monitor §2.8 lacked): GK
+    * `percentile_approx` inside a watermarked tumbling window. The
+    * sketch is a MERGEABLE aggregation buffer, so partial aggregation
+    * and multi-executor merge work exactly as for count/sum: per
+    * (window) state is one sketch of O(accuracy), never the value
+    * buffer — a window over a billion events costs the same state as
+    * one over a thousand. All requested quantiles share the single
+    * sketch. Append mode: the row finalizes when the watermark passes
+    * (the spec pins tiny-cardinality windows to the batch recompute,
+    * where GK at high accuracy is exact).
+    */
+  def windowedPercentiles(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(percentile_approx(col("value"),
+          lit(ps.toArray), lit(accuracy)).as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket") +:
+        col("n_events") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          col("qs").getItem(i).as(s"p${(p * 100).round}")
+        }: _*)
+
   /** Streaming hourly OHLC bars (the streaming twin of
     * `Analytics.ohlcBars`): `min_by`/`max_by` on the unique
     * (ts, event_id) struct inside a watermarked tumbling window —
@@ -134,24 +163,76 @@ object EventStream {
   def purchaseClickJoinPreAgg(purchases: DataFrame, clicks: DataFrame,
       bucket: String = "5 seconds", window: String = "5 SECONDS",
       pWatermark: String = "10 seconds",
-      cWatermark: String = "20 seconds"): DataFrame = {
-    val p = purchases.withWatermark("ts", pWatermark)
-      .groupBy(col("user_id"),
-        org.apache.spark.sql.functions.window(col("ts"), bucket).as("w"))
-      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("purchase_value"))
-      .select(col("user_id"), window_time(col("w")).as("pts"),
-        col("n_purchases"), col("purchase_value"))
-      .alias("p")
-    val c = clicks.withWatermark("ts", cWatermark).alias("c")
-    p.join(c,
-        expr("p.user_id = c.user_id AND " +
-          s"c.ts BETWEEN p.pts - INTERVAL $window - INTERVAL $bucket " +
-          "AND p.pts"))
-      .select(col("p.user_id").as("user_id"),
-        col("p.pts").as("purchase_bucket_end"),
-        col("p.n_purchases").as("n_purchases"),
-        col("p.purchase_value").as("purchase_value"),
-        col("c.ts").as("click_ts"))
+      cWatermark: String = "20 seconds"): DataFrame =
+    preAggIntervalJoin(purchases, clicks,
+      key = "user_id", hotTime = "ts", probeTime = "ts",
+      aggs = Seq(count(lit(1)).as("n_purchases"),
+        sum(col("value")).as("purchase_value")),
+      bucket = bucket, window = window,
+      hotWatermark = pWatermark, probeWatermark = cWatermark)
+      .select(col("user_id"),
+        col("bucket_end").as("purchase_bucket_end"),
+        col("n_purchases"), col("purchase_value"),
+        col("ts").as("click_ts"))
+
+  /** The hot-side pre-aggregation transform behind
+    * [[purchaseClickJoinPreAgg]], generalized: aggregate the HOT
+    * stream into tumbling `bucket`s per `key` BEFORE a stream-stream
+    * interval join against the probe stream. Join state buffers one
+    * row per (key, bucket) instead of one per hot row, so a key's
+    * state is bounded by watermark/bucket — independent of its row
+    * share (the property measured in docs/SCALING.md round 11: the
+    * regime that committed zero batches raw sustains 6.4M rows/s
+    * pre-aggregated).
+    *
+    * SEMANTIC CONTRACT (the mitigation is semantic, not free): output
+    * grain is (key, hot-bucket, probe row), NOT (hot row, probe row).
+    *  - the hot side's per-bucket aggregates (`aggs`) stand in for its
+    *    rows; downstream questions must be aggregate-shaped,
+    *  - the interval is evaluated against the bucket END time
+    *    (`window_time`) with `bucket` of slack on the far edge: a
+    *    probe row in-window for SOME hot row of the bucket satisfies
+    *    `probeTime ∈ [bucketEnd − window − bucket, bucketEnd]` — the
+    *    join keeps every raw-grain match and may keep a probe row
+    *    whose only "match" was up to one bucket staler than `window`,
+    *  - exact raw-grain semantics need the raw join
+    *    ([[purchaseClickJoin]]); the spec pins THIS shape's batch
+    *    recompute equivalence at bucket grain.
+    *
+    * A windowed aggregation feeding a stream-stream join is a
+    * supported chained-stateful shape: the aggregate's event time is
+    * the bucket's `window_time`, which carries the watermark to the
+    * join.
+    *
+    * @param aggs   hot-side aggregate columns per (key, bucket), each
+    *               aliased (e.g. `count(lit(1)).as("n")`)
+    * @return columns: `key`, `bucket_end` timestamp, `aggs...`, then
+    *         every probe column except its `key` (probe's `probeTime`
+    *         keeps its name)
+    */
+  def preAggIntervalJoin(hot: DataFrame, probe: DataFrame,
+      key: String, hotTime: String, probeTime: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      bucket: String, window: String,
+      hotWatermark: String, probeWatermark: String): DataFrame = {
+    require(aggs.nonEmpty, "need at least one hot-side aggregate")
+    val h = hot.withWatermark(hotTime, hotWatermark)
+      .groupBy(col(key),
+        org.apache.spark.sql.functions.window(col(hotTime), bucket).as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_end", window_time(col("__w")))
+      .drop("__w")
+      .alias("h")
+    val p = probe.withWatermark(probeTime, probeWatermark).alias("p")
+    val joined = h.join(p,
+      expr(s"h.$key = p.$key AND " +
+        s"p.$probeTime BETWEEN h.bucket_end - INTERVAL $window " +
+        s"- INTERVAL $bucket AND h.bucket_end"))
+    val hotCols = Seq(col(s"h.$key").as(key), col("h.bucket_end")) ++
+      h.columns.filterNot(c => c == key || c == "bucket_end")
+        .map(c => col(s"h.$c"))
+    val probeCols = probe.columns.filterNot(_ == key).map(c => col(s"p.$c"))
+    joined.select(hotCols ++ probeCols: _*)
   }
 
   /** Stream-stream LEFT OUTER interval join: like `purchaseClickJoin`

@@ -85,6 +85,22 @@ class ExecutorLossSpec extends AnyFunSuite {
     }
   }
 
+  test("executor SIGKILL mid-narrowing: the quantile loop's DISK_ONLY " +
+      "hot subset recomputes from lineage and the median stays exact") {
+    val (rc, text) = runChaos("quantile")
+    def marker(k: String): Boolean = text.contains(s"$k=true")
+    withClue(text.linesIterator.filter(_.contains("=")).mkString("\n")) {
+      assert(marker("quantile_nokill_exact"),
+        "the no-kill narrowing median must hit the closed form")
+      assert(marker("quantile_kill_observed"),
+        "the SIGKILL must land while narrowing passes were still running")
+      assert(marker("quantile_recovered_after_kill"),
+        "the killed run must equal the no-kill run bit-for-bit " +
+          "(persisted hot-subset blocks recompute from lineage)")
+      assert(rc == 0, s"chaos harness exited $rc")
+    }
+  }
+
   test("DRIVER crash-halt mid-stream: a fresh driver JVM resumes the " +
       "RocksDB-changelog checkpoint exactly-once") {
     // Leg A: executor killed mid-flight, then the DRIVER JVM is

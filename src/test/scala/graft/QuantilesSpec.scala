@@ -142,6 +142,85 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  /** Lower weighted quantile by naive cumsum replay: min v with
+    * cumw(v) >= max(1, ceil(p*W)).
+    */
+  private def referenceWeightedQ(vw: Seq[(Double, Long)], p: Double): Double = {
+    val sorted = vw.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val t = math.max(1L, math.ceil(p * total).toLong)
+    var acc = 0L
+    sorted.find { case (_, w) => acc += w; acc >= t }.get._1
+  }
+
+  test("weighted narrowing equals the cumsum replay on mixed groups") {
+    // hot groups (narrowing + fold endgame), a small group (window
+    // replay), value ties sharing the boundary, and weights > 1
+    val rows = Seq.tabulate(3000)(i =>
+        ("hot", hashDouble(i, 31, 1e5), 1L + (i % 5))) ++
+      Seq.tabulate(800)(i => ("ties", (i % 7).toDouble, 2L + (i % 3))) ++
+      Seq.tabulate(40)(i => ("small", hashDouble(i, 32, 9.0), 1L + (i % 2)))
+    val df = rows.toDF("k", "v", "w")
+    Seq(0.25, 0.5, 0.9).foreach { p =>
+      val got = Quantiles.exactWeightedQuantilesAnyScale(df, "k", "v", "w",
+        Seq(p), hotThreshold = 100, buckets = 8, finish = 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        k -> referenceWeightedQ(g.map(t => (t._2, t._3)), p)
+      }
+      assert(got == want, s"p=$p: got $got, want $want")
+    }
+  }
+
+  test("weighted narrowing drops null/NaN values and non-positive weights") {
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType), StructField("w", LongType)))
+    val rows: Seq[Row] =
+      Seq.tabulate(500)(i => Row("h", i.toDouble, 1L)) ++
+        Seq(Row("h", null, 5L), Row("h", Double.NaN, 5L),
+          Row("h", -1.0, 0L), Row("h", -2.0, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val got = Quantiles.exactWeightedQuantilesAnyScale(df, "k", "v", "w",
+      Seq(0.5), hotThreshold = 50, buckets = 8, finish = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // 500 unit weights: T = 250 -> v at index 249
+    assert(got == Map("h" -> 249.0))
+  }
+
+  test("auto front door: Exact routes both paths, Sketch is rank-close") {
+    val rows = Seq.tabulate(2000)(i => ("hot", hashDouble(i, 41, 1e4))) ++
+      Seq.tabulate(50)(i => ("small", hashDouble(i, 42, 5.0)))
+    val df = rows.toDF("k", "v")
+    val exact = Quantiles.auto(df, "k", "v", Seq(0.5, 0.9),
+      hotThreshold = 100, buckets = 16, finish = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val classic = df.groupBy("k")
+      .agg(percentile(col("v"), array(lit(0.5), lit(0.9))).as("q"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getSeq[Double](1)(0),
+        (r.getString(0), 0.9) -> r.getSeq[Double](1)(1))).toMap
+    assert(exact.keySet == classic.keySet)
+    classic.foreach { case (kp, q) =>
+      assert(math.abs(exact(kp) - q) <= math.max(1e-9, math.abs(q) * 1e-12),
+        s"$kp: auto=${exact(kp)}, classic=$q")
+    }
+    // sketch mode: same shape, rank within the GK bound (loose check:
+    // the estimate sits inside the value range and orders with p)
+    val sk = Quantiles.auto(df, "k", "v", Seq(0.5, 0.9),
+      mode = Quantiles.QuantileMode.Sketch(1000))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(sk.keySet == classic.keySet)
+    assert(sk(("hot", 0.5)) <= sk(("hot", 0.9)))
+    // weighted sketch is refused loudly
+    intercept[IllegalArgumentException] {
+      Quantiles.auto(df, "k", "v", Seq(0.5),
+        mode = Quantiles.QuantileMode.Sketch(100), weight = Some("v"))
+    }
+  }
+
   test("q_median_narrow matches the classic percentile on lineitem") {
     val narrow = Quantiles.medianNarrow(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

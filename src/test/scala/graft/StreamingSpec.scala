@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, count, lit, max, percentile_approx}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 
@@ -63,6 +63,65 @@ class StreamingSpec extends SparkSpec {
       assert(w10.getLong(2) === 3L)
       val w11 = rows.find(_.getTimestamp(0) == ts("2024-01-01 11:00:00")).get
       assert(w11.getLong(1) === 1L && w11.getLong(2) === 1L)
+    } finally q.stop()
+  }
+
+  test("windowed percentile sketch: batch-exact at tiny cardinality, " +
+      "one row per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = EventStream.windowedPercentiles(events, ps = Seq(0.5, 0.9))
+      .writeStream.format("memory").queryName("wp_test")
+      .outputMode(OutputMode.Append).start()
+    val w10 = (1 to 19).map(i => (ts(f"2024-01-01 10:${i * 3}%02d:00"), i * 10.0))
+    val w11 = Seq((ts("2024-01-01 11:05:00"), 7.0), (ts("2024-01-01 11:10:00"), 9.0))
+    try {
+      input.addData(w10 ++ w11: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 0.0)) // close both windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bucket, n_events, p50, p90 FROM wp_test")
+        .collect().map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      // GK at accuracy 10000 is exact at this cardinality; compare to
+      // the batch percentile_approx on the same rows (same estimator)
+      val batch = w10.map(_._2).toDF("value")
+        .agg(percentile_approx(col("value"),
+          lit(Array(0.5, 0.9)), lit(10000)).as("q"))
+        .head().getSeq[Double](0)
+      assert(rows(ts("2024-01-01 10:00:00")) == ((19L, batch(0), batch(1))))
+      assert(rows(ts("2024-01-01 11:00:00")) == ((2L, 7.0, 9.0)))
+    } finally q.stop()
+  }
+
+  test("preAggIntervalJoin generalizes: custom key/time names and aggs") {
+    implicit val sqlCtx = spark.sqlContext
+    val hIn = MemoryStream[(Long, Timestamp, Double)]
+    val pIn = MemoryStream[(Long, Timestamp, String)]
+    val hot = hIn.toDF().toDF("acct", "htime", "amount")
+    val probe = pIn.toDF().toDF("acct", "ptime", "tag")
+    val q = EventStream.preAggIntervalJoin(hot, probe,
+        key = "acct", hotTime = "htime", probeTime = "ptime",
+        aggs = Seq(max(col("amount")).as("max_amount"),
+          count(lit(1)).as("n")),
+        bucket = "5 seconds", window = "5 SECONDS",
+        hotWatermark = "10 seconds", probeWatermark = "20 seconds")
+      .writeStream.format("memory").queryName("paij_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      hIn.addData((1L, ts("2024-01-01 10:00:01"), 4.0),
+        (1L, ts("2024-01-01 10:00:03"), 9.0))
+      pIn.addData((1L, ts("2024-01-01 10:00:02"), "hit"),
+        (2L, ts("2024-01-01 10:00:02"), "wrong-key"))
+      hIn.addData((8L, ts("2024-01-01 10:05:00"), 0.0))
+      pIn.addData((8L, ts("2024-01-01 10:05:00"), "close"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT acct, max_amount, n, tag FROM paij_test WHERE acct = 1")
+        .collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == Set((1L, 9.0, 2L, "hit")))
     } finally q.stop()
   }
 
