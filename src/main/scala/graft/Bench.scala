@@ -30,11 +30,27 @@ object Bench {
     "q_decile_lift", "q_gini", "q_mwu_test", "q_time_to_convert",
     "q_rfm", "q_psi")
 
+  /** Round-12 widening (VERDICT r11 item 6): the plan shapes rounds
+    * 5-11 added were never regression-guarded by the bench. Timed in
+    * the same round-robin passes but reported SEPARATELY
+    * (`value_new`/`queries_new`) so the legacy 48-query `value` stays
+    * comparable across rounds. One representative per new shape:
+    * JDBC write+partitioned-read loop, DSv2 filter pushdown, the
+    * narrowing quantile family (single, multi-p, weighted), the
+    * iterative min-label propagation, the ordered-fold perplexity
+    * filter, and the incremental merge-state rollup.
+    */
+  val headlineNew: Seq[String] = Seq(
+    "src_jdbc_roundtrip", "src_docgen_pushdown",
+    "q_median_narrow", "q_quantiles_multi", "q_weighted_median_narrow",
+    "q_entity_resolution", "text_bigram_lm", "q_incr_agg")
+
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
     // the driver invokes with no args and times the full headline.
+    val all = headline ++ headlineNew
     val picked = args.headOption
-      .map(_.split(",").toSeq.filter(headline.contains)).getOrElse(headline)
+      .map(_.split(",").toSeq.filter(all.contains)).getOrElse(all)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
@@ -78,13 +94,19 @@ object Bench {
       SparkEntry.queries.contains(n) && times(n).nonEmpty)
     val failed = picked.filter(n =>
       SparkEntry.queries.contains(n) && times(n).isEmpty)
-    val qs = ok.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+    // legacy 48 stay the round-over-round comparable "value"/"queries";
+    // the round-12 widening reports beside them as value_new/queries_new
+    val (okLegacy, okNew) = ok.partition(headline.contains)
+    val qs = okLegacy.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+      .mkString("{", ",", "}")
+    val qsNew = okNew.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
       .mkString("{", ",", "}")
     val qsMedian = ok.map(n => "\"" + n + "\":" + f"${median(times(n))}%.3f")
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(times(_).min).sum
-    val totalMedian = ok.map(n => median(times(n))).sum
+    val total = okLegacy.map(times(_).min).sum
+    val totalMedian = okLegacy.map(n => median(times(n))).sum
+    val totalNew = okNew.map(times(_).min).sum
     // "queries"/"value" stay the per-query MIN (round-over-round
     // comparable with r3/r4); "value_median" exposes the noise level of
     // the run. The r5 artifact came back "parsed": null because the
@@ -158,7 +180,7 @@ object Bench {
         "{}"
       }
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(machine); w.println(detail) } finally w.close()
