@@ -342,11 +342,21 @@ object LayoutSoak {
         col("l_shipdate").cast("timestamp")))
       .write.format("noop").mode("overwrite").save()
 
+    // a variant-filtered run materializes (and primes) ONLY the
+    // layouts its variants touch — at 1000x the bucketed build alone
+    // is a 600M-row sort a scan-only run must not pay
+    val needPart = only.isEmpty ||
+      only.exists(Set("dpp_on", "dpp_off", "part_static", "unpart"))
+    val needBuck = only.isEmpty ||
+      only.exists(v => v.startsWith("join_") || v.startsWith("agg_"))
+    val needSort = only.isEmpty || only.exists(_.startsWith("scan_"))
+
     for (k <- scales.sorted) {
       val base = Soak.materialize(spark, k, needFacts = true, needDocs = false)
-      val part = materializePartitioned(spark, k, base)
-      val (liT, ordT) = materializeBucketed(spark, k, base)
-      val sorted = materializeSorted(spark, k, base)
+      val part = if (needPart) materializePartitioned(spark, k, base) else ""
+      val (liT, ordT) =
+        if (needBuck) materializeBucketed(spark, k, base) else ("", "")
+      val sorted = if (needSort) materializeSorted(spark, k, base) else ""
       // Prime the page cache for every layout so variant order doesn't
       // decide who pays the disk reads. NOT count(): parquet answers
       // count from footer metadata without touching a data page, so a
@@ -360,27 +370,32 @@ object LayoutSoak {
         Seq("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"))
       prime(spark.read.parquet(s"$base/orders.parquet"),
         Seq("o_orderkey", "o_orderpriority"))
-      prime(spark.read.parquet(s"$part/lineitem.parquet"),
+      if (needPart) prime(spark.read.parquet(s"$part/lineitem.parquet"),
         Seq("l_extendedprice", "l_shipmonth"))
-      prime(spark.read.parquet(s"$sorted/lineitem.parquet"),
+      if (needSort) prime(spark.read.parquet(s"$sorted/lineitem.parquet"),
         Seq("l_extendedprice", "l_shipdate", "l_shipday", "l_shipts"))
-      prime(spark.table(liT),
-        Seq("l_orderkey", "l_extendedprice", "l_discount"))
-      prime(spark.table(ordT), Seq("o_orderkey", "o_orderpriority"))
+      if (needBuck) {
+        prime(spark.table(liT),
+          Seq("l_orderkey", "l_extendedprice", "l_discount"))
+        prime(spark.table(ordT), Seq("o_orderkey", "o_orderpriority"))
+      }
       // profile: prove the selections are non-vacuous before trusting
       // the variant rows (3 months of ~84; a ~1-month date window)
-      val factPartAll = spark.read.parquet(s"$part/lineitem.parquet")
-      val nMonths = spark.read.parquet(s"$part/monthdim.parquet").count()
-      val totalRows = factPartAll.count()
-      val monthRows = monthJoin(spark, factPartAll, s"$part/monthdim.parquet")
-        .agg(sum(col("n"))).head().getLong(0)
+      val totalRows = spark.read.parquet(s"$base/lineitem.parquet").count()
+      val (nMonths, monthRows) = if (needPart) {
+        val factPartAll = spark.read.parquet(s"$part/lineitem.parquet")
+        (spark.read.parquet(s"$part/monthdim.parquet").count(),
+          monthJoin(spark, factPartAll, s"$part/monthdim.parquet")
+            .agg(sum(col("n"))).head().getLong(0))
+      } else (-1L, -1L)
       val windowRows = spark.read.parquet(s"$base/lineitem.parquet")
         .filter(col("l_shipdate") >= lit("1997-03-01") &&
           col("l_shipdate") < lit("1997-04-01")).count()
       emit(f"""{"metric":"layout_profile","scale":$k,"rows":$totalRows,"months":$nMonths,"month3_rows":$monthRows,"window_rows":$windowRows}""")
 
       // ---- 1. partition pruning
-      val factPart = spark.read.parquet(s"$part/lineitem.parquet")
+      val factPart = if (needPart)
+        spark.read.parquet(s"$part/lineitem.parquet") else null
       val dimPath = s"$part/monthdim.parquet"
       timed("dpp_on", k) { monthJoin(spark, factPart, dimPath) }
       // the conf must cover PLANNING AND execution — both happen

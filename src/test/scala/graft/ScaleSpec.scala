@@ -139,4 +139,39 @@ class ScaleSpec extends SparkSpec {
       s"expected row-group skipping: sorted scanned $sortedRows rows, " +
         s"shuffled scanned $shuffledRows of $total")
   }
+
+  test("parquet timestamp read types: conf governs metadata-free files, " +
+      "footer schema metadata pins engine-written ones") {
+    import org.apache.spark.sql.types._
+    // The round-12 contract behind the headline-filter pushdown fix
+    // (GraftSession inferTimestampNTZ=false) and its measured trap
+    // (docs/SCALING.md round 12): a naive parquet timestamp with NO
+    // Spark schema metadata (external writers — the testdata corpus)
+    // reads as session-TZ TIMESTAMP, whose filters row-group-skip;
+    // but an ENGINE-written file embeds the Spark schema in the
+    // footer, and inference prefers that metadata over the conf — an
+    // NTZ-typed frame written before the flip stays NTZ (and inert)
+    // forever. If either behavior changes in a future Spark, the
+    // corpus-versioning story (Soak v3 / LayoutSoak v4) needs a
+    // re-decision — fail here, loudly.
+    assert(spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+      == "false")
+    // metadata-free naive micros (the testdata writers' shape) → LTZ
+    val external = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "lineitem")
+    assert(external.schema("l_shipdate").dataType == TimestampType,
+      "naive parquet timestamp without Spark metadata must read as " +
+        "session-TZ TIMESTAMP under inferTimestampNTZ=false")
+    val base = s"/tmp/graft-scale-tstype-${suiteName.hashCode.abs}"
+    // engine-written NTZ column → footer metadata pins NTZ on re-read
+    external.limit(10)
+      .select(col("l_shipdate").cast(TimestampNTZType).as("ts_ntz"),
+        col("l_shipdate").as("ts_ltz"))
+      .write.mode("overwrite").parquet(base)
+    val back = spark.read.parquet(base)
+    assert(back.schema("ts_ntz").dataType == TimestampNTZType,
+      "footer Spark-schema metadata no longer pins the written type — " +
+        "re-decide the corpus-versioning story")
+    assert(back.schema("ts_ltz").dataType == TimestampType)
+  }
 }
