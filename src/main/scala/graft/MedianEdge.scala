@@ -44,7 +44,7 @@ object MedianEdge {
       args.headOption.map(_.toInt).getOrElse(50),
       args.drop(1).headOption.map(_.toInt).getOrElse(4),
       args.drop(2).headOption.map(_.split(",").toSet)
-        .getOrElse(Set("narrow", "sketch", "exact", "auto", "wnarrow")))
+        .getOrElse(Set("narrow", "sketch", "exact", "auto", "wnarrow", "wsort")))
 
   private def parent(hotMillions: Int, heapGb: Int, variants: Set[String]): Unit = {
     val hotN = hotMillions * 1000000L
@@ -94,7 +94,7 @@ object MedianEdge {
     // destabilizes the host; each variant is its own JVM regardless.
     // `auto`/`wnarrow` run with DEFAULT knobs — the front door must
     // survive the wall with no tuning.
-    Seq("narrow", "auto", "wnarrow", "sketch", "exact").filter(variants)
+    Seq("narrow", "auto", "wnarrow", "wsort", "sketch", "exact").filter(variants)
       .foreach { variant =>
       val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
         s"-Xmx${heapGb}g", "-XX:+ExitOnOutOfMemoryError",
@@ -125,7 +125,9 @@ object MedianEdge {
       }
       val row = parsed match {
         case Some((sec, med, rows)) =>
-          val want = if (variant == "wnarrow") expectedW else expected
+          val want =
+            if (variant == "wnarrow" || variant == "wsort") expectedW
+            else expected
           val err = math.abs(med - want) / want
           // exact variants must hit the closed form; the sketch records
           // its observed error (GK is approximate by construction)
@@ -168,6 +170,20 @@ object MedianEdge {
         graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5),
             weight = Some("w"))
           .select(col("k"), col("quantile").as("median"))
+      case "wsort" =>
+        // the window-cumsum replay (q_weighted_median's shape): the
+        // honest comparison point — window sorts SPILL (unlike
+        // percentile's count-map), so its failure mode is the
+        // serialized hot-key task, not memory; measure whether it
+        // completes in the executor-sized heap and at what wall cost
+        val byV = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("v"))
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))
+        df.withColumn("cw", sum(col("w")).over(byV))
+          .withColumn("tw", sum(col("w")).over(all))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("k")).agg(min(col("v")).as("median"))
       case other => sys.error(s"unknown variant $other")
     }
     // one execution: all group medians come back (1M rows, ~16 MB)

@@ -408,6 +408,35 @@ object SkewSoak {
       timed("aggmedhc_sketch", k, skewOn = false) { noop(aggMedianHC(skew)) }
       timed("aggmedhc_exact", k, skewOn = false) { noop(aggMedianHCExact(skew)) }
       timed("aggmedhc_narrow", k, skewOn = false) { noop(aggMedianHCNarrow(skew)) }
+      // weighted twins on the same per-row-distinct value, quantity
+      // weights: `sort` is the window-cumsum replay (q_weighted_median's
+      // shape — the Zipf hot key's rows sort in ONE window task, the
+      // wall this family measures), `narrow` the round-12 weighted
+      // narrowing through the Quantiles.auto front door
+      def wmedInput(dir: String): DataFrame =
+        graft.sources.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), hcValue.as("__hc"),
+            col("l_quantity").cast("long").as("__w"))
+      def aggWMedianHCSort(dir: String): DataFrame = {
+        val byV = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey")).orderBy(col("__hc"))
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+        wmedInput(dir)
+          .withColumn("__cw", sum(col("__w")).over(byV))
+          .withColumn("__tw", sum(col("__w")).over(all))
+          .filter(col("__cw") * 2 >= col("__tw"))
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("__hc")).as("wmed"))
+      }
+      def aggWMedianHCNarrow(dir: String): DataFrame =
+        graft.operators.Quantiles.auto(wmedInput(dir),
+          "l_orderkey", "__hc", Seq(0.5), weight = Some("__w"),
+          hotThreshold = 1000000L)
+      timed("aggwmedhc_sort", k, skewOn = false) { noop(aggWMedianHCSort(skew)) }
+      timed("aggwmedhc_narrow", k, skewOn = false) {
+        noop(aggWMedianHCNarrow(skew))
+      }
       timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
       timed("aggdist_salted8", k, skewOn = false) {

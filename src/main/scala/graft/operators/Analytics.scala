@@ -321,10 +321,16 @@ object Analytics {
   def approxQuantileGate(spark: SparkSession, dir: String,
       accuracy: Int = 1000, epsCheck: Double = 0.005): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
-    val est = o.groupBy(col("o_orderpriority"))
-      .agg(
-        expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("p50_est"),
-        expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)").as("p90_est"))
+    // the estimates come through the Quantiles.auto front door's
+    // EXPLICIT Sketch mode (round 12) — the approximate path a user
+    // reaches is the one the oracle rank-checks; GK from one shared
+    // sketch is deterministic, so this equals the two-call form
+    val est = graft.operators.Quantiles.auto(o,
+        "o_orderpriority", "o_totalprice", Seq(0.5, 0.9),
+        mode = graft.operators.Quantiles.QuantileMode.Sketch(accuracy))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(when(col("p") === 0.5, col("quantile"))).as("p50_est"),
+        max(when(col("p") === 0.9, col("quantile"))).as("p90_est"))
     def rankOk(le: Column, n: Column, q: Double): Column =
       abs(le.cast("double") / n.cast("double") - lit(q)) <= lit(epsCheck)
     o.join(broadcast(est), Seq("o_orderpriority"))
