@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *  - `wnarrow` — `auto` with `weight = Some("w")` (alternating 1/2
   *    weights, its own closed form): the weighted narrowing twin at
   *    the same scale.
+  *  - `wsort`  — the window-cumsum weighted-median replay
+  *    (q_weighted_median's shape): window sorts SPILL, so this
+  *    measures the serialized hot-key task cost in an executor-sized
+  *    heap rather than an OOM boundary.
   *
   * The parent verifies the surviving variants' hot-key median against
   * the closed form (values are 1000 + i·1e-6 for i in [0, n): median =
