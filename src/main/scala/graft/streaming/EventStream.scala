@@ -59,21 +59,24 @@ object EventStream {
     * one over a thousand. All requested quantiles share the single
     * sketch. Append mode: the row finalizes when the watermark passes
     * (the spec pins tiny-cardinality windows to the batch recompute,
-    * where GK at high accuracy is exact).
+    * where GK at high accuracy is exact). `keys` sub-divides each
+    * window (latency per endpoint/event-type): state becomes one
+    * sketch per (window, key), still O(accuracy) each.
     */
   def windowedPercentiles(events: DataFrame,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
       accuracy: Int = 10000,
       windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      keys: Seq[String] = Nil): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen))
+      .groupBy(window(col("ts"), windowLen) +: keys.map(col): _*)
       .agg(percentile_approx(col("value"),
           lit(ps.toArray), lit(accuracy)).as("qs"),
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket") +:
-        col("n_events") +:
+        (keys.map(col) :+ col("n_events")) ++:
         ps.zipWithIndex.map { case (p, i) =>
           col("qs").getItem(i).as(s"p${(p * 100).round}")
         }: _*)

@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed percentiles sub-divide by key: one sketch per (window, key)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "endpoint", "value")
+    val q = EventStream.windowedPercentiles(events, ps = Seq(0.5),
+        keys = Seq("endpoint"))
+      .writeStream.format("memory").queryName("wpk_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "a", 1.0),
+        (ts("2024-01-01 10:10:00"), "a", 3.0),
+        (ts("2024-01-01 10:15:00"), "a", 5.0),
+        (ts("2024-01-01 10:05:00"), "b", 100.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), "z", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT endpoint, n_events, p50 FROM wpk_test " +
+          "WHERE bucket = TIMESTAMP'2024-01-01 10:00:00'")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == Map("a" -> ((3L, 3.0)), "b" -> ((1L, 100.0))))
+    } finally q.stop()
+  }
+
   test("preAggIntervalJoin generalizes: custom key/time names and aggs") {
     implicit val sqlCtx = spark.sqlContext
     val hIn = MemoryStream[(Long, Timestamp, Double)]
