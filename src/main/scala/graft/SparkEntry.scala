@@ -71,6 +71,7 @@ object SparkEntry {
     "q_quantile_narrow" -> ((s, d) => graft.operators.Quantiles.quantileNarrow(s, d)),
     "q_quantiles_multi" -> ((s, d) => graft.operators.Quantiles.quantilesNarrowMulti(s, d)),
     "q_weighted_median_narrow" -> ((s, d) => graft.operators.Quantiles.weightedMedianNarrow(s, d)),
+    "q_weighted_quantiles_multi" -> ((s, d) => graft.operators.Quantiles.weightedQuantilesNarrowMulti(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
@@ -924,6 +925,31 @@ object SparkEntry {
         |SELECT l_returnflag, round(min(l_extendedprice), 4) AS wmed
         |FROM cum WHERE cw >= CAST(ceiling(0.5 * total_w) AS BIGINT)
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_weighted_quantiles_multi" ->
+      """WITH cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice) AS BIGINT) AS cw,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS BIGINT) AS total_w
+        |  FROM lineitem),
+        |pick AS (
+        |  SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+        |         round(min(l_extendedprice), 4) AS q
+        |  FROM cum WHERE cw >= CAST(ceiling(0.25 * total_w) AS BIGINT)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p,
+        |         round(min(l_extendedprice), 4) AS q
+        |  FROM cum WHERE cw >= CAST(ceiling(0.5 * total_w) AS BIGINT)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS p,
+        |         round(min(l_extendedprice), 4) AS q
+        |  FROM cum WHERE cw >= CAST(ceiling(0.9 * total_w) AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT * FROM pick ORDER BY l_returnflag, p""".stripMargin,
     "q_quantiles_multi" ->
       """SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q

@@ -766,4 +766,21 @@ object Quantiles {
         round(col("quantile"), 4).as("wmed"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** `q_weighted_quantiles_multi` gate surface: p25/p50/p90 weighted
+    * quantiles per group through ONE shared set of narrowing passes —
+    * the weighted twin of `q_quantiles_multi`, proving cross-engine
+    * that pass-sharing changes nothing about any individual weight
+    * rank. Oracle: three unioned DuckDB cumsum replays
+    * (min value with cumw ≥ ⌈p·W⌉).
+    */
+  def weightedQuantilesNarrowMulti(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    auto(l, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.9),
+      weight = Some("l_quantity"),
+      hotThreshold = 100L, buckets = 64, finish = 48L)
+      .select(col("l_returnflag"), col("p"),
+        round(col("quantile"), 4).as("q"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
 }
