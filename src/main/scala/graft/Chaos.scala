@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 /** Executor-loss resilience harness: runs under a REAL multi-JVM
   * master (local-cluster[2,1,1024] by default — two executor
   * processes, each its own JVM) and proves the failure-recovery
-  * properties the 100 TB posture depends on. Three phases, selectable
-  * by the first argument (comma list, default all):
+  * properties the 100 TB posture depends on. Four default phases —
+  * `recovery`, `fetch`, `quantile`, `stream` — plus the driver-loss
+  * legs `streamA`/`streamB` (spec-driven, never default: leg A
+  * crash-halts this JVM), selectable by the first argument (comma
+  * list):
   *
   * `recovery` — kills every executor BETWEEN jobs:
   *   1. `plain_recovered` — a lineage-backed query recomputes through
@@ -565,7 +568,8 @@ object Chaos {
 
   def main(args: Array[String]): Unit = {
     val phases = args.headOption.filter(_.nonEmpty)
-      .map(_.split(",").toSeq).getOrElse(Seq("recovery", "fetch", "stream"))
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("recovery", "fetch", "quantile", "stream"))
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,1,1024]")
     // Executors are launched by the in-process standalone worker with

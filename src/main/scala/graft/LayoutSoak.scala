@@ -345,11 +345,15 @@ object LayoutSoak {
     // a variant-filtered run materializes (and primes) ONLY the
     // layouts its variants touch — at 1000x the bucketed build alone
     // is a 600M-row sort a scan-only run must not pay
+    // (unpart reads the UNpartitioned base but joins the month dim the
+    // partitioned layout materializes, so it stays in needPart; the
+    // *_unbucketed and scan_unsorted variants read only the base)
     val needPart = only.isEmpty ||
       only.exists(Set("dpp_on", "dpp_off", "part_static", "unpart"))
     val needBuck = only.isEmpty ||
-      only.exists(v => v.startsWith("join_") || v.startsWith("agg_"))
-    val needSort = only.isEmpty || only.exists(_.startsWith("scan_"))
+      only.exists(Set("join_bucketed", "join_bucketed_hash",
+        "join_bucketed_ordered", "agg_bucketed"))
+    val needSort = only.isEmpty || only.exists(_.startsWith("scan_sorted"))
 
     for (k <- scales.sorted) {
       val base = Soak.materialize(spark, k, needFacts = true, needDocs = false)

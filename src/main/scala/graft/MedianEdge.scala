@@ -123,8 +123,10 @@ object MedianEdge {
       // fatal row for THIS variant instead of crashing the whole sweep
       val parsed = marker.flatMap { m =>
         scala.util.Try {
+          // parse ALL numeric tokens: a marker garbled in sec/rows
+          // would otherwise interpolate non-JSON into the artifact
           val Array(_, _, sec, med, rows) = m.trim.split(" ")
-          (sec, med.toDouble, rows)
+          (sec.toDouble, med.toDouble, rows.toLong)
         }.toOption
       }
       val row = parsed match {
@@ -137,7 +139,7 @@ object MedianEdge {
           // its observed error (GK is approximate by construction)
           require(variant == "sketch" || err < 1e-12,
             s"$variant hot-key median ${med} != closed form $want")
-          f"""{"metric":"median_edge","variant":"$variant","hot_distinct":$hotN,"heap_gb":$heapGb,"sec":$sec,"rows":$rows,"hot_median_relerr":$err%.2e,"status":"ok"}"""
+          f"""{"metric":"median_edge","variant":"$variant","hot_distinct":$hotN,"heap_gb":$heapGb,"sec":$sec%.2f,"rows":$rows,"hot_median_relerr":$err%.2e,"status":"ok"}"""
         case None =>
           val why =
             if (!finished) "timeout-1200s"

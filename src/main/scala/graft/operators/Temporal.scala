@@ -263,12 +263,12 @@ object Temporal {
     import spark.implicits._
     val promos = promoWindows.toDF("promo_id", "start_s", "end_s")
       .select(col("promo_id"),
-        unix_micros(to_timestamp(col("start_s")).cast("timestamp")).as("p0"),
-        unix_micros(to_timestamp(col("end_s")).cast("timestamp")).as("p1"))
+        unix_micros(to_timestamp(col("start_s"))).as("p0"),
+        unix_micros(to_timestamp(col("end_s"))).as("p1"))
     val spans = Tables.load(spark, dir, "events")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("a0"),
-        max(unix_micros(col("ts").cast("timestamp"))).as("a1"))
+      .agg(min(unix_micros(col("ts"))).as("a0"),
+        max(unix_micros(col("ts"))).as("a1"))
     spans.join(broadcast(promos),
         col("a0") < col("p1") && col("p0") < col("a1"))
       .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),

@@ -68,7 +68,18 @@ object EventStream {
       accuracy: Int = 10000,
       windowLen: String = "1 hour",
       watermark: String = "2 hours",
-      keys: Seq[String] = Nil): DataFrame =
+      keys: Seq[String] = Nil): DataFrame = {
+    require(ps.nonEmpty && ps.distinct.size == ps.size &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ps must be distinct quantiles in [0, 1], got $ps")
+    // exact column name per quantile: p50, p99, p99_9 — rounding to
+    // whole percents would label 0.999 as p100 and collide 0.5/0.505
+    def pName(p: Double): String =
+      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+    val names = ps.map(pName)
+    require(names.distinct.size == names.size,
+      s"quantiles $ps map to colliding column names $names")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen) +: keys.map(col): _*)
@@ -77,9 +88,10 @@ object EventStream {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket") +:
         (keys.map(col) :+ col("n_events")) ++:
-        ps.zipWithIndex.map { case (p, i) =>
-          col("qs").getItem(i).as(s"p${(p * 100).round}")
+        names.zipWithIndex.map { case (n, i) =>
+          col("qs").getItem(i).as(n)
         }: _*)
+  }
 
   /** Streaming hourly OHLC bars (the streaming twin of
     * `Analytics.ohlcBars`): `min_by`/`max_by` on the unique
