@@ -221,6 +221,32 @@ object LayoutSoak {
     dir
   }
 
+  /** Event table rewritten through the first-ingest normalization pass
+    * (Ingest.normalizeTimestamps): micros session-TZ TIMESTAMP,
+    * range-clustered on `ts` with 1 MB row groups — the layout an
+    * event-time filter can actually skip on. The raw comparison point
+    * is the Soak-materialized events table: engine-written micros but
+    * UNCLUSTERED (the k-copies expansion interleaves every timestamp
+    * into every row group), so its window filter must read everything.
+    */
+  def materializeEventsNorm(
+      spark: SparkSession, k: Int, baseDir: String): String = {
+    val dir = s"/tmp/graft_soak/x${k}_events_norm"
+    val marker = new java.io.File(s"$dir/_LAYOUT_SCHEMA")
+    if (versionFresh(marker) &&
+      new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) return dir
+    rmTree(new java.io.File(dir))
+    System.err.println(s"[layout] materializing $dir ...")
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      LayoutGeneratorVersion.toString.getBytes): Unit
+    graft.sources.Ingest.normalizeTimestamps(spark,
+      s"$baseDir/events.parquet", s"$dir/events.parquet",
+      tsCols = Seq("ts"), numFiles = 32): Unit
+    System.err.println(s"[layout] $dir ready")
+    dir
+  }
+
   // ---- the measured queries ----------------------------------------
 
   /** Star-ish month join: fact x month dim filtered to the first 3
@@ -266,6 +292,15 @@ object LayoutSoak {
         col("l_shipts") < lit("1997-04-01"))
       .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
         count(lit(1)).as("n"))
+
+  /** An 8-hour event-time window out of the one-month corpus (~1/90
+    * selectivity): on the time-clustered layout the reader should
+    * answer from ~1/90 of the row groups.
+    */
+  def eventsWindowScan(e: DataFrame): DataFrame =
+    e.filter(col("ts") >= lit("2024-01-15 00:00:00") &&
+        col("ts") < lit("2024-01-15 08:00:00"))
+      .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n"))
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.filter(_.nonEmpty)
@@ -341,6 +376,8 @@ object LayoutSoak {
     tsLtzWindowScan(warmLi.withColumn("l_shipts",
         col("l_shipdate").cast("timestamp")))
       .write.format("noop").mode("overwrite").save()
+    eventsWindowScan(spark.read.parquet(s"$warm/events.parquet"))
+      .write.format("noop").mode("overwrite").save()
 
     // a variant-filtered run materializes (and primes) ONLY the
     // layouts its variants touch — at 1000x the bucketed build alone
@@ -354,6 +391,7 @@ object LayoutSoak {
       only.exists(Set("join_bucketed", "join_bucketed_hash",
         "join_bucketed_ordered", "agg_bucketed"))
     val needSort = only.isEmpty || only.exists(_.startsWith("scan_sorted"))
+    val needEvents = only.isEmpty || only.exists(_.startsWith("scan_events"))
 
     for (k <- scales.sorted) {
       val base = Soak.materialize(spark, k, needFacts = true, needDocs = false)
@@ -361,6 +399,8 @@ object LayoutSoak {
       val (liT, ordT) =
         if (needBuck) materializeBucketed(spark, k, base) else ("", "")
       val sorted = if (needSort) materializeSorted(spark, k, base) else ""
+      val eventsNorm =
+        if (needEvents) materializeEventsNorm(spark, k, base) else ""
       // Prime the page cache for every layout so variant order doesn't
       // decide who pays the disk reads. NOT count(): parquet answers
       // count from footer metadata without touching a data page, so a
@@ -378,6 +418,12 @@ object LayoutSoak {
         Seq("l_extendedprice", "l_shipmonth"))
       if (needSort) prime(spark.read.parquet(s"$sorted/lineitem.parquet"),
         Seq("l_extendedprice", "l_shipdate", "l_shipday", "l_shipts"))
+      if (needEvents) {
+        prime(spark.read.parquet(s"$base/events.parquet"),
+          Seq("ts", "value"))
+        prime(spark.read.parquet(s"$eventsNorm/events.parquet"),
+          Seq("ts", "value"))
+      }
       if (needBuck) {
         prime(spark.table(liT),
           Seq("l_orderkey", "l_extendedprice", "l_discount"))
@@ -465,6 +511,16 @@ object LayoutSoak {
       }
       timed("scan_sorted_tstz", k) {
         tsLtzWindowScan(spark.read.parquet(s"$sorted/lineitem.parquet"))
+      }
+
+      // ---- 4. event-time normalization (round 13): the same window
+      // filter against the raw (unclustered) events table and the
+      // normalizeTimestamps rewrite — input_rows is the claim
+      timed("scan_events_raw", k) {
+        eventsWindowScan(spark.read.parquet(s"$base/events.parquet"))
+      }
+      timed("scan_events_norm", k) {
+        eventsWindowScan(spark.read.parquet(s"$eventsNorm/events.parquet"))
       }
     }
     sink.close()

@@ -48,7 +48,8 @@ object MedianEdge {
       args.headOption.map(_.toInt).getOrElse(50),
       args.drop(1).headOption.map(_.toInt).getOrElse(4),
       args.drop(2).headOption.map(_.split(",").toSet)
-        .getOrElse(Set("narrow", "sketch", "exact", "auto", "wnarrow", "wsort")))
+        .getOrElse(Set("narrow", "sketch", "exact", "auto",
+          "wnarrow", "wauto", "wsketch", "wsort")))
 
   private def parent(hotMillions: Int, heapGb: Int, variants: Set[String]): Unit = {
     val hotN = hotMillions * 1000000L
@@ -98,7 +99,8 @@ object MedianEdge {
     // destabilizes the host; each variant is its own JVM regardless.
     // `auto`/`wnarrow` run with DEFAULT knobs — the front door must
     // survive the wall with no tuning.
-    Seq("narrow", "auto", "wnarrow", "wsort", "sketch", "exact").filter(variants)
+    Seq("narrow", "auto", "wnarrow", "wauto", "wsketch", "wsort",
+      "sketch", "exact").filter(variants)
       .foreach { variant =>
       val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
         s"-Xmx${heapGb}g", "-XX:+ExitOnOutOfMemoryError",
@@ -131,13 +133,11 @@ object MedianEdge {
       }
       val row = parsed match {
         case Some((sec, med, rows)) =>
-          val want =
-            if (variant == "wnarrow" || variant == "wsort") expectedW
-            else expected
+          val want = if (variant.startsWith("w")) expectedW else expected
           val err = math.abs(med - want) / want
           // exact variants must hit the closed form; the sketch records
           // its observed error (GK is approximate by construction)
-          require(variant == "sketch" || err < 1e-12,
+          require(variant == "sketch" || variant == "wsketch" || err < 1e-12,
             s"$variant hot-key median ${med} != closed form $want")
           f"""{"metric":"median_edge","variant":"$variant","hot_distinct":$hotN,"heap_gb":$heapGb,"sec":$sec%.2f,"rows":$rows,"hot_median_relerr":$err%.2e,"status":"ok"}"""
         case None =>
@@ -172,9 +172,27 @@ object MedianEdge {
       case "auto" => // the front door, DEFAULT knobs
         graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5))
           .select(col("k"), col("quantile").as("median"))
-      case "wnarrow" => // weighted front door, DEFAULT knobs
+      case "wnarrow" => // the weighted narrowing, route pinned
+        graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5),
+            weight = Some("w"),
+            route = graft.operators.Quantiles.HotRoute.Narrow)
+          .select(col("k"), col("quantile").as("median"))
+      case "wauto" => // weighted front door, DEFAULT knobs: the
+        // round-13 cost router must pick the NARROWING in this
+        // executor-sized (4 GiB) JVM — the regime where the replay's
+        // spilling sort task loses 3.8x (docs/SCALING.md) — with no
+        // tuning, and still hit the closed form exactly
         graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5),
             weight = Some("w"))
+          .select(col("k"), col("quantile").as("median"))
+      case "wsketch" => // the round-13 bounded-error weighted sketch:
+        // priority sampling through the front door; approximate, so
+        // the parent records its observed error instead of requiring
+        // the closed form (v is distinct within the hot key, so
+        // (k, v) identifies a hot row for the deterministic draw)
+        graft.operators.Quantiles.auto(df, "k", "v", Seq(0.5),
+            mode = graft.operators.Quantiles.QuantileMode.Sketch(10000),
+            weight = Some("w"), ident = Seq("k", "v"))
           .select(col("k"), col("quantile").as("median"))
       case "wsort" =>
         // the window-cumsum replay (q_weighted_median's shape): the

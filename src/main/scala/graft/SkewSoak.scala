@@ -432,10 +432,22 @@ object SkewSoak {
       def aggWMedianHCNarrow(dir: String): DataFrame =
         graft.operators.Quantiles.auto(wmedInput(dir),
           "l_orderkey", "__hc", Seq(0.5), weight = Some("__w"),
+          hotThreshold = 1000000L,
+          route = graft.operators.Quantiles.HotRoute.Narrow)
+      // round-13 router leg: DEFAULT route — the cost model must pick
+      // the better variant per decade on this host (the single wide
+      // host is the replay's regime at every decade measured so far),
+      // landing within ~1.1x of whichever of sort/narrow wins
+      def aggWMedianHCAuto(dir: String): DataFrame =
+        graft.operators.Quantiles.auto(wmedInput(dir),
+          "l_orderkey", "__hc", Seq(0.5), weight = Some("__w"),
           hotThreshold = 1000000L)
       timed("aggwmedhc_sort", k, skewOn = false) { noop(aggWMedianHCSort(skew)) }
       timed("aggwmedhc_narrow", k, skewOn = false) {
         noop(aggWMedianHCNarrow(skew))
+      }
+      timed("aggwmedhc_auto", k, skewOn = false) {
+        noop(aggWMedianHCAuto(skew))
       }
       timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }

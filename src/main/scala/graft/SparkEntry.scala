@@ -22,6 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 ingestion & sources
     "src_schema_mapped_read" -> ((s, d) => Ingest.schemaMappedRead(s, d)),
+    "src_ts_normalize" -> ((s, d) => Ingest.tsNormalize(s, d)),
+    "src_jdbc_incremental" -> ((s, d) => Ingest.jdbcIncremental(s, d)),
     "src_catalog_columns" ->
       ((s, d) => graft.sources.SchemaAlign.catalogColumns(s, d, graft.sources.Tables.all)),
     "src_file_stats" ->
@@ -72,6 +74,8 @@ object SparkEntry {
     "q_quantiles_multi" -> ((s, d) => graft.operators.Quantiles.quantilesNarrowMulti(s, d)),
     "q_weighted_median_narrow" -> ((s, d) => graft.operators.Quantiles.weightedMedianNarrow(s, d)),
     "q_weighted_quantiles_multi" -> ((s, d) => graft.operators.Quantiles.weightedQuantilesNarrowMulti(s, d)),
+    "q_weighted_median_auto" -> ((s, d) => graft.operators.Quantiles.weightedMedianAuto(s, d)),
+    "q_approx_weighted_quantile" -> ((s, d) => graft.operators.Quantiles.approxWeightedQuantileGate(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.approxQuantileGate(s, d)),
     "q_cms_topk" -> ((s, d) => Relational.cmsTopkGate(s, d)),
     "q_cube" -> ((s, d) => Analytics.cubeStatusPriority(s, d)),
@@ -301,6 +305,7 @@ object SparkEntry {
     "q_new_returning" -> ((s, d) => Analytics.newReturning(s, d)),
     "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d)),
     "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d)),
+    "text_bpe_merges" -> ((s, d) => TextFunctions.bpeMerges(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -349,6 +354,36 @@ object SparkEntry {
 
   private def textWords(src: String = "text") =
     s"regexp_extract_all(lower($src), '[a-z0-9]+')"
+
+  /** Unrolled k-round BPE replay (`text_bpe_merges`): each round's CTE
+    * trio recounts adjacent symbol pairs, picks the top pair under the
+    * same (count DESC, lhs, rhs) tie-break, and re-segments via the
+    * same space-padded left-to-right `replace` the engine applies —
+    * the merge loop itself is what the oracle verifies, round by round.
+    */
+  private def duckBpeSql(k: Int): String = {
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT concat(trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+         |                ' </w>') AS sym, count(*) AS cnt
+         |  FROM (SELECT unnest(${textWords()}) AS w FROM documents)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (0 until k).map { i =>
+      s""",p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr, cnt
+         |        FROM (SELECT string_split(sym, ' ') AS l, cnt FROM w$i))
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w${i + 1} AS (
+         |  SELECT trim(replace(' ' || sym || ' ', ' ' || a || ' ' || b || ' ',
+         |    ' ' || a || b || ' ')) AS sym, cnt FROM w$i CROSS JOIN t$i)""".stripMargin
+    }.mkString("\n")
+    val sel = (0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"c AS pair_cnt FROM t$i").mkString(" UNION ALL ")
+    s"$head\n$rounds\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
 
   /** Media metadata CTE shared by the multimodal oracles: kind cycles
     * by doc_id, b0/b1 are the first two RAW UTF-8 BYTES of the payload
@@ -907,12 +942,51 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // the two-epoch watermark loop must reproduce the source subset
+    // exactly: a double-pulled row, missed delta, or surviving stale
+    // seed all hash-mismatch
+    "src_jdbc_incremental" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 8 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // normalization must be value-neutral: the oracle rolls up the RAW
+    // source while the engine rolls up the normalized rewrite
+    "src_ts_normalize" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |       count(*) AS n_events,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_median_narrow" ->
       """SELECT l_returnflag, round(median(l_extendedprice), 4) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_quantile_narrow" ->
       """SELECT l_linenumber, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+    // identical oracle as q_weighted_median_narrow: the router must be
+    // semantics-preserving whichever path it picks
+    "q_weighted_median_auto" ->
+      """WITH cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice) AS BIGINT) AS cw,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS BIGINT) AS total_w
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(min(l_extendedprice), 4) AS wmed
+        |FROM cum WHERE cw >= CAST(ceiling(0.5 * total_w) AS BIGINT)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // rank-contract gate (q_approx_quantile's pattern): the oracle
+    // recomputes exact counts/weights and predicts both verdicts true,
+    // so a weight-rank excursion past the sample bound fails the hash
+    "q_approx_weighted_quantile" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_total,
+        |       true AS p50_rank_ok, true AS p90_rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_weighted_median_narrow" ->
       """WITH cum AS (
         |  SELECT l_returnflag, l_extendedprice,
@@ -3775,6 +3849,7 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Add-1 bigram LM; per-doc ln-prob sum replayed by the ORDERED
     // list_reduce (the q_ewma fold protocol).
+    "text_bpe_merges" -> duckBpeSql(8),
     "text_bigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, generate_subscripts(${textWords()}, 1) AS pos,

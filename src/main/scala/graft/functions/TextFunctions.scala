@@ -1146,4 +1146,71 @@ object TextFunctions {
           (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
           .as("zipf_intercept"))
   }
+
+  /** `text_bpe_merges`: the first k merges of byte-pair-encoding
+    * tokenizer training — the iterative loop the candidate-mining
+    * family (`text_ngram_freq`, `text_pmi`) stops short of. Classic
+    * BPE (Sennrich et al. 2016, a public algorithm): represent each
+    * distinct word as space-separated symbols ending in `</w>`; per
+    * round, count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent pair everywhere (deterministic tie-break:
+    * count DESC, then both symbols ASC), repeat.
+    *
+    * Scale shape: the corpus is touched ONCE (word-count groupBy, one
+    * map-side-combined shuffle of word partials); every merge round
+    * then runs over the VOCAB table — pair explosion and an integer
+    * sum per pair, all map-side combinable — and the chosen pair
+    * returns to the driver as one row that becomes a literal in the
+    * next round's re-segmentation expression (the same driver-loop
+    * join-aggregate iteration shape as `q_pagerank` /
+    * `q_shortest_path`). A 100 TB corpus costs one scan; k merge
+    * rounds cost k vocab-sized jobs.
+    *
+    * Determinism across engines: pair counts are integral sums;
+    * re-segmentation is plain left-to-right non-overlapping string
+    * replace of ` a b ` with ` ab ` on the space-padded symbol string
+    * — identical semantics in the engine, DuckDB, and java.lang.String
+    * (back-to-back occurrences sharing a boundary space resolve
+    * left-to-right in all three).
+    *
+    * @return one row per merge: (merge_rank, lhs, rhs, pair_cnt).
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs
+      .select(explode(words(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")),
+        lit(" </w>")).as("sym"), col("cnt"))
+      .persist() // vocab-sized by construction
+    base.count(): Unit // materialize before the round loop re-reads it
+    var vocab = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (1 to k).foreach { r =>
+      val l = split(col("sym"), " ")
+      val top = vocab
+        .select(explode(arrays_zip(
+          slice(l, lit(1), size(l) - 1).as("a"),
+          slice(l, lit(2), size(l) - 1).as("b"))).as("pr"), col("cnt"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"vocabulary fully merged before round $r")
+      val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2))
+      // the pair lands inline in the next round's expression: symbols
+      // are alphanumeric or the </w> marker, so the SQL literal is safe
+      require((a + b).matches("[A-Za-z0-9</>]+"),
+        s"unexpected symbol characters in merge pair ($a, $b)")
+      merges += ((r.toLong, a, b, c))
+      vocab = vocab.select(
+        expr(s"trim(replace(concat(' ', sym, ' '), ' $a $b ', ' $a$b '))")
+          .as("sym"), col("cnt"))
+    }
+    base.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+      .orderBy(col("merge_rank"))
+  }
 }

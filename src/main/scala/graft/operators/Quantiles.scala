@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -102,6 +102,39 @@ object Quantiles {
     final case class Sketch(accuracy: Int = 10000) extends QuantileMode
   }
 
+  /** How the WEIGHTED exact path treats a key over `hotThreshold` rows.
+    * Unlike the unweighted case — where the classic count-map buffer
+    * OOMs past executor memory and narrowing is the only exact option —
+    * the weighted cumsum replay SORTS (window sorts spill, never OOM),
+    * so an oversized key has two viable exact plans whose crossover is
+    * measured in both regimes (docs/SCALING.md round 12): one
+    * serialized-but-spilling sort task beats the narrowing's extra
+    * full-fact passes 4.1x on a single wide host, while the narrowing
+    * wins 3.8x in an executor-sized (4 GiB) JVM and is the only path
+    * whose hot-task time shrinks as executors are added.
+    *
+    *  - `CostAware` (default): route PER KEY on estimated cost. The
+    *    serialized replay costs ~n_k rows times a spill multiplier
+    *    (how far the key's sort working set overflows one task's share
+    *    of execution memory); the narrowing costs ~γ·(N + passes·n_k)
+    *    scan-equivalent rows spread over the cluster — both sides
+    *    computable from pass-0 counts alone. Constants calibrated on
+    *    the two measured regimes (γ = 16 reproduces both verdicts with
+    *    ~20x margin each way).
+    *  - `Narrow`: every oversized key narrows (the round-12 behavior;
+    *    gate surfaces pin this so the narrowing machinery stays
+    *    exercised).
+    *  - `SortReplay`: never narrow — every key takes the windowed
+    *    cumsum replay (the single-host default when the caller knows
+    *    the regime).
+    */
+  sealed trait HotRoute
+  object HotRoute {
+    case object CostAware extends HotRoute
+    case object Narrow extends HotRoute
+    case object SortReplay extends HotRoute
+  }
+
   /** One front door for per-key quantiles at any scale — the router
     * over what were three separate APIs (classic exact `percentile`,
     * the GK sketch, and the narrowing loop). Returns the uniform long
@@ -118,9 +151,13 @@ object Quantiles {
     *  - `mode = Sketch(acc)`: `percentile_approx` per key — one pass,
     *    mergeable, bounded rank error; for when the caller asks for
     *    an estimate, never chosen implicitly.
-    *  - `weight = Some(col)`: exact LOWER weighted quantiles via
-    *    [[exactWeightedQuantilesAnyScale]] (Exact mode only — the GK
-    *    sketch has no weighted form here).
+    *  - `weight = Some(col)`: weighted LOWER quantiles. Exact mode
+    *    routes through [[exactWeightedQuantilesAnyScale]] (per-key
+    *    replay-vs-narrowing routing, see `route`); `Sketch(k)` is the
+    *    bounded-error one-aggregation estimate via
+    *    [[approxWeightedQuantiles]] (deterministic priority sampling,
+    *    rank error ~k^(-1/2)) and needs `ident` — the columns whose
+    *    md5 drives the sampling — to be reproducible.
     */
   def auto(
       rows: DataFrame, key: String, value: String, ps: Seq[Double],
@@ -129,13 +166,15 @@ object Quantiles {
       hotThreshold: Long = 4000000L,
       buckets: Int = 8192,
       finish: Long = 1048576L,
-      maxHotKeys: Int = 4096): DataFrame = (mode, weight) match {
+      maxHotKeys: Int = 4096,
+      route: HotRoute = HotRoute.CostAware,
+      ident: Seq[String] = Nil): DataFrame = (mode, weight) match {
     case (QuantileMode.Exact, None) =>
       exactQuantilesAnyScale(rows, key, value, ps,
         hotThreshold, buckets, finish, maxHotKeys)
     case (QuantileMode.Exact, Some(w)) =>
       exactWeightedQuantilesAnyScale(rows, key, value, w, ps,
-        hotThreshold, buckets, finish, maxHotKeys)
+        hotThreshold, buckets, finish, maxHotKeys, route)
     case (QuantileMode.Sketch(acc), None) =>
       require(ps.nonEmpty && ps.distinct.size == ps.size &&
         ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -151,10 +190,12 @@ object Quantiles {
         .select(col("__k").as(key),
           element_at(psLit, col("__pi") + 1).as("p"),
           col("__med").as("quantile"))
-    case (QuantileMode.Sketch(_), Some(_)) =>
-      throw new IllegalArgumentException(
-        "weighted quantiles are exact-only: percentile_approx has no " +
-          "weighted form — use mode = Exact")
+    case (QuantileMode.Sketch(acc), Some(w)) =>
+      require(ident.nonEmpty,
+        "weighted Sketch mode samples deterministically: pass ident = " +
+          "the columns that uniquely identify a row (they seed the " +
+          "per-row sampling hash)")
+      approxWeightedQuantiles(rows, key, value, w, ps, ident, sampleK = acc)
   }
 
   /** Driver-side narrowing state for one (hot key, quantile): the
@@ -506,7 +547,8 @@ object Quantiles {
       hotThreshold: Long = 4000000L,
       buckets: Int = 8192,
       finish: Long = 1048576L,
-      maxHotKeys: Int = 4096): DataFrame = {
+      maxHotKeys: Int = 4096,
+      route: HotRoute = HotRoute.CostAware): DataFrame = {
     require(ps.nonEmpty && ps.distinct.size == ps.size &&
       ps.forall(p => p >= 0.0 && p <= 1.0),
       s"ps must be distinct quantiles in [0, 1], got $ps")
@@ -521,22 +563,74 @@ object Quantiles {
     val spark = rows.sparkSession
 
     val v = col(value).cast("double")
-    val base = rows
-      .filter(col(value).isNotNull && !isnan(v) &&
-        col(weight).isNotNull && col(weight) > 0)
-      .select(col(key).as("__k"), v.as("__v"),
-        col(weight).cast("long").as("__w"))
+    val wLong = col(weight).cast("long")
+    val keep = col(value).isNotNull && !isnan(v) &&
+      col(weight).isNotNull && col(weight) > 0
+    val base = rows.filter(keep)
+      .select(col(key).as("__k"), v.as("__v"), wLong.as("__w"))
     val keyField = StructField("__k", base.schema("__k").dataType, nullable = true)
 
-    // pass 0: rows, total weight, and value bracket per key (algebraic)
-    val counts = base.groupBy(col("__k")).agg(
-      count(lit(1)).as("__n"), sum(col("__w")).as("__tw"),
-      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val hot = counts.filter(col("__n") > hotThreshold).collect()
-    require(hot.length <= maxHotKeys,
-      s"${hot.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
+    // pass 0: rows, total weight, and value bracket per key (algebraic),
+    // computed as a ROLLUP so the same single job also yields the
+    // grand-total row — corpus size for the hot-route cost model below
+    // and the global integral-weight check. The integral contract is
+    // ENFORCED, not assumed: a fractional weight would otherwise
+    // truncate silently (0 < w < 1 passes the `> 0` filter yet
+    // contributes ZERO weight after the long cast), so pass 0 carries
+    // min(raw == cast) and the call fails loudly on any kept violator.
+    val counts = rows.filter(keep)
+      .select(col(key).as("__k"), v.as("__v"), wLong.as("__w"),
+        (col(weight).cast("double") === wLong.cast("double")).as("__wint"))
+      .rollup(col("__k")).agg(
+        count(lit(1)).as("__n"), sum(col("__w")).as("__tw"),
+        min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+        min(col("__wint")).as("__allint"),
+        grouping_id().cast("int").as("__gid"))
+    val passZero = counts
+      .filter(col("__gid") === 1 || col("__n") > hotThreshold).collect()
+    val (totalRow, hotAll) = passZero.partition(_.getInt(6) == 1)
+    val totalRows = totalRow.headOption.map(_.getLong(1)).getOrElse(0L)
+    require(totalRow.isEmpty || totalRow.head.isNullAt(5) ||
+      totalRow.head.getBoolean(5),
+      s"weight column '$weight' holds non-integral values — the " +
+        "weighted quantile contract is integral positive weights " +
+        "(a fractional weight would truncate silently); scale weights " +
+        "to integers before calling")
+    require(hotAll.length <= maxHotKeys,
+      s"${hotAll.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
         "raise the threshold — a workload where this many keys are oversized " +
         "is big everywhere, not skewed")
+
+    // per-key routing (see [[HotRoute]]): a key narrows only when the
+    // cost model says its single sorted window task — n_k rows times a
+    // spill multiplier for how far its working set overflows one
+    // task's execution-memory share — would outlast the narrowing's
+    // cluster-spread passes (γ·(N + passes·n_k) / parallelism). Keys
+    // routed to SortReplay simply STAY in the small path below: the
+    // window replay spills but never OOMs, so a routing miss costs
+    // time, not the job. Constants are calibrated on the two measured
+    // regimes (docs/SCALING.md rounds 12-13): a 32-core 48 GiB host
+    // with a 40M-row hot key must pick the replay (measured 4.1x
+    // better there) and a 4 GiB executor-sized JVM with a 50M-distinct
+    // key must pick the narrowing (measured 3.8x better there); γ = 16
+    // reproduces both with ~2-20x margin.
+    val hot = route match {
+      case HotRoute.Narrow => hotAll
+      case HotRoute.SortReplay => Array.empty[Row]
+      case HotRoute.CostAware =>
+        val parallelism =
+          math.max(1, spark.sparkContext.defaultParallelism).toDouble
+        val taskMem =
+          Runtime.getRuntime.maxMemory.toDouble * 0.3 / parallelism
+        val rowBytes = 48.0 // key + double value + long weight + sort overhead
+        val narrowPasses = 3.0 // extraction + ~2 shared histogram passes
+        val gamma = 16.0 // narrowing per-row machinery vs one window pass
+        hotAll.filter { r =>
+          val n = r.getLong(1).toDouble
+          val spill = math.max(1.0, n * rowBytes / taskMem)
+          gamma * (totalRows + narrowPasses * n) / parallelism < n * spill
+        }
+    }
 
     val psLit = lit(ps.toArray)
     def finishKeys(df: DataFrame): DataFrame =
@@ -748,6 +842,155 @@ object Quantiles {
       .orderBy(col("l_returnflag"), col("p"))
   }
 
+  /** Bounded-error weighted quantiles in ONE aggregation pass —
+    * the approximate path the exact narrowing was missing (a user
+    * wanting a cheap weighted p50 at 100 TB should not have to pay
+    * narrowing passes). Method: deterministic PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each row draws u ∈ (0, 1] from the md5
+    * of its `ident` columns and gets priority w/u; per key the
+    * `sampleK`+1 highest-priority rows are kept by the engine's own
+    * bounded-heap aggregate (`graft_topk` — heaps combine map-side,
+    * so only O(sampleK) state per key ever shuffles, the same shape
+    * GK's unweighted sketch gets from `percentile_approx`). With
+    * threshold τ = the (sampleK+1)-th priority, each sampled row's
+    * adjusted weight max(w, τ) makes every subset weight-sum
+    * unbiased, so the weighted quantile read off the sorted sample
+    * estimates the true one with rank error ~sampleK^(-1/2) — and a
+    * key with ≤ sampleK rows is EXACT (τ = 0 keeps raw weights).
+    * All array post-processing (τ, adjust, sort, cumulative fold)
+    * runs on the O(sampleK) aggregate result, never the raw rows.
+    *
+    * Deterministic by construction: the md5 draw replaces the RNG, so
+    * reruns, retries, and both gate engines see the same sample —
+    * the same discipline as `text_weighted_sample`'s
+    * Efraimidis–Spirakis sampler.
+    *
+    * Semantics estimated: the LOWER weighted quantile (smallest v
+    * whose cumulative weight reaches p·W — the same statistic as
+    * [[exactWeightedQuantilesAnyScale]]). Rows with null/NaN value or
+    * null/non-positive weight are excluded. Fractional weights are
+    * ACCEPTED here (weights participate as doubles; only the exact
+    * path's long-rank arithmetic demands integral weights).
+    *
+    * @param ident  columns whose concatenation identifies a row —
+    *   seeds the per-row sampling hash; duplicates share a draw
+    *   (harmless at sketch accuracy)
+    * @param sampleK  per-key sample size: rank error ~1/sqrt(sampleK)
+    *   (default 10000 ≈ 1%), executor state per key ~32·sampleK bytes
+    * @return one row per (distinct key, p): (`key`, `p` double,
+    *   `quantile` double)
+    */
+  def approxWeightedQuantiles(
+      rows: DataFrame, key: String, value: String, weight: String,
+      ps: Seq[Double], ident: Seq[String],
+      sampleK: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.distinct.size == ps.size &&
+      ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"ps must be distinct quantiles in [0, 1], got $ps")
+    require(ident.nonEmpty, "ident columns seed the deterministic draw")
+    require(sampleK >= 16 && sampleK <= 10000000,
+      s"sampleK=$sampleK out of the executor-sized range")
+    require(key != "p" && key != "quantile",
+      s"key column '$key' collides with the fixed output columns " +
+        "(key, p, quantile) — alias it before calling")
+    val v = col(value).cast("double")
+    val wD = col(weight).cast("double")
+    val keep = col(value).isNotNull && !isnan(v) &&
+      col(weight).isNotNull && col(weight) > 0
+    // u ∈ (0, 1]: 60-bit md5 slice, +1 so the division never sees 0
+    val u = (conv(substring(md5(concat_ws("|", ident.map(col): _*)
+      .cast("binary")), 1, 15), 16, 10).cast("double") + lit(1.0)) /
+      lit(math.pow(2.0, 60))
+    val psLit = lit(ps.toArray)
+    rows.filter(keep)
+      .select(col(key).as("__k"), v.as("__v"), wD.as("__w"),
+        (wD / u).as("__pri"))
+      .groupBy(col("__k"))
+      .agg(graft.functions.TopKFunctions.topK(
+        struct(col("__pri"), col("__v"), col("__w")), sampleK + 1).as("__arr"))
+      .withColumn("__tau",
+        when(size(col("__arr")) > sampleK,
+          element_at(col("__arr"), sampleK + 1).getField("__pri"))
+          .otherwise(lit(0.0)))
+      // adjusted sample in VALUE order; (v, w) structs sort by v first
+      .withColumn("__sorted", array_sort(transform(
+        slice(col("__arr"), 1, sampleK),
+        x => struct(x.getField("__v").as("v"),
+          greatest(x.getField("__w"), col("__tau")).as("w")))))
+      .withColumn("__tw",
+        aggregate(col("__sorted"), lit(0.0), (a, x) => a + x.getField("w")))
+      .select(col("__k"), col("__sorted"), col("__tw"),
+        explode(psLit).as("__p"))
+      .withColumn("__t", col("__p") * col("__tw"))
+      // smallest sampled v whose cumulative adjusted weight reaches
+      // p·W; the coalesce absorbs the one fp edge (T = W undershot by
+      // the rounding of the final partial sum) with the max value
+      .select(col("__k").as(key), col("__p").as("p"), coalesce(expr(
+        """aggregate(__sorted,
+          |  struct(CAST(0.0 AS DOUBLE) AS acc, CAST(NULL AS DOUBLE) AS res),
+          |  (a, x) -> CASE
+          |    WHEN a.res IS NOT NULL THEN a
+          |    WHEN a.acc + x.w >= __t
+          |      THEN struct(a.acc + x.w AS acc, x.v AS res)
+          |    ELSE struct(a.acc + x.w AS acc, CAST(NULL AS DOUBLE) AS res)
+          |  END,
+          |  a -> a.res)""".stripMargin),
+        element_at(col("__sorted"), -1).getField("v")).as("quantile"))
+  }
+
+  /** `q_approx_weighted_quantile` gate surface: the weighted sketch's
+    * contract — the returned value's WEIGHT RANK is within the sample
+    * bound of the target — made recordable, mirroring
+    * [[Analytics.approxQuantileGate]]. Per group the estimate's
+    * empirical weight rank (Σ weight over rows with value ≤ est over
+    * total weight, one broadcast-join pass back over the data) is
+    * checked against |rank − p| ≤ `epsCheck` (default 0.02 ≈ 2σ
+    * headroom over the nominal 1/sqrt(10000) = 1%; the md5 draw is
+    * deterministic, so the verdict is stable per dataset). The oracle
+    * recomputes the exact group count/weight and predicts both
+    * verdicts true, so a rank excursion fails the hash gate.
+    */
+  def approxWeightedQuantileGate(spark: SparkSession, dir: String,
+      sampleK: Int = 10000, epsCheck: Double = 0.02): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val est = auto(l, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
+      mode = QuantileMode.Sketch(sampleK), weight = Some("l_quantity"),
+      ident = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("p") === 0.5, col("quantile"))).as("e50"),
+        max(when(col("p") === 0.9, col("quantile"))).as("e90"))
+    def rankOk(le: Column, tw: Column, p: Double): Column =
+      abs(le.cast("double") / tw.cast("double") - lit(p)) <= lit(epsCheck)
+    l.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("w_total"),
+        sum(when(col("l_extendedprice") <= col("e50"),
+          col("l_quantity").cast("long")).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") <= col("e90"),
+          col("l_quantity").cast("long")).otherwise(0L)).as("le90"))
+      .select(col("l_returnflag"), col("n_rows"), col("w_total"),
+        rankOk(col("le50"), col("w_total"), 0.5).as("p50_rank_ok"),
+        rankOk(col("le90"), col("w_total"), 0.9).as("p90_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** `q_weighted_median_auto` gate surface: the same statistic as
+    * `q_weighted_median_narrow` but through the DEFAULT cost-aware
+    * route — at gate scale the model routes every over-threshold key
+    * to the windowed replay, so this pins both that the router is
+    * semantics-preserving (identical oracle as the narrow gate) and
+    * that the replay path behind the router computes the same
+    * statistic the narrowing does.
+    */
+  def weightedMedianAuto(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    auto(l, "l_returnflag", "l_extendedprice", Seq(0.5),
+      weight = Some("l_quantity"), hotThreshold = 100L)
+      .select(col("l_returnflag"), round(col("quantile"), 4).as("wmed"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** `q_weighted_median_narrow` gate surface: the weighted narrowing
     * median (quantity-weighted price per return flag) against the
     * DuckDB cumsum-replay oracle (`2·cumw ≥ W → min(value)`), knobs
@@ -761,7 +1004,8 @@ object Quantiles {
     val l = Tables.load(spark, dir, "lineitem")
     auto(l, "l_returnflag", "l_extendedprice", Seq(0.5),
       weight = Some("l_quantity"),
-      hotThreshold = 100L, buckets = 64, finish = 48L)
+      hotThreshold = 100L, buckets = 64, finish = 48L,
+      route = HotRoute.Narrow)
       .select(col("l_returnflag"),
         round(col("quantile"), 4).as("wmed"))
       .orderBy(col("l_returnflag"))
@@ -778,7 +1022,8 @@ object Quantiles {
     val l = Tables.load(spark, dir, "lineitem")
     auto(l, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.9),
       weight = Some("l_quantity"),
-      hotThreshold = 100L, buckets = 64, finish = 48L)
+      hotThreshold = 100L, buckets = 64, finish = 48L,
+      route = HotRoute.Narrow)
       .select(col("l_returnflag"), col("p"),
         round(col("quantile"), 4).as("q"))
       .orderBy(col("l_returnflag"), col("p"))

@@ -179,6 +179,217 @@ object Ingest {
       .orderBy(col("n_nationkey"))
   }
 
+  /** First-ingest timestamp normalization: rewrite a table whose time
+    * columns arrive in a pushdown-DEAD parquet form into the one form
+    * whose filters actually row-group-skip — session-TZ TIMESTAMP at
+    * MICROS precision, range-clustered on the time column.
+    *
+    * Why this exists (three measured inert classes, docs/SCALING.md
+    * rounds 10-12): INT96 timestamps carry no usable min/max stats;
+    * TIMESTAMP_NTZ filters are advertised in `PushedFilters` but
+    * ParquetFilters drops the LocalDateTime literal, skipping nothing;
+    * and INT64 TIMESTAMP(NANOS) builds NO reader predicate at all (an
+    * out-of-range filter still read 1.0M/1.0M sorted rows). A source
+    * in any of those forms keeps every time filter post-scan FOREVER —
+    * at 100 TB that is the single largest unclaimed scan lever — and
+    * no session conf can fix the nanos case (the engine reads nanos as
+    * epoch-long via `nanosAsLong`; the annotation, not the Catalyst
+    * type, gates the reader predicate). The layout answer is upstream:
+    * pay one rewrite at FIRST ingest, then every later query skips.
+    *
+    * What it does, per column of `tsCols`:
+    *  - epoch-nanos LONG (how this engine reads a TIMESTAMP(NANOS)
+    *    source) → `timestamp_micros(c DIV 1000)` — the same
+    *    micro-floor DuckDB's reader applies, so cross-engine values
+    *    agree;
+    *  - TIMESTAMP_NTZ → cast to session-TZ TIMESTAMP (value-identical
+    *    under the engine's UTC session);
+    *  - session-TZ TIMESTAMP → passthrough (already the live type).
+    * The write goes through [[Sink.writeSorted]]: the session emits
+    * TIMESTAMP_MICROS (GraftSession `outputTimestampType`), and the
+    * range-partition + in-file sort + small row groups give each row
+    * group a narrow time span — the measured 78-80x `scan_sorted_ts`
+    * skipping shape, claimed for event time. Cost: one range shuffle
+    * of the table, paid once at ingest (the same bill as bucketing);
+    * a 1000-executor cluster pays it 1000-wide.
+    *
+    * `src_ts_normalize` gates the VALUE side (normalize → read back →
+    * hourly rollup vs DuckDB over the raw source); the LayoutSoak
+    * `scan_events_*` legs measure the rows-read side at scale.
+    */
+  def normalizeTimestamps(spark: SparkSession, srcPath: String,
+      destPath: String, tsCols: Seq[String] = Seq("ts"),
+      sortBy: Option[String] = None, numFiles: Int = 32): DataFrame = {
+    require(tsCols.nonEmpty, "name at least one time column")
+    val raw = spark.read.parquet(srcPath)
+    val missing = tsCols.filterNot(raw.columns.contains)
+    require(missing.isEmpty, s"time columns not in source: $missing")
+    val cols = raw.schema.fields.toIndexedSeq.map { f =>
+      if (!tsCols.contains(f.name)) col(f.name)
+      else f.dataType match {
+        case LongType => // nanosAsLong read of a TIMESTAMP(NANOS) source
+          timestamp_micros(expr(s"`${f.name}` DIV 1000")).as(f.name)
+        case TimestampNTZType => col(f.name).cast(TimestampType).as(f.name)
+        case TimestampType => col(f.name)
+        case other => throw new IllegalArgumentException(
+          s"column ${f.name}: $other is not a normalizable time form " +
+            "(expected epoch-nanos LONG, TIMESTAMP_NTZ, or TIMESTAMP)")
+      }
+    }
+    val df = raw.select(cols: _*)
+    val cluster = sortBy.getOrElse(tsCols.head)
+    Sink.writeSorted(df, destPath, Seq(cluster), numFiles)
+    spark.read.parquet(destPath)
+  }
+
+  /** `src_ts_normalize` gate surface: run the first-ingest
+    * normalization on the events table and roll the result up hourly —
+    * the oracle computes the same rollup from the RAW source, so the
+    * gate pins that normalization changes the layout and the wire
+    * type, never a value. (The driver corpus' events arrived
+    * TIMESTAMP(NANOS) in earlier rounds and MICROS-naive now; the
+    * operator normalizes either, so the gate holds across both.)
+    */
+  def tsNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val dest = java.nio.file.Files.createTempDirectory("graft_ts_norm")
+      .resolve("events.parquet").toString
+    val norm = normalizeTimestamps(spark, s"$dir/events.parquet", dest,
+      tsCols = Seq("ts"), numFiles = 4)
+    norm.groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** `src_jdbc_incremental` gate surface: the TWO-EPOCH high-watermark
+    * ingest loop end to end — the pull-side incremental the engine's
+    * snapshot-diff and partition-overwrite verbs assumed someone else
+    * ran. Epoch 1 bootstraps (full pull of the frozen source), the
+    * source then GROWS, epoch 2 pulls ONLY rows past the recorded
+    * watermark ([[Jdbc.loadIncremental]] pushes the `>` predicate into
+    * the database; [[Jdbc.maxWatermark]] records the epoch boundary),
+    * and both deltas land in a parquet target via `Sink.dedupUpsert` —
+    * which must also REPLACE the stale rows the target was pre-seeded
+    * with (a simulated earlier bad load of epoch-2 keys: totalprice
+    * −1, ancient watermark). The final target must equal the source
+    * subset exactly, so the oracle replays it verbatim from orders: a
+    * row pulled twice, a missed delta, or a surviving stale seed all
+    * hash-mismatch.
+    *
+    * Multi-JVM shape: both pulls read a FROZEN zip through
+    * `jdbc:derby:jar:` (every executor opens its own read-only copy —
+    * the src_jdbc_roundtrip discipline); the executor-parallel
+    * JDBC-target upsert with real in-place UPDATEs is JdbcSpec's
+    * two-epoch spec (embedded Derby accepts writers from one JVM
+    * only). Source growth between epochs is the same driver-side
+    * batched insert the reference itself runs.
+    */
+  def jdbcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 8 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val root = java.nio.file.Files.createTempDirectory("graft_jdbc_incr")
+    val dbDir = root.resolve("db")
+
+    def withConn[A](url: String)(body: java.sql.Connection => A): A = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try body(conn) finally conn.close()
+    }
+    def batchInsert(conn: java.sql.Connection, table: String,
+        rows: Array[org.apache.spark.sql.Row]): Unit = {
+      val cols = orders.columns.toSeq
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table ${cols.map(c => "\"" + c + "\"")
+          .mkString("(", ", ", ")")}" +
+          s" VALUES ${cols.map(_ => "?").mkString("(", ", ", ")")}")
+      try {
+        conn.setAutoCommit(false)
+        rows.foreach { row =>
+          cols.indices.foreach { i =>
+            ins.setObject(i + 1, row.get(i) match {
+              case t: java.time.Instant => java.sql.Timestamp.from(t)
+              case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t)
+              case v => v
+            })
+          }
+          ins.addBatch()
+        }
+        ins.executeBatch()
+        conn.commit()
+      } finally ins.close()
+    }
+    def freeze(): Unit =
+      try {
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+        ()
+      } catch { case _: java.sql.SQLException => () }
+    def zipDb(name: String): String = {
+      val zipPath = root.resolve(name)
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(zipPath))
+      try {
+        java.nio.file.Files.walk(dbDir).filter(p =>
+          java.nio.file.Files.isRegularFile(p)).forEach { p =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(
+            "db/" + dbDir.relativize(p).toString.replace('\\', '/')))
+          java.nio.file.Files.copy(p, zos)
+          zos.closeEntry()
+        }
+      } finally zos.close()
+      s"jdbc:derby:jar:($zipPath)db"
+    }
+
+    // the gate subset is dimension-sized (~1.9k rows at sf0.01), so
+    // the two epoch slices collect like the roundtrip's dimension
+    val epoch1 = orders.filter(col("o_orderdate") <= cutoff).collect()
+    val epoch2 = orders.filter(col("o_orderdate") > cutoff).collect()
+
+    // source v1: epoch-1 rows only, frozen for the bootstrap pull
+    withConn(s"jdbc:derby:$dbDir;create=true") { conn =>
+      val st = conn.createStatement()
+      try st.execute(Ddl.createTable("orders_src", orders.schema, Ddl.Derby,
+        ifNotExists = false))
+      finally st.close()
+      batchInsert(conn, "orders_src", epoch1)
+    }
+    freeze()
+    val srcV1 = JdbcConfig(zipDb("db_v1.zip"), "orders_src")
+
+    // parquet target pre-seeded with stale epoch-2 rows (an earlier
+    // bad load the upsert must repair): totalprice −1, ancient date
+    val destPath = root.resolve("orders_dst.parquet").toString
+    val stale = orders.filter(col("o_orderdate") > cutoff &&
+        col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(-1.0))
+      .withColumn("o_orderdate", lit("1990-01-01").cast("timestamp"))
+    Sink.overwrite(stale, destPath)
+
+    // epoch 1: bootstrap pull + land
+    val pull1 = Jdbc.loadIncremental(spark, srcV1, "o_orderdate", None)
+    Sink.dedupUpsert(spark, destPath, pull1,
+      keys = Seq("o_orderkey"), versionCol = "o_orderdate")
+    val wm1 = Jdbc.maxWatermark(srcV1, "o_orderdate")
+      .getOrElse(sys.error("epoch 1 left no watermark"))
+
+    // the source grows: epoch-2 rows arrive after the bootstrap
+    withConn(s"jdbc:derby:$dbDir") { conn =>
+      batchInsert(conn, "orders_src", epoch2)
+    }
+    freeze()
+    val srcV2 = JdbcConfig(zipDb("db_v2.zip"), "orders_src")
+
+    // epoch 2: delta pull (only rows past wm1 cross the wire) + land
+    val pull2 = Jdbc.loadIncremental(spark, srcV2, "o_orderdate", Some(wm1))
+    Sink.dedupUpsert(spark, destPath, pull2,
+      keys = Seq("o_orderkey"), versionCol = "o_orderdate")
+
+    spark.read.parquet(destPath).orderBy(col("o_orderkey"))
+  }
+
   /** Semi-structured property extraction: pull typed fields out of a
     * JSON string column with an explicit schema (no schema inference
     * pass — at 100 TB a second inference scan is a full extra read).

@@ -73,9 +73,12 @@ object EventStream {
       ps.forall(p => p >= 0.0 && p <= 1.0),
       s"ps must be distinct quantiles in [0, 1], got $ps")
     // exact column name per quantile: p50, p99, p99_9 — rounding to
-    // whole percents would label 0.999 as p100 and collide 0.5/0.505
+    // whole percents would label 0.999 as p100 and collide 0.5/0.505.
+    // Scale the DECIMAL form of the double (BigDecimal(p.toString)),
+    // not the double product: 0.29 * 100 in double is
+    // 28.999999999999996, which would leak into the column name.
     def pName(p: Double): String =
-      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+      "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros
         .toPlainString.replace(".", "_")
     val names = ps.map(pName)
     require(names.distinct.size == names.size,
@@ -238,6 +241,17 @@ object EventStream {
       .withColumn("bucket_end", window_time(col("__w")))
       .drop("__w")
       .alias("h")
+    // the output carries the hot-side agg columns and `bucket_end`
+    // NEXT TO every probe column except its key — a name collision
+    // would make downstream by-name selection silently ambiguous, so
+    // fail fast (the names come from the built hot side, so aliased
+    // and generated aggregate names are both covered)
+    val probeNonKey = probe.columns.filterNot(_ == key).toSet
+    val clash = h.columns.filterNot(_ == key).filter(probeNonKey)
+    require(clash.isEmpty,
+      s"hot-side output columns ${clash.mkString(", ")} collide with " +
+        "probe columns — alias the aggregates (or rename the probe " +
+        "columns) to disjoint names")
     val p = probe.withWatermark(probeTime, probeWatermark).alias("p")
     val joined = h.join(p,
       expr(s"h.$key = p.$key AND " +
