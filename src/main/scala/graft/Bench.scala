@@ -74,7 +74,17 @@ object Bench {
     // queries are reported and fail the process.
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to 3; name <- picked) {
+    // host-load bookkeeping (r12 lesson: a noisy median was diagnosable
+    // only because a second quiet-host run happened to be recorded) —
+    // 1-min loadavg sampled before each pass and at the end, so the
+    // artifact itself says how contended the run was
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Unit =
+      try loads += new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Exception => loads += -1.0 }
+    for (pass <- 1 to 3; name <- picked) {
+      if (name == picked.head && pass >= 1) sampleLoad()
       SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         try {
@@ -85,6 +95,7 @@ object Bench {
         }
       }
     }
+    sampleLoad() // sample 4: right after the three timing passes
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -179,8 +190,10 @@ object Bench {
         System.err.println(s"[bench] cluster12 failed: ${e.getMessage}")
         "{}"
       }
+    val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
+      .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(machine); w.println(detail) } finally w.close()

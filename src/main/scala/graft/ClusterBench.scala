@@ -26,7 +26,11 @@ object ClusterBench {
     "q1_pricing_summary", "q_asof_join", "q_range_join",
     "q_salted_join_agg", "q_star_join_agg", "q_sessionize",
     "text_quality", "dedup_span", "dedup_ngram_jaccard",
-    "dedup_minhash_oph", "dedup_containment", "sim_rp_lsh")
+    "dedup_minhash_oph", "dedup_containment", "sim_rp_lsh",
+    // round 13: the narrowing quantile family across REAL executor
+    // JVMs — its per-pass driver round trips and broadcast key tables
+    // are exactly the shape only multi-process timing regresses on
+    "q_median_narrow", "q_weighted_median_narrow")
 
   /** JDK17 module opens Spark needs — same list sbt's forked JVMs and
     * ExecutorLossSpec use; exposed so Bench can build the subprocess

@@ -152,6 +152,7 @@ object SparkEntry {
         |GROUP BY source ORDER BY source""".stripMargin)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
@@ -2080,6 +2081,70 @@ object SparkEntry {
         |  FROM codes JOIN qd q ON codes.j = q.j AND codes.c = q.c
         |  WHERE codes.vec_id <> q.q_id
         |  GROUP BY q.q_id, codes.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adist,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
+        |  FROM agg)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+        |       round(adist, 6) AS approx_dist
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // Replays the COMPOSED pipeline: centroid cell probe (sim_ivf_topk's
+    // CTEs) restricting the candidate set, PQ encode + ADC
+    // (sim_pq_topk's CTEs) ranking it.
+    "sim_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |pos AS (
+        |  SELECT label, vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(avg_v ORDER BY pos) AS centroid
+        |  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg_v
+        |        FROM pos GROUP BY label, pos)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |      FROM embeddings WHERE vec_id < 8),
+        |cellrank AS (
+        |  SELECT q.q_id, c.label,
+        |         row_number() OVER (PARTITION BY q.q_id
+        |           ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                                           c.centroid) DESC,
+        |                    c.label) AS cell_rk
+        |  FROM q CROSS JOIN cent c),
+        |probed AS (SELECT q_id, label FROM cellrank WHERE cell_rk <= 2),
+        |sub AS (
+        |  SELECT vec_id, j.j, emb[j.j*16+1 : j.j*16+16] AS sv
+        |  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+        |cb AS (SELECT j, CAST(vec_id AS INTEGER) AS c, sv AS cw
+        |       FROM sub WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT s.vec_id, s.j, b.c,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.j
+        |           ORDER BY list_sum(list_transform(list_zip(s.sv, b.cw),
+        |                      p -> (p[1]-p[2])*(p[1]-p[2]))), b.c) AS rn
+        |  FROM sub s JOIN cb b ON s.j = b.j),
+        |codes AS (SELECT vec_id, j, c FROM asg WHERE rn = 1),
+        |qd AS (
+        |  SELECT s.vec_id AS q_id, s.j, b.c,
+        |         list_sum(list_transform(list_zip(s.sv, b.cw),
+        |           p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd
+        |  FROM sub s JOIN cb b ON s.j = b.j WHERE s.vec_id < 8),
+        |cand AS (
+        |  SELECT p.q_id, e.vec_id FROM probed p
+        |  JOIN e ON e.label = p.label WHERE e.vec_id <> p.q_id),
+        |agg AS (
+        |  SELECT cand.q_id, codes.vec_id,
+        |         sum(CASE WHEN codes.j = 0 THEN q.qd END) AS p0,
+        |         sum(CASE WHEN codes.j = 1 THEN q.qd END) AS p1,
+        |         sum(CASE WHEN codes.j = 2 THEN q.qd END) AS p2,
+        |         sum(CASE WHEN codes.j = 3 THEN q.qd END) AS p3
+        |  FROM cand
+        |  JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN qd q ON q.q_id = cand.q_id
+        |            AND codes.j = q.j AND codes.c = q.c
+        |  GROUP BY 1, 2),
         |r AS (
         |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adist,
         |         row_number() OVER (PARTITION BY q_id

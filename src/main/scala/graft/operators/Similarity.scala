@@ -226,6 +226,86 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** `sim_ivfpq_topk`: IVF × PQ composition — the memory layout
+    * billion-scale ANN actually deploys (coarse cells prune the scan,
+    * product-quantized codes shrink what remains 64×, ADC scores the
+    * candidates with m table lookups each). The engine had both halves
+    * separately (`sim_ivf_topk` cells, `sim_pq_topk` codes); this
+    * composes them: each query keeps its `nprobe` closest cells by
+    * centroid cosine, and ONLY vectors in those cells are ranked, by
+    * PQ asymmetric distance instead of full-precision cosine.
+    *
+    * Deterministic end to end (label-cell coarse quantizer + the
+    * sample-as-codebook PQ rule + total tie-breaks), so the WHOLE
+    * pipeline is oracle-checked, unlike classic trained IVF-PQ.
+    * Recall vs the exact ranking is spec-pinned next to
+    * `sim_recall_report`'s IVF measurement (SimilaritySpec).
+    *
+    * Shapes at scale: probed cells broadcast to the corpus scan (the
+    * ivf pruning join), candidates then equi-join the 4-codes-per-
+    * vector table on vec_id (both corpus-keyed; the query-side ADC
+    * tables broadcast), partial distances re-assemble in FIXED
+    * subspace order. Nothing shuffles the full-precision vectors.
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      nprobe: Int = 2, m: Int = 4, subDim: Int = 16,
+      nCode: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = centroids(emb)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("label").asc)
+    val probed = q.join(broadcast(cent))
+      .withColumn("cell_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .filter(col("cell_rk") <= nprobe)
+      .select(col("q_id"), col("label"))
+    // PQ encode (the sim_pq_topk codebook rule: lowest-nCode sample)
+    val subs = (0 until m).map(j => struct(lit(j).as("j"),
+      slice(col("embedding"), j * subDim + 1, subDim).as("sv")))
+    val exploded = emb.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val codebook = exploded.filter(col("vec_id") < nCode)
+      .select(col("j"), col("vec_id").cast("int").as("c"), col("sv").as("cw"))
+    def sqL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("c"))
+    val codes = exploded.join(broadcast(codebook), Seq("j"))
+      .withColumn("d", sqL2(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+    val qdist = exploded.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv").as("q_sv"))
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("qd", sqL2(col("q_sv"), col("cw")))
+      .select(col("q_id"), col("j"), col("c"), col("qd"))
+    // candidates: the probed cells' vectors per query (the IVF prune —
+    // exactly ivfTopK's broadcast shape, minus the full-precision score)
+    val cand = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val partials = (0 until m).map(j =>
+      sum(when(col("j") === j, col("qd"))).as(s"p$j"))
+    val adist = (1 until m).foldLeft(col("p0"))((acc, j) => acc + col(s"p$j"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qdist), Seq("q_id", "j", "c"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("adist", adist)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        round(col("adist"), 6).as("approx_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** `sim_recall_report`: recall@k of the IVF probe against the exact
     * brute-force ranking, per query — the quality gate every ANN
     * deployment runs before swapping an index in. Both inputs are

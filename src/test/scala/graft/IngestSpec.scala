@@ -175,4 +175,43 @@ class IngestSpec extends SparkSpec {
     val r = out.head()
     assert(r.getLong(0) == 7L && r.isNullAt(1))
   }
+
+  test("normalizeTimestamps rewrites NTZ and epoch-nanos long columns " +
+    "to clustered micros timestamps, values intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_norm_spec")
+    val srcP = root.resolve("src.parquet").toString
+    val dstP = root.resolve("dst.parquet").toString
+    // an engine-written NTZ column is footer-pinned to NTZ regardless
+    // of the session read conf (round-12 finding), so this exercises
+    // the NTZ branch for real; ts_nanos is the nanosAsLong read shape
+    val base = 1700000000000000L // epoch micros
+    spark.range(100).select(
+        col("id"),
+        timestamp_micros(lit(base) + col("id") * 1000000L)
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts_ntz"),
+        ((lit(base) + col("id") * 1000000L) * 1000L + lit(123L))
+          .as("ts_nanos"))
+      .write.mode("overwrite").parquet(srcP)
+    val norm = graft.sources.Ingest.normalizeTimestamps(spark, srcP, dstP,
+      tsCols = Seq("ts_ntz", "ts_nanos"), numFiles = 2)
+    import org.apache.spark.sql.types._
+    assert(norm.schema("ts_ntz").dataType == TimestampType)
+    assert(norm.schema("ts_nanos").dataType == TimestampType)
+    val got = norm.select(col("id"),
+        unix_micros(col("ts_ntz")).as("a"), unix_micros(col("ts_nanos")).as("b"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val want = base + r.getLong(0) * 1000000L
+      assert(r.getLong(1) == want, "NTZ value must be preserved")
+      assert(r.getLong(2) == want, "nanos must micro-floor like DuckDB")
+    }
+    // the rewrite must leave the time column clustered: each output
+    // file covers a disjoint ts range (range partition + in-file sort)
+    val byFile = norm.select(input_file_name().as("f"), col("ts_ntz"))
+      .groupBy("f").agg(min("ts_ntz").as("lo"), max("ts_ntz").as("hi"))
+      .orderBy("lo").collect()
+    assert(byFile.length == 2)
+    assert(!byFile(0).getAs[java.sql.Timestamp]("hi")
+      .after(byFile(1).getAs[java.sql.Timestamp]("lo")))
+  }
 }

@@ -336,4 +336,54 @@ class JdbcSpec extends SparkSpec {
     assert(d.exists(t => t._1 == "orders" && t._3 == "TIMESTAMP"))
     assert(d.exists(t => t._1 == "orders" && t._3 == "DOUBLE"))
   }
+
+  test("two-epoch high-watermark incremental: new + updated rows land " +
+    "exactly once via upsert") {
+    val url = "jdbc:derby:memory:graftincr;create=true"
+    val src = JdbcConfig(url, "incr_src")
+    val dst = JdbcConfig(url, "incr_dst")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val v1 = Seq(
+      (1L, "alpha", 10.0, ts("2024-01-01 00:00:00")),
+      (2L, "beta", 20.0, ts("2024-01-02 00:00:00")))
+      .toDF("id", "name", "amt", "mod_ts")
+    Jdbc.write(v1, src, mode = SaveMode.Overwrite)
+
+    // epoch 1: bootstrap pull lands everything; watermark recorded
+    val pull1 = Jdbc.loadIncremental(spark, src, "mod_ts", None)
+    assert(pull1.count() == 2)
+    Jdbc.write(pull1, dst, mode = SaveMode.Overwrite)
+    val wm1 = Jdbc.maxWatermark(src, "mod_ts").get
+    assert(wm1 == ts("2024-01-02 00:00:00"))
+    // an immediate re-pull past the watermark is EMPTY (idempotence)
+    assert(Jdbc.loadIncremental(spark, src, "mod_ts", Some(wm1)).count() == 0)
+
+    // the source evolves: row 2 UPDATED in place (watermark advances),
+    // row 3 INSERTED
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("""UPDATE incr_src SET "amt" = 21.5,
+          "mod_ts" = {ts '2024-01-03 00:00:00'} WHERE "id" = 2"""): Unit
+        st.executeUpdate("""INSERT INTO incr_src VALUES
+          (3, 'gamma', 30.0, {ts '2024-01-04 00:00:00'})"""): Unit
+      } finally st.close()
+    } finally conn.close()
+
+    // epoch 2: only the delta crosses; upsert replaces + inserts
+    val pull2 = Jdbc.loadIncremental(spark, src, "mod_ts", Some(wm1))
+    assert(pull2.count() == 2)
+    Jdbc.upsert(pull2, dst, keys = Seq("id"))
+    val fin = Jdbc.load(spark, dst)
+      .select(col("id"), col("name"), col("amt"), col("mod_ts"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(fin == Seq((1L, "alpha", 10.0), (2L, "beta", 21.5),
+      (3L, "gamma", 30.0)), s"got $fin")
+
+    // epoch 3 from the new watermark: nothing new, nothing re-landed
+    val wm2 = Jdbc.maxWatermark(src, "mod_ts").get
+    assert(Jdbc.loadIncremental(spark, src, "mod_ts", Some(wm2)).count() == 0)
+  }
 }

@@ -163,7 +163,8 @@ class QuantilesSpec extends SparkSpec {
     val df = rows.toDF("k", "v", "w")
     Seq(0.25, 0.5, 0.9).foreach { p =>
       val got = Quantiles.exactWeightedQuantilesAnyScale(df, "k", "v", "w",
-        Seq(p), hotThreshold = 100, buckets = 8, finish = 16)
+        Seq(p), hotThreshold = 100, buckets = 8, finish = 16,
+        route = Quantiles.HotRoute.Narrow)
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
       val want = rows.groupBy(_._1).map { case (k, g) =>
         k -> referenceWeightedQ(g.map(t => (t._2, t._3)), p)
@@ -182,10 +183,92 @@ class QuantilesSpec extends SparkSpec {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), schema)
     val got = Quantiles.exactWeightedQuantilesAnyScale(df, "k", "v", "w",
-      Seq(0.5), hotThreshold = 50, buckets = 8, finish = 16)
+      Seq(0.5), hotThreshold = 50, buckets = 8, finish = 16,
+      route = Quantiles.HotRoute.Narrow)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     // 500 unit weights: T = 250 -> v at index 249
     assert(got == Map("h" -> 249.0))
+  }
+
+  test("weighted hot route: all three policies agree; cost model picks " +
+    "the replay at test scale and the narrowing in a starved budget") {
+    val rows = Seq.tabulate(3000)(i =>
+        ("hot", hashDouble(i, 61, 1e5), 1L + (i % 5))) ++
+      Seq.tabulate(40)(i => ("small", hashDouble(i, 62, 9.0), 1L + (i % 2)))
+    val df = rows.toDF("k", "v", "w")
+    def run(route: Quantiles.HotRoute): Map[(String, Double), Double] =
+      Quantiles.exactWeightedQuantilesAnyScale(df, "k", "v", "w",
+        Seq(0.25, 0.9), hotThreshold = 100, buckets = 8, finish = 16,
+        route = route)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val narrow = run(Quantiles.HotRoute.Narrow)
+    val replay = run(Quantiles.HotRoute.SortReplay)
+    val auto = run(Quantiles.HotRoute.CostAware)
+    assert(narrow == replay, "routing must be semantics-preserving")
+    assert(auto == narrow)
+    // the model itself, replayed at the two calibration regimes
+    def narrows(n: Long, total: Long, heap: Double, par: Double): Boolean = {
+      val spill = math.max(1.0, n * 48.0 / (heap * 0.3 / par))
+      16.0 * (total + 3.0 * n) / par < n * spill
+    }
+    // the 32-core 48 GiB soak host with the Zipf 40M-row hot key must
+    // pick the replay (measured 4.1x better, docs/SCALING.md)
+    assert(!narrows(40000000L, 600000000L, 48e9, 32),
+      "soak-host regime must take the replay")
+    // small keys on the test JVM likewise
+    assert(!narrows(3000L, 3040L, Runtime.getRuntime.maxMemory.toDouble,
+      spark.sparkContext.defaultParallelism.toDouble))
+    // the executor-sized 4 GiB MedianEdge child (local[8], 50M-distinct
+    // hot key) must flip to the narrowing (measured 3.8x better)
+    assert(narrows(50000000L, 60000000L, 4e9, 8))
+  }
+
+  test("fractional weights fail loudly instead of truncating") {
+    val df = (Seq.tabulate(20)(i => ("k1", i.toDouble, 1.0)) :+
+      (("k1", 99.0, 0.5))).toDF("k", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactWeightedQuantilesAnyScale(
+        df, "k", "v", "w", Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("non-integral"))
+  }
+
+  test("weighted sketch: exact when every key fits the sample; " +
+    "ident columns are required") {
+    val rows = Seq.tabulate(300)(i => ("a", hashDouble(i, 71, 1e3), 1L + (i % 4))) ++
+      Seq.tabulate(150)(i => ("b", hashDouble(i, 72, 50.0), 2L + (i % 3)))
+    val df = rows.toDF("k", "v", "w")
+    Seq(0.25, 0.5, 0.9).foreach { p =>
+      val got = Quantiles.approxWeightedQuantiles(df, "k", "v", "w",
+        Seq(p), ident = Seq("k", "v"), sampleK = 1024)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        k -> referenceWeightedQ(g.map(t => (t._2, t._3)), p)
+      }
+      assert(got == want, s"p=$p: sub-sample keys must be exact")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.auto(df, "k", "v", Seq(0.5),
+        mode = Quantiles.QuantileMode.Sketch(100), weight = Some("w"))
+    }
+    assert(e.getMessage.contains("ident"))
+  }
+
+  test("weighted sketch: rank error bounded with sampling engaged") {
+    val rows = Seq.tabulate(6000)(i => ("h", hashDouble(i, 81, 1e6), 1L + (i % 7)))
+    val df = rows.toDF("k", "v", "w")
+    val est = Quantiles.approxWeightedQuantiles(df, "k", "v", "w",
+      Seq(0.5, 0.9), ident = Seq("v", "w"), sampleK = 256)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+    val total = sorted.map(_._2).sum.toDouble
+    Seq(0.5, 0.9).foreach { p =>
+      val rank = sorted.takeWhile(_._1 <= est(p)).map(_._2).sum / total
+      // nominal error 1/sqrt(256) ≈ 6%; the draw is deterministic, so
+      // this is a fixed number — assert a 2.5σ envelope
+      assert(math.abs(rank - p) <= 0.16, s"p=$p rank=$rank")
+    }
   }
 
   test("auto front door: Exact routes both paths, Sketch is rank-close") {
