@@ -449,6 +449,13 @@ object SkewSoak {
       timed("aggwmedhc_auto", k, skewOn = false) {
         noop(aggWMedianHCAuto(skew))
       }
+      // bracket leg: the replay re-timed AFTER auto in the same
+      // process, so an auto-vs-sort gap can be split into real plan
+      // cost vs within-run drift (page-cache/spill regime — this
+      // host's known 4x wobble)
+      timed("aggwmedhc_sort2", k, skewOn = false) {
+        noop(aggWMedianHCSort(skew))
+      }
       timed("aggdist_uniform", k, skewOn = false) { noop(aggDistinct(base)) }
       timed("aggdist_plain", k, skewOn = false) { noop(aggDistinct(skew)) }
       timed("aggdist_salted8", k, skewOn = false) {

@@ -570,54 +570,58 @@ object Quantiles {
       .select(col(key).as("__k"), v.as("__v"), wLong.as("__w"))
     val keyField = StructField("__k", base.schema("__k").dataType, nullable = true)
 
-    // pass 0: rows, total weight, and value bracket per key (algebraic),
-    // computed as a ROLLUP so the same single job also yields the
-    // grand-total row — corpus size for the hot-route cost model below
-    // and the global integral-weight check. The integral contract is
+    // classification pass: WHICH keys exceed hotThreshold (plus, for
+    // CostAware, the corpus size and the eager integral-weight check).
+    // LEAN on purpose: per-key count only — no rollup (its Expand
+    // feeds the aggregation TWICE the rows, measured +50% on the
+    // 600M-row decade), no value brackets (keys that narrow get exact
+    // stats from their extracted subset below), and the per-key result
+    // persists DISK_ONLY just long enough that the corpus total plus
+    // the global integral verdict are one O(|keys|) follow-up job, not
+    // a second scan of the fact. SortReplay skips the pass entirely
+    // (zero overhead over the plain replay). The integral contract is
     // ENFORCED, not assumed: a fractional weight would otherwise
     // truncate silently (0 < w < 1 passes the `> 0` filter yet
-    // contributes ZERO weight after the long cast), so pass 0 carries
-    // min(raw == cast) and the call fails loudly on any kept violator.
-    val counts = rows.filter(keep)
-      .select(col(key).as("__k"), v.as("__v"), wLong.as("__w"),
-        (col(weight).cast("double") === wLong.cast("double")).as("__wint"))
-      .rollup(col("__k")).agg(
-        count(lit(1)).as("__n"), sum(col("__w")).as("__tw"),
-        min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
-        min(col("__wint")).as("__allint"),
-        grouping_id().cast("int").as("__gid"))
-    val passZero = counts
-      .filter(col("__gid") === 1 || col("__n") > hotThreshold).collect()
-    val (totalRow, hotAll) = passZero.partition(_.getInt(6) == 1)
-    val totalRows = totalRow.headOption.map(_.getLong(1)).getOrElse(0L)
-    require(totalRow.isEmpty || totalRow.head.isNullAt(5) ||
-      totalRow.head.getBoolean(5),
-      s"weight column '$weight' holds non-integral values — the " +
-        "weighted quantile contract is integral positive weights " +
-        "(a fractional weight would truncate silently); scale weights " +
-        "to integers before calling")
-    require(hotAll.length <= maxHotKeys,
-      s"${hotAll.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
-        "raise the threshold — a workload where this many keys are oversized " +
-        "is big everywhere, not skewed")
-
-    // per-key routing (see [[HotRoute]]): a key narrows only when the
-    // cost model says its single sorted window task — n_k rows times a
-    // spill multiplier for how far its working set overflows one
-    // task's execution-memory share — would outlast the narrowing's
-    // cluster-spread passes (γ·(N + passes·n_k) / parallelism). Keys
-    // routed to SortReplay simply STAY in the small path below: the
-    // window replay spills but never OOMs, so a routing miss costs
-    // time, not the job. Constants are calibrated on the two measured
-    // regimes (docs/SCALING.md rounds 12-13): a 32-core 48 GiB host
-    // with a 40M-row hot key must pick the replay (measured 4.1x
-    // better there) and a 4 GiB executor-sized JVM with a 50M-distinct
-    // key must pick the narrowing (measured 3.8x better there); γ = 16
-    // reproduces both with ~2-20x margin.
-    val hot = route match {
-      case HotRoute.Narrow => hotAll
-      case HotRoute.SortReplay => Array.empty[Row]
+    // contributes ZERO weight after the long cast). A per-row
+    // raise_error guard was tried instead and REJECTED by measurement:
+    // inside the replay's 600M-row window pipeline it cost ~1.8x
+    // bracketed same-run wall (docs/SCALING.md round 13).
+    //
+    // Router cost model (see [[HotRoute]]): a key narrows only when
+    // its single sorted window task — n rows times a spill multiplier
+    // for how far the working set overflows one task's execution-
+    // memory share — would outlast the narrowing's cluster-spread
+    // passes (γ·(N + passes·n) / parallelism). Constants calibrated on
+    // the two measured regimes (docs/SCALING.md rounds 12-13): the
+    // 32-core 48 GiB host with a 40M-row hot key must pick the replay
+    // (measured 4.1x better), the 4 GiB executor-sized JVM with a
+    // 50M-distinct key must pick the narrowing (measured 3.8x better);
+    // γ = 16 reproduces both with ~2-20x margin. Measured router
+    // overhead on a single host: the classification pass (~1.2x over
+    // the oracle-best plan at the 600M decade; a cluster spreads it
+    // across executors like any other scan).
+    def classify(): (Array[Row], Long) = {
+      val counts = rows.filter(keep)
+        .select(col(key).as("__k"), wLong.as("__w"),
+          (col(weight).cast("double") === wLong.cast("double")).as("__wint"))
+        .groupBy(col("__k")).agg(
+          count(lit(1)).as("__n"), min(col("__wint")).as("__allint"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val over = counts.filter(col("__n") > hotThreshold).collect()
+      val global = counts.agg(sum(col("__n")), min(col("__allint"))).head()
+      counts.unpersist()
+      require(global.isNullAt(1) || global.getBoolean(1),
+        s"weight column '$weight' holds non-integral values — the " +
+          "weighted quantile contract is integral positive weights " +
+          "(a fractional weight would truncate silently); scale weights " +
+          "to integers before calling")
+      (over, if (global.isNullAt(0)) 0L else global.getLong(0))
+    }
+    val hotKeys: Array[Any] = route match {
+      case HotRoute.SortReplay => Array.empty[Any]
+      case HotRoute.Narrow => classify()._1.map(_.get(0))
       case HotRoute.CostAware =>
+        val (over, totalRows) = classify()
         val parallelism =
           math.max(1, spark.sparkContext.defaultParallelism).toDouble
         val taskMem =
@@ -625,12 +629,16 @@ object Quantiles {
         val rowBytes = 48.0 // key + double value + long weight + sort overhead
         val narrowPasses = 3.0 // extraction + ~2 shared histogram passes
         val gamma = 16.0 // narrowing per-row machinery vs one window pass
-        hotAll.filter { r =>
+        over.filter { r =>
           val n = r.getLong(1).toDouble
           val spill = math.max(1.0, n * rowBytes / taskMem)
           gamma * (totalRows + narrowPasses * n) / parallelism < n * spill
-        }
+        }.map(_.get(0))
     }
+    require(hotKeys.length <= maxHotKeys,
+      s"${hotKeys.length} keys exceed hotThreshold=$hotThreshold (cap $maxHotKeys); " +
+        "raise the threshold — a workload where this many keys are oversized " +
+        "is big everywhere, not skewed")
 
     val psLit = lit(ps.toArray)
     def finishKeys(df: DataFrame): DataFrame =
@@ -642,7 +650,7 @@ object Quantiles {
       if (how == "inner") j.drop("__hk") else j
     }
     val hotKeysDf = spark.createDataFrame(
-      hot.map(r => Row(r.get(0))).toSeq.asJava, StructType(Seq(keyField)))
+      hotKeys.map(k => Row(k)).toSeq.asJava, StructType(Seq(keyField)))
 
     // small path: windowed cumsum replay; the RANGE default frame sums
     // through value ties, so cumw is a function of the VALUE — the
@@ -650,7 +658,7 @@ object Quantiles {
     // multiply as the hot path so both paths agree bit-for-bit.
     val wByV = Window.partitionBy(col("__k")).orderBy(col("__v"))
     val wAll = Window.partitionBy(col("__k"))
-    val smallQuantiles = (if (hot.isEmpty) base
+    val smallQuantiles = (if (hotKeys.isEmpty) base
       else hotJoin(base, hotKeysDf, "left_anti"))
       .withColumn("__cw", sum(col("__w")).over(wByV))
       .withColumn("__tw", sum(col("__w")).over(wAll))
@@ -661,12 +669,21 @@ object Quantiles {
       .filter(col("__cw") >= col("__t"))
       .groupBy(col("__k"), col("__p"))
       .agg(min(col("__v")).as("__med"))
-    if (hot.isEmpty) return finishKeys(smallQuantiles)
+    if (hotKeys.isEmpty) return finishKeys(smallQuantiles)
 
-    // hot path: one extraction pass, then shared narrowing passes
+    // hot path: one extraction pass, then shared narrowing passes. The
+    // EXACT per-key stats the narrowing needs — row count, total
+    // weight W (the T = ⌈p·W⌉ targets), value brackets — ride one
+    // cheap aggregate over the (persisted, small) extracted subset, so
+    // they are exact even when the classification above was sampled,
+    // and replay-routed runs never compute them.
     val hotRows = hotJoin(base, hotKeysDf, "left_semi")
       .withColumn("__b", SortableDoubleBits.sortableBits(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val hotStats = hotRows.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"), sum(col("__w")).as("__tw"),
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .collect()
 
     final class WState(val sid: Int, val key: Any, val p: Double,
         val target: Long, var lo: Long, var hi: Long, var inRows: Long) {
@@ -675,7 +692,7 @@ object Quantiles {
       def open(finishAt: Long): Boolean =
         result.isEmpty && lo != hi && inRows > finishAt
     }
-    val states = hot.zipWithIndex.flatMap { case (r, ki) =>
+    val states = hotStats.zipWithIndex.flatMap { case (r, ki) =>
       val loV = r.getDouble(3)
       val hiV = r.getDouble(4)
       val loB = SortableDoubleBits.toSortable(if (loV == 0.0) -0.0 else loV)

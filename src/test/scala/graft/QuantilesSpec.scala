@@ -227,11 +227,16 @@ class QuantilesSpec extends SparkSpec {
   test("fractional weights fail loudly instead of truncating") {
     val df = (Seq.tabulate(20)(i => ("k1", i.toDouble, 1.0)) :+
       (("k1", 99.0, 0.5))).toDF("k", "v", "w")
-    val e = intercept[IllegalArgumentException] {
+    // the check rides the row pipeline (raise_error), so it fires when
+    // any plan over the frame actually reads the violating row
+    val e = intercept[Exception] {
       Quantiles.exactWeightedQuantilesAnyScale(
         df, "k", "v", "w", Seq(0.5)).collect()
     }
-    assert(e.getMessage.contains("non-integral"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        "|" + messages(t.getCause)
+    assert(messages(e).contains("non-integral"))
   }
 
   test("weighted sketch: exact when every key fits the sample; " +
