@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_report" -> ((s, d) => Dedup.dedupReport(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_typed_agg" -> ((s, d) => Analytics.typedAgg(s, d)),
     "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d)),
     "text_bpe_merges" -> ((s, d) => TextFunctions.bpeMerges(s, d)),
+    "text_bpe_encode" -> ((s, d) => TextFunctions.bpeEncode(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -384,6 +386,18 @@ object SparkEntry {
       s"SELECT CAST(${i + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
         s"c AS pair_cnt FROM t$i").mkString(" UNION ALL ")
     s"$head\n$rounds\nSELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
+  /** `text_bpe_encode` replay: the SAME k unrolled merge rounds, read
+    * out as the final vocabulary's token distribution (top-N head).
+    */
+  private def duckBpeEncodeSql(k: Int, topN: Int): String = {
+    val merge = duckBpeSql(k)
+    val ctes = merge.substring(0, merge.lastIndexOf("\nSELECT"))
+    s"""$ctes
+       |SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest(string_split(sym, ' ')) AS tok, cnt FROM w$k)
+       |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT $topN""".stripMargin
   }
 
   /** Media metadata CTE shared by the multimodal oracles: kind cycles
@@ -491,6 +505,44 @@ object SparkEntry {
        |  FROM inter
        |  JOIN card ca ON ca.doc_id = id_a
        |  JOIN card cb ON cb.doc_id = id_b)""".stripMargin
+  }
+
+  /** `dedup_incremental` replay: signatures/bands recomputed for the
+    * WHOLE corpus (they are per-doc, so computing both splits in one
+    * chain is identical), candidate pairs restricted to new-batch ×
+    * history, verification by signature agreement — the exact
+    * estimator the probe applies against the persisted index.
+    */
+  private val duckIncrementalDedup: String = {
+    import graft.operators.Dedup.{MinhashBands, MinhashK}
+    val rowsPerBand = MinhashK / MinhashBands
+    val sigCols = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS sig_$i").mkString(", ")
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val comps = (0 until rowsPerBand)
+        .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(", ")
+      s"md5(concat_ws('_', '$b', $comps))"
+    }.mkString(", ")
+    val agree = (0 until MinhashK)
+      .map(i => s"CASE WHEN n.sig_$i = o.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $duckShingles,
+       |hh AS (SELECT doc_id, ${duckMd5Bits("shingle", 1, 7)} AS h1,
+       |              ${duckMd5Bits("shingle", 8, 7)} AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_hash FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o ON n.band_hash = o.band_hash
+       |  WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0),
+       |est AS (
+       |  SELECT c.new_id, c.old_id,
+       |         round(CAST($agree AS DOUBLE) / $MinhashK, 6) AS est_jac
+       |  FROM cand c JOIN sig n ON n.doc_id = c.new_id
+       |              JOIN sig o ON o.doc_id = c.old_id)
+       |SELECT new_id, old_id, est_jac FROM est
+       |WHERE est_jac >= 0.5 ORDER BY new_id, old_id""".stripMargin
   }
 
   /** Shared by q_range_join (broadcast non-equi join) and
@@ -1806,6 +1858,7 @@ object SparkEntry {
     "dedup_span" -> duckSpan,
     "dedup_minhash" -> duckMinhash,
     "dedup_lsh_sweep" -> duckLshSweep,
+    "dedup_incremental" -> duckIncrementalDedup,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
     // Survivors of BOTH detectors, applied to the corpus.
@@ -3915,6 +3968,7 @@ object SparkEntry {
     // Add-1 bigram LM; per-doc ln-prob sum replayed by the ORDERED
     // list_reduce (the q_ewma fold protocol).
     "text_bpe_merges" -> duckBpeSql(8),
+    "text_bpe_encode" -> duckBpeEncodeSql(8, 20),
     "text_bigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, generate_subscripts(${textWords()}, 1) AS pos,

@@ -1176,6 +1176,20 @@ object TextFunctions {
     * @return one row per merge: (merge_rank, lhs, rhs, pair_cnt).
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (merges, _, release) = bpeTrain(spark, dir, k)
+    release()
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The shared BPE trainer behind `text_bpe_merges` /
+    * `text_bpe_encode`: returns the k merges, the FINAL segmented
+    * vocabulary frame (still backed by the persisted word-count base —
+    * call `release()` after its last action), and the release hook.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String,
+      k: Int): (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
     val docs = Tables.load(spark, dir, "documents")
     val base = docs
       .select(explode(words(lower(col("text")))).as("w"))
@@ -1208,9 +1222,35 @@ object TextFunctions {
         expr(s"trim(replace(concat(' ', sym, ' '), ' $a $b ', ' $a$b '))")
           .as("sym"), col("cnt"))
     }
-    base.unpersist()
+    (merges.toSeq, vocab, () => { base.unpersist(); () })
+  }
+
+  /** `text_bpe_encode`: APPLY the learned merges — the readout half of
+    * tokenizer training that `text_bpe_merges` (the learning half)
+    * stops short of. The final segmented vocabulary's symbols, weighted
+    * by word frequency, ARE the corpus token distribution under the
+    * k-merge tokenizer; the gate emits its top-`topN` tokens
+    * (deterministic tie-break: count DESC, token ASC) — the table a
+    * tokenizer-budget decision actually reads (which merges earn their
+    * vocab slots, how much tail stays at character level). Same scale
+    * shape as training: the corpus is scanned once for word counts,
+    * everything after is vocab-sized; the top-N head materializes
+    * eagerly (topN rows) so the persisted vocab base releases before
+    * returning.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8,
+      topN: Int = 20): DataFrame = {
+    val (_, vocab, release) = bpeTrain(spark, dir, k)
+    val head = vocab
+      .select(explode(split(col("sym"), " ")).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topN)
+      .collect().toSeq
+    release()
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_cnt")
-      .orderBy(col("merge_rank"))
+    head.map(r => (r.getString(0), r.getLong(1)))
+      .toDF("token", "n_occurrences")
+      .orderBy(col("n_occurrences").desc, col("token"))
   }
 }

@@ -197,6 +197,94 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Band bucket keys from a signature frame: band_j = md5 over the
+    * band index + its signature components (index baked into the hash
+    * so the bucket key is ONE column). Shared by the self-join pair
+    * search, the persisted incremental index, and its probe; DuckDB
+    * replays the same concatenation.
+    */
+  private[graft] def bandHashArray: Column = {
+    val rowsPerBand = MinhashK / MinhashBands
+    array((0 until MinhashBands).map { bIdx =>
+      val comps = (0 until rowsPerBand)
+        .map(r => col(s"sig_${bIdx * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("_", (lit(bIdx.toString) +: comps): _*).cast("binary"))
+    }: _*)
+  }
+
+  /** Write the PERSISTED MinHash index of a corpus: the band-bucket
+    * table (doc_id, band_hash) and the K-component signature table —
+    * both linear in the corpus, both columnar-small (the raw text is
+    * NOT in the index). This is the artifact an incremental pipeline
+    * keeps between runs so tomorrow's batch dedups against all of
+    * history without re-reading history's text.
+    */
+  def writeMinhashIndex(docs: DataFrame, path: String): Unit = {
+    val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs.parquet")
+    sigs.select(col("doc_id"), explode(bandHashArray).as("band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+    sigs.unpersist(): Unit
+  }
+
+  /** Probe a persisted MinHash index with a NEW batch: the batch's
+    * band buckets equi-join the index's (the blocking key IS the
+    * shuffle key — never batch × history), and candidates verify by
+    * SIGNATURE AGREEMENT (fraction of equal components estimates
+    * Jaccard unbiasedly) against the index's signature table — so the
+    * historical corpus contributes O(K) longs per document and its
+    * raw text is never re-read. Threshold semantics: emit pairs whose
+    * estimated Jaccard reaches `threshold`.
+    */
+  def probeMinhashIndex(fresh: DataFrame, idxBands: DataFrame,
+      idxSigs: DataFrame, threshold: Double): DataFrame = {
+    val freshSigs = minhashSignatures(fresh)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val freshBands = freshSigs
+      .select(col("doc_id"), explode(bandHashArray).as("band_hash"))
+    val cand = freshBands
+      .join(idxBands.withColumnRenamed("doc_id", "old_id"), Seq("band_hash"))
+      .select(col("doc_id").as("new_id"), col("old_id"))
+      .distinct()
+    val agree = (0 until MinhashK)
+      .map(i => (col(s"n.sig_$i") === col(s"o.sig_$i")).cast("int"))
+      .reduce(_ + _)
+    val out = cand
+      .join(freshSigs.alias("n"), col("new_id") === col("n.doc_id"))
+      .join(idxSigs.alias("o"), col("old_id") === col("o.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        round(agree.cast("double") / MinhashK, 6).as("est_jac"))
+      .filter(col("est_jac") >= threshold)
+    // eager head: the pair set is the near-dup frontier (tiny); free
+    // the batch signatures before returning
+    val rows = out.collect().toSeq
+    freshSigs.unpersist()
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toDF("new_id", "old_id", "est_jac")
+  }
+
+  /** `dedup_incremental` gate surface: the cross-run dedup loop end to
+    * end — history (¾ of the corpus) builds the persisted index once;
+    * the new batch (doc_id % 4 = 0) probes it. The oracle recomputes
+    * both sides from the raw documents (the md5 hash family replays
+    * bit-for-bit), so a candidate the probe misses, an extra pair, or
+    * a signature mismatch all hash-fail.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_index").toString
+    writeMinhashIndex(docs.filter(col("doc_id") % 4 =!= 0), idx)
+    probeMinhashIndex(docs.filter(col("doc_id") % 4 === 0),
+      spark.read.parquet(s"$idx/bands.parquet"),
+      spark.read.parquet(s"$idx/sigs.parquet"), threshold)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** MinHash + LSH banding: band_j = hash of 4 consecutive signature
     * components; docs sharing any (band_idx, band_hash) bucket become
     * candidates; candidates are verified with exact trigram Jaccard.

@@ -252,4 +252,51 @@ class DedupSpec extends SparkSpec {
       assert(metricAfter(100).getAs[Long]("n_cells_banded") == 0L)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("incremental index: parquet round-trip is lossless and the probe " +
+    "equals a from-scratch signature-agreement check") {
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val old = docs.filter(col("doc_id") % 4 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx_spec").toString
+    Dedup.writeMinhashIndex(old, idx)
+    // the persisted signature table must equal the in-memory build
+    val sigsDisk = spark.read.parquet(s"$idx/sigs.parquet")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val sigsMem = Dedup.minhashSignatures(old)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sigsDisk == sigsMem)
+    val got = Dedup.probeMinhashIndex(fresh,
+      spark.read.parquet(s"$idx/bands.parquet"),
+      spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty)
+    // from-scratch reference: banded cross-split candidates, verified
+    // by component agreement over driver-collected signatures
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df).collect()
+        .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector)
+        .toMap
+    val sn = sigMap(fresh)
+    val so = sigMap(old)
+    def bandsOf(sig: Vector[Long]): Set[String] =
+      (0 until 8).map { b =>
+        val comps = (0 until 4).map(r => sig(b * 4 + r).toString)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((b.toString +: comps).mkString("_")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSet
+    val want = (for {
+      (ni, nsig) <- sn.toSeq
+      (oi, osig) <- so.toSeq
+      if bandsOf(nsig).intersect(bandsOf(osig)).nonEmpty
+      est = math.round(nsig.zip(osig).count(t => t._1 == t._2) / 32.0 * 1e6) / 1e6
+      if est >= 0.5
+    } yield (ni, oi) -> est).toMap
+    assert(got == want)
+  }
 }

@@ -245,4 +245,29 @@ class TextSpec extends SparkSpec {
     // = 3 words (diverges); "ſtop a" -> "top","a" = 2 words (agrees).
     assert(composedWords == Seq(2L, 3L, 2L))
   }
+
+  test("bpe: merges are deterministic and every encoded multi-char " +
+    "token is a learned merge product") {
+    import graft.functions.TextFunctions
+    val m1 = TextFunctions.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m2 = TextFunctions.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m1.toSeq == m2.toSeq, "merge list must be deterministic")
+    assert(m1.map(_._1).toSeq == (1L to 8L), "dense merge ranks")
+    // tokens the k merges can produce: each merge joins two existing
+    // tokens, in order
+    val products = m1.foldLeft(Set.empty[String]) { case (acc, (_, a, b, _)) =>
+      acc + (a + b)
+    }
+    val head = TextFunctions.bpeEncode(spark, sf).collect()
+    assert(head.length > 0 && head.length <= 20)
+    head.map(_.getString(0)).foreach { t =>
+      assert(t.length == 1 || t == "</w>" || products.contains(t),
+        s"token '$t' is not a single char, the end marker, or a merge product")
+    }
+    // the head is count-descending with the documented tie-break
+    val counts = head.map(_.getLong(1)).toSeq
+    assert(counts == counts.sortBy(-_))
+  }
 }
