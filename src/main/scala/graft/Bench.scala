@@ -45,10 +45,22 @@ object Bench {
     "q_median_narrow", "q_quantiles_multi", "q_weighted_median_narrow",
     "q_entity_resolution", "text_bigram_lm", "q_incr_agg")
 
+  /** Round-13 block, reported as `value_13`/`queries_13` — its own
+    * bucket so `value_new` (the round-12 widening) stays comparable
+    * round-over-round. One representative per new shape: the cost
+    * router's default route, the weighted priority sketch, incremental
+    * index dedup, the BPE merge loop, IVF-PQ, event-time
+    * normalization, and the two-epoch watermark ingest.
+    */
+  val headline13: Seq[String] = Seq(
+    "q_weighted_median_auto", "q_approx_weighted_quantile",
+    "dedup_incremental", "text_bpe_merges", "sim_ivfpq_topk",
+    "src_ts_normalize", "src_jdbc_incremental")
+
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
     // the driver invokes with no args and times the full headline.
-    val all = headline ++ headlineNew
+    val all = headline ++ headlineNew ++ headline13
     val picked = args.headOption
       .map(_.split(",").toSeq.filter(all.contains)).getOrElse(all)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,10 +119,13 @@ object Bench {
       SparkEntry.queries.contains(n) && times(n).isEmpty)
     // legacy 48 stay the round-over-round comparable "value"/"queries";
     // the round-12 widening reports beside them as value_new/queries_new
-    val (okLegacy, okNew) = ok.partition(headline.contains)
+    val (okLegacy, okRest) = ok.partition(headline.contains)
+    val (okNew, ok13) = okRest.partition(headlineNew.contains)
     val qs = okLegacy.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
       .mkString("{", ",", "}")
     val qsNew = okNew.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+      .mkString("{", ",", "}")
+    val qs13 = ok13.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
       .mkString("{", ",", "}")
     val qsMedian = ok.map(n => "\"" + n + "\":" + f"${median(times(n))}%.3f")
       .mkString("{", ",", "}")
@@ -118,6 +133,7 @@ object Bench {
     val total = okLegacy.map(times(_).min).sum
     val totalMedian = okLegacy.map(n => median(times(n))).sum
     val totalNew = okNew.map(times(_).min).sum
+    val total13 = ok13.map(times(_).min).sum
     // "queries"/"value" stay the per-query MIN (round-over-round
     // comparable with r3/r4); "value_median" exposes the noise level of
     // the run. The r5 artifact came back "parsed": null because the
@@ -193,7 +209,7 @@ object Bench {
     val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
       .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"queries_13":$qs13,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(machine); w.println(detail) } finally w.close()

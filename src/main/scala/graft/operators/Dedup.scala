@@ -266,6 +266,22 @@ object Dedup {
       .toDF("new_id", "old_id", "est_jac")
   }
 
+  /** Index maintenance: after a batch is probed (and its dups
+    * dropped), its SURVIVORS' bands + signatures append into the same
+    * index so the NEXT batch dedups against them too — the loop that
+    * makes the index an accumulating history rather than a one-shot
+    * artifact. Append-mode parquet: no rewrite of history, the index
+    * grows linearly in survivors.
+    */
+  def appendToMinhashIndex(docs: DataFrame, path: String): Unit = {
+    val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    sigs.write.mode("append").parquet(s"$path/sigs.parquet")
+    sigs.select(col("doc_id"), explode(bandHashArray).as("band_hash"))
+      .write.mode("append").parquet(s"$path/bands.parquet")
+    sigs.unpersist(): Unit
+  }
+
   /** `dedup_incremental` gate surface: the cross-run dedup loop end to
     * end — history (¾ of the corpus) builds the persisted index once;
     * the new batch (doc_id % 4 = 0) probes it. The oracle recomputes

@@ -299,4 +299,30 @@ class DedupSpec extends SparkSpec {
     } yield (ni, oi) -> est).toMap
     assert(got == want)
   }
+
+  test("incremental index maintenance: appended batches are visible to " +
+    "the next probe") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val history = docs.filter(col("doc_id") % 4 === 1)
+    val batch1 = docs.filter(col("doc_id") % 4 === 2)
+    val batch2 = docs.filter(col("doc_id") % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx_grow").toString
+    Dedup.writeMinhashIndex(history, idx)
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Dedup.probeMinhashIndex(b,
+        spark.read.parquet(s"$idx/bands.parquet"),
+        spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe(batch2)
+    Dedup.appendToMinhashIndex(batch1, idx)
+    val after = probe(batch2)
+    // the old matches all survive, and batch2 now also matches against
+    // batch1's appended entries
+    assert(before.subsetOf(after))
+    val vsBatch1 = after -- before
+    assert(vsBatch1.nonEmpty, "appended batch must be probe-visible")
+    assert(vsBatch1.forall { case (_, oldId) => oldId % 4 == 2 },
+      "new matches must come from the appended batch")
+  }
 }
