@@ -34,6 +34,19 @@ object GraftSession {
       // bytes. AQE still upgrades to broadcast at runtime from ACTUAL
       // shuffle sizes, so genuinely small sides keep the fast path.
       .config("spark.sql.sources.fileCompressionFactor", "4.0")
+      // ObjectHashAggregate (every TypedImperativeAggregate — the
+      // engine's bounded-heap graft_topk, the weighted sketch, typed
+      // folds) falls back to SORT-BASED aggregation once a task's map
+      // holds this many keys — default 128, a tiny bound from the era
+      // of unbounded object buffers. The fallback SORTS THE ENTIRE
+      // remaining input: measured 44 GB of spill on a 262M-row band
+      // join whose aggregate state was 125k bounded heaps (round 13).
+      // The engine's object buffers are all size-capped by
+      // construction, so the map is bounded by keys-per-task × buffer
+      // cap; 256k keys keeps the partial-aggregation path (the whole
+      // point of a mergeable aggregate) at workable memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 18).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader refuses; read as epoch-nanos long, Tables.load converts

@@ -60,8 +60,9 @@ object Soak {
     "q_histogram_equi", "q_rfm", "q_psi", "q_decile_lift", "q_gini",
     "q_mwu_test", "q_time_to_convert",
     // dedup family
-    "dedup_exact", "dedup_minhash_oph", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash", "dedup_minhash_oph", "dedup_ngram_jaccard",
     "dedup_span", "dedup_containment", "dedup_semantic", "dedup_embedding",
+    "dedup_incremental",
     // text curation
     "text_quality", "text_boilerplate", "text_keywords",
     "text_curriculum", "text_sentence_dedup",

@@ -532,10 +532,15 @@ object SparkEntry {
        |              ${duckMd5Bits("shingle", 8, 7)} AS h2 FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_hash FROM sig),
-       |cand AS (
+       |candn AS (
        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
        |  FROM bands n JOIN bands o ON n.band_hash = o.band_hash
        |  WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0),
+       |cand AS (
+       |  SELECT new_id, old_id FROM (
+       |    SELECT new_id, old_id, row_number() OVER (
+       |      PARTITION BY new_id ORDER BY old_id) AS rk
+       |    FROM candn) WHERE rk <= 64),
        |est AS (
        |  SELECT c.new_id, c.old_id,
        |         round(CAST($agree AS DOUBLE) / $MinhashK, 6) AS est_jac

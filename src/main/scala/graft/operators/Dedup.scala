@@ -220,7 +220,11 @@ object Dedup {
     * history without re-reading history's text.
     */
   def writeMinhashIndex(docs: DataFrame, path: String): Unit = {
-    val sigs = minhashSignatures(docs)
+    // raw shingles, never the corpus-wide distinct: min-signatures
+    // ignore duplicates, and the distinct's 150M-string sort was
+    // measured spilling a 47 GB disk dry at the 100x soak (the same
+    // trap minhashPairs documents)
+    val sigs = signaturesFromShingles(shinglesRaw(docs))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     sigs.write.mode("overwrite").parquet(s"$path/sigs.parquet")
     sigs.select(col("doc_id"), explode(bandHashArray).as("band_hash"))
@@ -238,32 +242,49 @@ object Dedup {
     * estimated Jaccard reaches `threshold`.
     */
   def probeMinhashIndex(fresh: DataFrame, idxBands: DataFrame,
-      idxSigs: DataFrame, threshold: Double): DataFrame = {
-    val freshSigs = minhashSignatures(fresh)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      idxSigs: DataFrame, threshold: Double,
+      maxWitnesses: Int = 64): DataFrame = {
+    // Scale discipline, learned at the 100x soak: a twin-heavy corpus
+    // makes the raw candidate frontier |batch|·|twins| (262M band-join
+    // rows measured — aggregating that frontier per PAIR spilled a
+    // 47 GB disk dry, first through a corpus-wide shingle distinct,
+    // then through the pair-keyed aggregation itself, whose ~57M keys
+    // defeat map-side combine). A dedup decision needs a WITNESS, not
+    // the whole frontier, so the band-join output feeds the
+    // bounded-heap graft_topk keyed by NEW doc directly: |batch| keys,
+    // so partial aggregation collapses the 262M rows to one bounded
+    // heap per batch doc before anything shuffles. The heap holds the
+    // 8·maxWitnesses smallest old ids WITH band-duplicate slots (a
+    // pair can arrive via all 8 bands), which guarantees the
+    // maxWitnesses smallest DISTINCT ids survive; the array-side
+    // distinct + slice is O(heap) per doc. Everything after the band
+    // join is ≤ maxWitnesses·|batch| rows by construction. The batch's
+    // signatures feed two consumers (bands + the verify join);
+    // recomputing them per consumer costs one extra pass over the
+    // BATCH — the side that is small by construction — and keeps the
+    // returned plan fully lazy.
+    require(maxWitnesses >= 1, "need at least one witness per doc")
+    val heapK = math.min(8L * maxWitnesses, Int.MaxValue.toLong).toInt
+    val freshSigs = signaturesFromShingles(shinglesRaw(fresh))
     val freshBands = freshSigs
       .select(col("doc_id"), explode(bandHashArray).as("band_hash"))
     val cand = freshBands
       .join(idxBands.withColumnRenamed("doc_id", "old_id"), Seq("band_hash"))
-      .select(col("doc_id").as("new_id"), col("old_id"))
-      .distinct()
+      .groupBy(col("doc_id").as("new_id"))
+      .agg(graft.functions.TopKFunctions.topK(
+        struct((-col("old_id")).as("__neg")), heapK).as("__top"))
+      .select(col("new_id"), explode(slice(array_sort(array_distinct(
+        transform(col("__top"), t => -t.getField("__neg")))),
+        1, maxWitnesses)).as("old_id"))
     val agree = (0 until MinhashK)
       .map(i => (col(s"n.sig_$i") === col(s"o.sig_$i")).cast("int"))
       .reduce(_ + _)
-    val out = cand
+    cand
       .join(freshSigs.alias("n"), col("new_id") === col("n.doc_id"))
       .join(idxSigs.alias("o"), col("old_id") === col("o.doc_id"))
       .select(col("new_id"), col("old_id"),
         round(agree.cast("double") / MinhashK, 6).as("est_jac"))
       .filter(col("est_jac") >= threshold)
-    // eager head: the pair set is the near-dup frontier (tiny); free
-    // the batch signatures before returning
-    val rows = out.collect().toSeq
-    freshSigs.unpersist()
-    val spark = fresh.sparkSession
-    import spark.implicits._
-    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toDF("new_id", "old_id", "est_jac")
   }
 
   /** Index maintenance: after a batch is probed (and its dups
@@ -274,7 +295,7 @@ object Dedup {
     * grows linearly in survivors.
     */
   def appendToMinhashIndex(docs: DataFrame, path: String): Unit = {
-    val sigs = minhashSignatures(docs)
+    val sigs = signaturesFromShingles(shinglesRaw(docs))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     sigs.write.mode("append").parquet(s"$path/sigs.parquet")
     sigs.select(col("doc_id"), explode(bandHashArray).as("band_hash"))

@@ -271,7 +271,8 @@ class DedupSpec extends SparkSpec {
     assert(sigsDisk == sigsMem)
     val got = Dedup.probeMinhashIndex(fresh,
       spark.read.parquet(s"$idx/bands.parquet"),
-      spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5)
+      spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5,
+      maxWitnesses = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
     assert(got.nonEmpty)
@@ -312,7 +313,8 @@ class DedupSpec extends SparkSpec {
     def probe(b: org.apache.spark.sql.DataFrame) =
       Dedup.probeMinhashIndex(b,
         spark.read.parquet(s"$idx/bands.parquet"),
-        spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5)
+        spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5,
+        maxWitnesses = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe(batch2)
     Dedup.appendToMinhashIndex(batch1, idx)
