@@ -60,7 +60,11 @@ object Soak {
     "q_histogram_equi", "q_rfm", "q_psi", "q_decile_lift", "q_gini",
     "q_mwu_test", "q_time_to_convert",
     // dedup family
-    "dedup_exact", "dedup_minhash", "dedup_minhash_oph", "dedup_ngram_jaccard",
+    // dedup_minhash itself is NOT here: its uncapped pair frontier is
+    // quadratic on the twin-heavy soak corpus and cannot complete at
+    // 100x on this host (docs/SCALING.md round 13) — dedup_incremental
+    // is the witness-capped shape that soaks instead
+    "dedup_exact", "dedup_minhash_oph", "dedup_ngram_jaccard",
     "dedup_span", "dedup_containment", "dedup_semantic", "dedup_embedding",
     "dedup_incremental",
     // text curation

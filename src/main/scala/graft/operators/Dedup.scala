@@ -303,6 +303,45 @@ object Dedup {
     sigs.unpersist(): Unit
   }
 
+  /** Streaming twin of the incremental loop: every microbatch probes
+    * the persisted index for near-dups of ACCUMULATED HISTORY, lands
+    * only the survivors (keyed parquet upsert — replayed batches
+    * absorb idempotently), and appends the survivors' bands +
+    * signatures into the same index, so the NEXT microbatch dedups
+    * against them too. Semantics per batch: near-dup suppression is
+    * batch-vs-history (a batch's internal near-dups both survive until
+    * one is history — run `exact` upstream if within-batch exact dups
+    * matter); index appends are NOT idempotent under replay, which is
+    * harmless to verdicts (duplicate index rows produce duplicate
+    * candidate votes for the same witness, same verdict) and bounded
+    * by at-least-once delivery. State lives entirely in the two
+    * parquet artifacts — no streaming state store, so the probe's
+    * memory is the same bounded witness-heap shape as batch.
+    */
+  def dedupStreamAgainstIndex(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, threshold: Double = 0.5,
+      maxWitnesses: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val pairs = probeMinhashIndex(batch,
+            spark.read.parquet(s"$indexPath/bands.parquet"),
+            spark.read.parquet(s"$indexPath/sigs.parquet"),
+            threshold, maxWitnesses)
+          val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
+          val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          graft.sources.Sink.dedupUpsert(spark, outPath, survivors,
+            keys = Seq("doc_id"), versionCol = "doc_id")
+          appendToMinhashIndex(survivors, indexPath)
+          survivors.unpersist(): Unit
+        }
+      }
+      .start()
+
   /** `dedup_incremental` gate surface: the cross-run dedup loop end to
     * end — history (¾ of the corpus) builds the persisted index once;
     * the new batch (doc_id % 4 = 0) probes it. The oracle recomputes

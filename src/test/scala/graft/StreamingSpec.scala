@@ -565,6 +565,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streaming incremental dedup: batch probes history, survivors " +
+    "append and suppress later twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val mk = (id: Long, text: String) => (id, text)
+    // history: one known document
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq(mk(1L, histText)).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.dedupStreamAgainstIndex(docs, s"$root/idx",
+      s"$root/out", s"$root/ckpt")
+    try {
+      // batch 1: a twin of history (dropped) + a genuinely new doc
+      val novel = "one two three four five six seven eight nine ten"
+      input.addData(mk(10L, histText), mk(11L, novel))
+      q.processAllAvailable()
+      // batch 2: a twin of the batch-1 SURVIVOR (dropped — proves the
+      // append made it probe-visible) + another new doc
+      val fresh = "red orange yellow green blue indigo violet umber ochre teal"
+      input.addData(mk(20L, novel), mk(21L, fresh))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$root/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(11L, 21L), s"got $landed")
+    } finally q.stop()
+  }
+
   test("foreachBatch jdbc sink lands every microbatch row in the database") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_stream").toString
