@@ -55,7 +55,8 @@ object Bench {
   val headline13: Seq[String] = Seq(
     "q_weighted_median_auto", "q_approx_weighted_quantile",
     "dedup_incremental", "text_bpe_merges", "sim_ivfpq_topk",
-    "src_ts_normalize", "src_jdbc_incremental")
+    "src_ts_normalize", "src_jdbc_incremental",
+    "dedup_substring", "text_dsir")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);

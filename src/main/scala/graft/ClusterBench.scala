@@ -30,7 +30,11 @@ object ClusterBench {
     // round 13: the narrowing quantile family across REAL executor
     // JVMs — its per-pass driver round trips and broadcast key tables
     // are exactly the shape only multi-process timing regresses on
-    "q_median_narrow", "q_weighted_median_narrow")
+    "q_median_narrow", "q_weighted_median_narrow",
+    // round 13 (late session): the span-merge dedup — its dup-hash
+    // equi-join + per-doc island window is the newest shuffle-heavy
+    // shape, so it earns a real-executor timing too
+    "dedup_substring")
 
   /** JDK17 module opens Spark needs — same list sbt's forked JVMs and
     * ExecutorLossSpec use; exposed so Bench can build the subprocess

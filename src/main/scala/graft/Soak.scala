@@ -66,10 +66,10 @@ object Soak {
     // is the witness-capped shape that soaks instead
     "dedup_exact", "dedup_minhash_oph", "dedup_ngram_jaccard",
     "dedup_span", "dedup_containment", "dedup_semantic", "dedup_embedding",
-    "dedup_incremental",
+    "dedup_incremental", "dedup_substring", "dedup_substring_apply",
     // text curation
     "text_quality", "text_boilerplate", "text_keywords",
-    "text_curriculum", "text_sentence_dedup",
+    "text_curriculum", "text_sentence_dedup", "text_dsir",
     // similarity + multimodal packing
     "sim_bruteforce_topk", "mm_shard_pack",
     // joins whose shape is the scale story: streaming-merge as-of,

@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
+    "dedup_substring_apply" -> ((s, d) => Dedup.substringScrub(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -309,6 +311,7 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => TextFunctions.bigramLm(s, d)),
     "text_bpe_merges" -> ((s, d) => TextFunctions.bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => TextFunctions.bpeEncode(s, d)),
+    "text_dsir" -> ((s, d) => TextFunctions.dsirSelect(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -607,6 +610,115 @@ object SparkEntry {
        |       min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
        |FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1
        |ORDER BY h""".stripMargin
+
+  /** Maximal duplicated spans: duckSpan's window-hash CTEs, then
+    * gaps-and-islands (pos − row_number constant per consecutive run)
+    * over occurrences of the corpus-duplicated hashes — the same merge
+    * the engine runs per document.
+    */
+  private val duckSubstring: String =
+    s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+       |             unnest(wl) AS s FROM win),
+       |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e),
+       |dup AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |occ AS (SELECT hh.doc_id, hh.pos FROM hh JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) AS grp
+       |        FROM occ)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, grp
+       |HAVING max(pos) - min(pos) + 10 >= 15
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Span-scrub replay: the duckSubstring island chain, then cut every
+    * span-covered token position (NOT EXISTS over the span ranges) and
+    * rebuild the surviving text in position order — the scrub hash pins
+    * the reconstruction byte-for-byte. Fully-scrubbed docs come back as
+    * the empty string via the corpus-spine left join, exactly like the
+    * engine.
+    */
+  private val duckSubstringApply: String =
+    s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+       |             unnest(wl) AS s FROM win),
+       |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e),
+       |dup AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |occ AS (SELECT hh.doc_id, hh.pos FROM hh JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) AS grp
+       |        FROM occ),
+       |sp AS (SELECT doc_id, min(pos) AS span_start,
+       |              max(pos) - min(pos) + 10 AS span_tokens
+       |       FROM isl GROUP BY doc_id, grp
+       |       HAVING max(pos) - min(pos) + 10 >= 15),
+       |tp AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+       |              unnest(w) AS tok FROM t),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         WHERE NOT EXISTS (
+       |           SELECT 1 FROM sp s WHERE s.doc_id = tp.doc_id
+       |             AND tp.pos >= s.span_start
+       |             AND tp.pos < s.span_start + s.span_tokens)),
+       |g AS (SELECT doc_id, count(*) AS n_kept,
+       |             string_agg(tok, ' ' ORDER BY pos) AS scrub
+       |      FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(len(t.w) - coalesce(g.n_kept, 0) AS BIGINT) AS n_removed,
+       |       ${duckMd5Bits("coalesce(g.scrub, '')", 1, 15)} AS scrub_h
+       |FROM t LEFT JOIN g USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** DSIR replay: hashed-bigram bucket counts, add-1-smoothed target
+    * (lang='en') and raw bucket models, per-doc log likelihood ratio,
+    * top-N on the ROUNDED weight (ties → doc_id) — float noise can
+    * never change which rows cross the boundary.
+    */
+  private val duckDsir: String =
+    s"""WITH t AS (SELECT doc_id, lang, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN len(w) >= 2
+       |              THEN list_transform(range(len(w) - 1),
+       |                     i -> array_to_string(w[i+1:i+2], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |f AS (SELECT doc_id, lang,
+       |             ${duckMd5Bits("unnest(wl)", 1, 7)} % 256 AS b
+       |      FROM win),
+       |cd AS (SELECT doc_id, lang, b, count(*) AS c FROM f GROUP BY 1, 2, 3),
+       |bt AS (SELECT b, sum(c) AS raw_c,
+       |              sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tgt_c
+       |       FROM cd GROUP BY b),
+       |tot AS (SELECT sum(raw_c) AS r_tot, sum(tgt_c) AS t_tot FROM bt),
+       |lr AS (SELECT b,
+       |              ln((tgt_c + 1.0) / (t_tot + 256.0)) -
+       |              ln((raw_c + 1.0) / (r_tot + 256.0)) AS lr
+       |       FROM bt CROSS JOIN tot),
+       |w AS (SELECT cd.doc_id, any_value(cd.lang) AS lang,
+       |             round(sum(cd.c * lr.lr), 6) AS dsir_logw
+       |      FROM cd JOIN lr USING (b) GROUP BY cd.doc_id),
+       |r AS (SELECT doc_id, lang, dsir_logw,
+       |             row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS rk
+       |      FROM w)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, dsir_logw
+       |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
 
   private val duckMinhash: String =
     s"""WITH $duckMinhashCtes
@@ -1864,6 +1976,9 @@ object SparkEntry {
     "dedup_minhash" -> duckMinhash,
     "dedup_lsh_sweep" -> duckLshSweep,
     "dedup_incremental" -> duckIncrementalDedup,
+    "dedup_substring" -> duckSubstring,
+    "dedup_substring_apply" -> duckSubstringApply,
+    "text_dsir" -> duckDsir,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
     // Survivors of BOTH detectors, applied to the corpus.

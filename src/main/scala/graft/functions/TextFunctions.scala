@@ -1253,4 +1253,77 @@ object TextFunctions {
       .toDF("token", "n_occurrences")
       .orderBy(col("n_occurrences").desc, col("token"))
   }
+
+  /** DSIR data selection (`text_dsir`) — Data Selection with Importance
+    * Resampling (Xie et al. 2023): score every raw document by how
+    * target-like its hashed n-gram profile is, then keep the top of the
+    * ranking. Features are bigrams hashed into `buckets` counts (the
+    * paper's hashed n-gram generative model); both the target
+    * distribution (here: `lang = 'en'` documents — the corpus is
+    * multilingual, so the ranking is non-vacuous) and the raw
+    * distribution are add-1-smoothed bucket unigram models, and a
+    * document's importance log-weight is
+    *   Σ_b c_d(b) · ( ln p̂_target(b) − ln p̂_raw(b) ),
+    * the log likelihood ratio under the two models.
+    *
+    * Scale shape: the bigram explode is linear in corpus tokens; the
+    * per-(doc, bucket) count is map-side combinable; BOTH global
+    * distributions come from re-aggregating that same frame (one corpus
+    * scan total), collapse to `buckets` rows, and broadcast back; the
+    * per-doc weight is one more combinable aggregate; selection is
+    * orderBy+limit = TakeOrderedAndProject (per-partition top-N, driver
+    * merge) — nothing global-sorts the corpus. Ordering ties are broken
+    * on the ROUNDED weight then doc_id, so which rows cross the top-N
+    * boundary never depends on float noise.
+    *
+    * Reference scope: the reference ingests with a fixed
+    * `sample_size = 888` head (ingest_ecollision_oracle_data.py:96);
+    * importance-weighted selection is part of the training-data
+    * generalization this engine adds.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, buckets: Int = 256,
+      topN: Int = 100): DataFrame =
+    dsirSelectOf(Tables.load(spark, dir, "documents"), buckets, topN)
+
+  /** DataFrame form: `docs` needs (doc_id, lang, text); target = the
+    * `lang = 'en'` rows.
+    */
+  def dsirSelectOf(docs: DataFrame, buckets: Int = 256,
+      topN: Int = 100): DataFrame = {
+    import graft.operators.Dedup.md5Bits
+    val feats = docs
+      .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(tokenWindows(col("toks"), 2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (md5Bits(col("bg"), 1, 7) % buckets).as("b"))
+    // One corpus scan: per-(doc, bucket) counts feed the doc weights
+    // AND both global models. lang is functionally dependent on doc_id,
+    // so keying it adds no cardinality.
+    val cd = feats.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val bt = cd.groupBy(col("b"))
+      .agg(sum(col("c")).as("raw_c"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("tgt_c"))
+    val tot = bt.agg(sum(col("raw_c")).as("r_tot"), sum(col("tgt_c")).as("t_tot"))
+    val lr = bt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tgt_c") + lit(1.0)) / (col("t_tot") + lit(buckets.toDouble))) -
+          log((col("raw_c") + lit(1.0)) / (col("r_tot") + lit(buckets.toDouble)))).as("lr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir_logw").desc, col("doc_id").asc)
+    val out = cd.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("c") * col("lr")), 6).as("dsir_logw"))
+      .orderBy(col("dsir_logw").desc, col("doc_id").asc).limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("dsir_logw"))
+      .orderBy(col("rk"))
+    // topN rows: materialize eagerly so the persisted count frame
+    // releases before returning (same pattern as bpeEncode).
+    val ck = out.localCheckpoint(true)
+    cd.unpersist()
+    ck
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.sources.Tables
@@ -728,6 +729,106 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .select(col("h"), col("n_docs"), col("n_occ"), col("first_doc"), col("min_pos"))
       .orderBy(col("h"))
+  }
+
+  /** Maximal duplicated spans (`dedup_substring`) — the span-merge half
+    * of exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): where `spanDups` reports each
+    * duplicated fixed-width window in isolation, this merges runs of
+    * CONSECUTIVE duplicated window positions inside a document into one
+    * maximal span — the unit a scrubber would actually cut. A suffix
+    * array is the single-machine tool for this; the distributed
+    * re-expression is (1) hash every `window`-token sliding window,
+    * (2) keep hashes seen in >1 document (the duplicated-gram set —
+    * the groupBy is the blocking step, hashes shuffle, text never
+    * does), (3) gaps-and-islands per document over the surviving
+    * positions (`pos - row_number` constant within a consecutive run —
+    * the q_streaks shape; the window is partitioned by doc_id so its
+    * state is bounded by document length, never corpus size), and
+    * (4) keep merged spans covering at least `minTokens` tokens.
+    * A doc_id-ordered span list is exactly what a downstream scrub pass
+    * zips against the corpus.
+    *
+    * Reference scope: the reference dedups rows by primary key
+    * (reference.py:1-12); sub-document span dedup is part of the
+    * training-data generalization this engine adds.
+    */
+  def substringSpans(spark: SparkSession, dir: String, window: Int = 10,
+                     minTokens: Int = 15): DataFrame =
+    substringSpansOf(Tables.load(spark, dir, "documents"), window, minTokens)
+
+  def substringSpansOf(docs: DataFrame, window: Int = 10,
+                       minTokens: Int = 15): DataFrame = {
+    // Same codegen placement as spanDups: md5 AFTER the posexplode so
+    // the hash runs in a whole-stage-codegen projection, not under the
+    // interpreted Generate.
+    val occ = docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenWindows(col("toks"), window)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5Bits(col("s"), 1, 15).as("h"))
+    // Corpus-duplicated grams: >1 distinct document. Map-side partial
+    // aggregation collapses each document's repeats before the shuffle.
+    val dupH = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("h"))
+    // Occurrences of duplicated grams, merged to maximal runs per doc.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ.join(dupH, "h")
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(window)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Span scrub (`dedup_substring_apply`) — the apply half of
+    * exact-substring dedup: cut every maximal duplicated span
+    * `substringSpans` found out of its document and report the scrubbed
+    * corpus (token counts plus a content hash of the surviving text, so
+    * the gate pins the reconstruction byte-for-byte, not just counts).
+    *
+    * Scale shape: the token explode is linear; removing span-covered
+    * positions is a LEFT ANTI join keyed equi on doc_id with the range
+    * predicate as the join residual — span lists are per-doc small, so
+    * the anti join is bounded by document length; the order-sensitive
+    * text rebuild is collect_list(struct(pos, tok)) + array_sort inside
+    * one combinable aggregate (per-doc state, never a corpus sort).
+    * Fully-duplicated documents (every token covered) survive as empty
+    * scrubbed text via the final left join from the corpus spine.
+    */
+  def substringScrub(spark: SparkSession, dir: String, window: Int = 10,
+                     minTokens: Int = 15): DataFrame =
+    substringScrubOf(Tables.load(spark, dir, "documents"), window, minTokens)
+
+  def substringScrubOf(docs: DataFrame, window: Int = 10,
+                       minTokens: Int = 15): DataFrame = {
+    val spans = substringSpansOf(docs, window, minTokens)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_tokens"))
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("s_doc") &&
+        col("pos") >= col("span_start") &&
+        col("pos") < col("span_start") + col("span_tokens"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("scrub"))
+    docs.select(col("doc_id"),
+        size(TextFunctions.words(lower(col("text")))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5Bits(coalesce(col("scrub"), lit("")), 1, 15).as("scrub_h"))
+      .orderBy(col("doc_id"))
   }
 
   /** Asymmetric containment pairs (`dedup_containment`): fraction of

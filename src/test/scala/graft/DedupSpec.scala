@@ -229,16 +229,23 @@ class DedupSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       def metricAfter(maxCell: Int): org.apache.spark.sql.Row = {
-        seen.clear()
+        import scala.jdk.CollectionConverters._
+        def suffix(k: String): Long = k.stripPrefix("cell_bounded_pairs_").toLong
+        // The listener bus is async: a PREVIOUS run's onSuccess can land
+        // after this run starts, so only a key with a suffix newer than
+        // everything already seen can belong to this run (the observe
+        // name carries a monotonic id for exactly this reason).
+        val before = seen.asScala.keys.collect {
+          case k if k.startsWith("cell_bounded_pairs_") => suffix(k)
+        }.foldLeft(-1L)(math.max)
         Dedup.cellBoundedPairs(emb, maxCell).count()
-        // metrics arrive via the async listener bus — poll briefly
         val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
         var row: Option[org.apache.spark.sql.Row] = None
         while (row.isEmpty && System.nanoTime() < deadline) {
-          import scala.jdk.CollectionConverters._
-          row = seen.asScala.collectFirst {
-            case (k, v) if k.startsWith("cell_bounded_pairs_") => v
-          }
+          row = seen.asScala.collect {
+            case (k, v) if k.startsWith("cell_bounded_pairs_") &&
+              suffix(k) > before => (suffix(k), v)
+          }.toSeq.sortBy(_._1).lastOption.map(_._2)
           if (row.isEmpty) Thread.sleep(100)
         }
         row.getOrElse(fail("observe() metric never arrived"))
@@ -326,5 +333,76 @@ class DedupSpec extends SparkSpec {
     assert(vsBatch1.nonEmpty, "appended batch must be probe-visible")
     assert(vsBatch1.forall { case (_, oldId) => oldId % 4 == 2 },
       "new matches must come from the appended batch")
+  }
+
+  test("substringSpans merges consecutive duplicated windows into one " +
+    "maximal span and drops short ones") {
+    // 20-token span shared verbatim by docs 11/12 inside unrelated text;
+    // docs 13/14 share only a 12-token run (< minTokens → dropped).
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ")
+    val short = (1 to 12).map(i => s"tiny$i").mkString(" ")
+    val corpus = Seq(
+      (11L, s"alpha beta gamma delta epsilon $shared zeta eta theta iota kappa"),
+      (12L, s"one two three four five six seven $shared eight nine ten"),
+      (13L, s"red orange yellow green blue $short indigo violet purple pink brown"),
+      (14L, s"mon tue wed thu fri sat $short sun jan feb mar")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpansOf(corpus, window = 10, minTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 11: shared span starts at token 5; doc 12: at token 7. The
+    // island is the 11 consecutive window positions inside the 20-token
+    // run → ONE merged span of exactly 20 tokens each; the 12-token run
+    // never surfaces.
+    assert(spans.toSet == Set((11L, 5L, 20L), (12L, 7L, 20L)))
+  }
+
+  test("substringScrub cuts exactly the merged spans and rebuilds the " +
+    "surviving text in order") {
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ")
+    val corpus = Seq(
+      (11L, s"alpha beta gamma delta epsilon $shared zeta eta theta iota kappa"),
+      (12L, s"one two three four five six seven $shared eight nine ten"),
+      (13L, "mon tue wed thu fri sat sun jan feb mar apr may")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrubOf(corpus, window = 10, minTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 11/12 lose exactly the 20 shared tokens; doc 13 is untouched
+    assert(out.toSet == Set(
+      (11L, 30L, 10L, 20L), (12L, 30L, 10L, 20L), (13L, 12L, 12L, 0L)))
+    // the scrub hash of the untouched doc equals the hash of its own text
+    val h13 = Dedup.substringScrubOf(corpus, 10, 15)
+      .filter(col("doc_id") === 13L).select("scrub_h").collect()(0).getLong(0)
+    val href = corpus.filter(col("doc_id") === 13L)
+      .select(Dedup.md5Bits(
+        concat_ws(" ", graft.functions.TextFunctions.words(lower(col("text")))),
+        1, 15)).collect()(0).getLong(0)
+    assert(h13 == href)
+  }
+
+  test("substringScrub keeps a fully-duplicated doc as empty text") {
+    val dup = (1 to 18).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq((21L, dup), (22L, dup)).toDF("doc_id", "text")
+    val out = Dedup.substringScrubOf(corpus, window = 10, minTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val emptyH = Dedup.md5Bits(lit(""), 1, 15)
+    val ref = corpus.sparkSession.range(1).select(emptyH).collect()(0).getLong(0)
+    assert(out.toSet == Set((21L, 0L, 18L, ref), (22L, 0L, 18L, ref)))
+  }
+
+  test("substringSpans on sf data: spans respect minTokens and never " +
+    "overlap within a doc") {
+    val spans = Dedup.substringSpans(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    assert(spans.forall(_._3 >= 15))
+    // islands are maximal: consecutive spans of one doc are separated by
+    // at least one non-duplicated window position
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, t1), (_, s2, _)) =>
+          assert(s2 > s1 + t1 - 10 + 1, s"adjacent islands not merged: $ss")
+        case _ =>
+      }
+    }
   }
 }

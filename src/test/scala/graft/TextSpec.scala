@@ -270,4 +270,34 @@ class TextSpec extends SparkSpec {
     val counts = head.map(_.getLong(1)).toSeq
     assert(counts == counts.sortBy(-_))
   }
+
+  test("dsirSelectOf ranks target-vocabulary docs above off-target docs") {
+    // Disjoint vocabularies: the smoothed log-likelihood ratio must put
+    // every en doc ahead of every xx doc.
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma alpha delta beta gamma alpha beta"),
+      (2L, "en", "beta gamma delta alpha beta gamma delta alpha"),
+      (3L, "xx", "uno dos tres cuatro cinco seis uno dos tres cuatro"),
+      (4L, "xx", "sept huit neuf dix onze douze sept huit neuf"),
+      (5L, "en", "gamma delta alpha beta gamma delta alpha beta gamma")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextFunctions.dsirSelectOf(corpus, buckets = 64, topN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1L to 5L), "rk must be dense 1..N")
+    val weights = out.map(_._4).toSeq
+    assert(weights == weights.sortBy(-(_: Double)), "ordered by weight desc")
+    assert(out.take(3).forall(_._3 == "en"), s"en docs must lead: ${out.toSeq}")
+    assert(out.drop(3).forall(_._3 == "xx"))
+    // off-target docs score strictly negative log-ratio, targets positive
+    assert(out.take(3).forall(_._4 > 0) && out.drop(3).forall(_._4 < 0))
+  }
+
+  test("dsirSelect on sf data: top-100 is en-dominated and deterministic") {
+    val a = TextFunctions.dsirSelect(spark, sf).collect()
+    assert(a.length == 100)
+    val en = a.count(_.getString(2) == "en")
+    assert(en > 50, s"expected en-dominated head, got $en/100")
+    val b = TextFunctions.dsirSelect(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "must be deterministic")
+  }
 }
