@@ -67,6 +67,7 @@ object Soak {
     "dedup_exact", "dedup_minhash_oph", "dedup_ngram_jaccard",
     "dedup_span", "dedup_containment", "dedup_semantic", "dedup_embedding",
     "dedup_incremental", "dedup_substring", "dedup_substring_apply",
+    "dedup_substring_incremental",
     // text curation
     "text_quality", "text_boilerplate", "text_keywords",
     "text_curriculum", "text_sentence_dedup", "text_dsir",

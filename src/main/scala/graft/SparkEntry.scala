@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_substring_apply" -> ((s, d) => Dedup.substringScrub(s, d)),
+    "dedup_substring_incremental" -> ((s, d) => Dedup.substringIncremental(s, d)),
     // §2.5 similarity search
     "sim_bruteforce_topk" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -312,6 +313,8 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => TextFunctions.bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => TextFunctions.bpeEncode(s, d)),
     "text_dsir" -> ((s, d) => TextFunctions.dsirSelect(s, d)),
+    "text_dsir_resample" -> ((s, d) => TextFunctions.dsirResample(s, d)),
+    "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -685,6 +688,35 @@ object SparkEntry {
        |       ${duckMd5Bits("coalesce(g.scrub, '')", 1, 15)} AS scrub_h
        |FROM t LEFT JOIN g USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Incremental substring replay: history's distinct window hashes,
+    * batch occurrences semi-joined against them, then the same island
+    * merge — both sides recomputed from the raw documents.
+    */
+  private val duckSubstringIncremental: String =
+    s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+       |             unnest(wl) AS s FROM win),
+       |hh AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e),
+       |hist AS (SELECT DISTINCT h FROM hh WHERE doc_id % 4 <> 0),
+       |occ AS (SELECT hh.doc_id, hh.pos FROM hh JOIN hist USING (h)
+       |        WHERE hh.doc_id % 4 = 0),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) AS grp
+       |        FROM occ)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, grp
+       |HAVING max(pos) - min(pos) + 10 >= 15
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** DSIR replay: hashed-bigram bucket counts, add-1-smoothed target
     * (lang='en') and raw bucket models, per-doc log likelihood ratio,
     * top-N on the ROUNDED weight (ties → doc_id) — float noise can
@@ -718,6 +750,48 @@ object SparkEntry {
        |             row_number() OVER (ORDER BY dsir_logw DESC, doc_id) AS rk
        |      FROM w)
        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, dsir_logw
+       |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
+
+  /** DSIR resampling replay: the duckDsir model chain, then the
+    * deterministic Gumbel-top-k draw — key = logw − ln(−ln u) with
+    * u = (md5₆₀(doc_id) + 0.5)/2⁶⁰, a pure function of doc_id, so both
+    * engines draw the identical sample.
+    */
+  private val duckDsirResample: String =
+    s"""WITH t AS (SELECT doc_id, lang, ${textWords()} AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN len(w) >= 2
+       |              THEN list_transform(range(len(w) - 1),
+       |                     i -> array_to_string(w[i+1:i+2], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |f AS (SELECT doc_id, lang,
+       |             ${duckMd5Bits("unnest(wl)", 1, 7)} % 256 AS b
+       |      FROM win),
+       |cd AS (SELECT doc_id, lang, b, count(*) AS c FROM f GROUP BY 1, 2, 3),
+       |bt AS (SELECT b, sum(c) AS raw_c,
+       |              sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tgt_c
+       |       FROM cd GROUP BY b),
+       |tot AS (SELECT sum(raw_c) AS r_tot, sum(tgt_c) AS t_tot FROM bt),
+       |lr AS (SELECT b,
+       |              ln((tgt_c + 1.0) / (t_tot + 256.0)) -
+       |              ln((raw_c + 1.0) / (r_tot + 256.0)) AS lr
+       |       FROM bt CROSS JOIN tot),
+       |w AS (SELECT cd.doc_id, any_value(cd.lang) AS lang,
+       |             sum(cd.c * lr.lr) AS logw
+       |      FROM cd JOIN lr USING (b) GROUP BY cd.doc_id),
+       |g AS (SELECT doc_id, lang, logw,
+       |             logw - ln(-ln(
+       |               (CAST(${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 15)} AS DOUBLE)
+       |                + CAST(0.5 AS DOUBLE)) /
+       |               CAST(1152921504606846976 AS DOUBLE))) AS gkey
+       |      FROM w),
+       |r AS (SELECT doc_id, lang, logw,
+       |             row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk
+       |      FROM g)
+       |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang,
+       |       round(logw, 6) AS dsir_logw
        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
 
   private val duckMinhash: String =
@@ -1978,7 +2052,9 @@ object SparkEntry {
     "dedup_incremental" -> duckIncrementalDedup,
     "dedup_substring" -> duckSubstring,
     "dedup_substring_apply" -> duckSubstringApply,
+    "dedup_substring_incremental" -> duckSubstringIncremental,
     "text_dsir" -> duckDsir,
+    "text_dsir_resample" -> duckDsirResample,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters,
     // Survivors of BOTH detectors, applied to the corpus.
@@ -2932,6 +3008,27 @@ object SparkEntry {
     },
     // OLS from exact integer moment sums — one double division at the
     // end, so both engines divide identical integers.
+    "q_theil_sen" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |         CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |         (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM cells a JOIN cells b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |ms AS (
+        |  SELECT event_type, quantile_cont(slope, 0.5) AS slope,
+        |         count(*) AS n_pairs
+        |  FROM sl GROUP BY event_type)
+        |SELECT c.event_type, count(*) AS n_days,
+        |       CAST(any_value(ms.n_pairs) AS BIGINT) AS n_pairs,
+        |       round(any_value(ms.slope), 6) AS slope,
+        |       round(quantile_cont(c.y - ms.slope * c.x, 0.5), 6) AS intercept
+        |FROM cells c JOIN ms ON c.event_type = ms.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "q_trend_regression" ->
       """WITH cells AS (
         |  SELECT event_type,

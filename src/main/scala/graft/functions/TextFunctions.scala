@@ -1290,6 +1290,31 @@ object TextFunctions {
     */
   def dsirSelectOf(docs: DataFrame, buckets: Int = 256,
       topN: Int = 100): DataFrame = {
+    val (lw, release) = dsirLogWeights(docs, buckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir_logw").desc, col("doc_id").asc)
+    val out = lw
+      .select(col("doc_id"), col("lang"),
+        round(col("logw_raw"), 6).as("dsir_logw"))
+      .orderBy(col("dsir_logw").desc, col("doc_id").asc).limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("dsir_logw"))
+      .orderBy(col("rk"))
+    // topN rows: materialize eagerly so the persisted count frame
+    // releases before returning (same pattern as bpeEncode).
+    val ck = out.localCheckpoint(true)
+    release()
+    ck
+  }
+
+  /** The importance-weight half of DSIR, shared by the select and
+    * resample operators: per-doc `logw_raw` = Σ_b c_d(b)·(ln p̂_t(b) −
+    * ln p̂_r(b)) over hashed-bigram bucket counts. Returns the weight
+    * frame plus a release() for the persisted count substrate — the
+    * caller materializes its (small) head eagerly, then releases.
+    */
+  private def dsirLogWeights(docs: DataFrame,
+      buckets: Int): (DataFrame, () => Unit) = {
     import graft.operators.Dedup.md5Bits
     val feats = docs
       .select(col("doc_id"), col("lang"), words(lower(col("text"))).as("toks"))
@@ -1311,19 +1336,52 @@ object TextFunctions {
       .select(col("b"),
         (log((col("tgt_c") + lit(1.0)) / (col("t_tot") + lit(buckets.toDouble))) -
           log((col("raw_c") + lit(1.0)) / (col("r_tot") + lit(buckets.toDouble)))).as("lr"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("dsir_logw").desc, col("doc_id").asc)
-    val out = cd.join(broadcast(lr), "b")
+    val lw = cd.join(broadcast(lr), "b")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("c") * col("lr")), 6).as("dsir_logw"))
-      .orderBy(col("dsir_logw").desc, col("doc_id").asc).limit(topN)
+      .agg(sum(col("c") * col("lr")).as("logw_raw"))
+    (lw, () => { cd.unpersist(); () })
+  }
+
+  /** DSIR importance RESAMPLING (`text_dsir_resample`) — the "R" the
+    * paper's name promises: draw `k` documents WITHOUT replacement with
+    * probability ∝ exp(logw) via the Gumbel-top-k trick
+    * (key = logw + Gumbel noise; the k largest keys are exactly a
+    * ∝-weight sample without replacement). Where `dsirSelect` is the
+    * greedy head — always the most target-like docs — resampling keeps
+    * diversity: low-weight docs still appear with their proportional
+    * probability, which is what prevents the selected corpus from
+    * collapsing onto one mode of the target distribution.
+    *
+    * The Gumbel draw is DETERMINISTIC (Efraimidis–Spirakis discipline,
+    * same as text_weighted_sample): u = (md5₆₀(doc_id) + 0.5)/2⁶⁰ ∈
+    * (0,1), g = −ln(−ln u) — a pure function of doc_id, so the sample
+    * is engine/layout/retry independent and DuckDB replays it exactly.
+    * Scale shape: one corpus scan into the shared weight substrate,
+    * then a per-row key and a TakeOrderedAndProject head — no corpus
+    * sort, no RNG state.
+    */
+  def dsirResample(spark: SparkSession, dir: String, buckets: Int = 256,
+      k: Int = 100): DataFrame =
+    dsirResampleOf(Tables.load(spark, dir, "documents"), buckets, k)
+
+  def dsirResampleOf(docs: DataFrame, buckets: Int = 256,
+      k: Int = 100): DataFrame = {
+    import graft.operators.Dedup.md5Bits
+    val (lw, release) = dsirLogWeights(docs, buckets)
+    val u = (md5Bits(col("doc_id").cast("string"), 1, 15).cast("double") +
+      lit(0.5)) / lit(1.152921504606846976e18)
+    val key = (col("logw_raw") - log(-log(u))).as("gumbel_key")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+    val out = lw
+      .select(col("doc_id"), col("lang"),
+        round(col("logw_raw"), 6).as("dsir_logw"), key)
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc).limit(k)
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("rk"), col("doc_id"), col("lang"), col("dsir_logw"))
       .orderBy(col("rk"))
-    // topN rows: materialize eagerly so the persisted count frame
-    // releases before returning (same pattern as bpeEncode).
     val ck = out.localCheckpoint(true)
-    cd.unpersist()
+    release()
     ck
   }
 }

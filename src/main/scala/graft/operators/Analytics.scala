@@ -1441,6 +1441,45 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Theil–Sen robust trend (`q_theil_sen`): the median of all pairwise
+    * slopes per event_type over the daily activity cells — the
+    * outlier-proof twin of `q_trend_regression`'s OLS on the SAME
+    * cells (one corrupted day drags an OLS slope arbitrarily; the
+    * median slope has a 29% breakdown point). The pair grid is
+    * calendar² × |types| — 30 days → 435 pairs per type at ANY corpus
+    * size, so the only O(n) stage is the map-side-combinable daily
+    * rollup; the broadcast self-join and both medians run on
+    * calendar-bounded frames. Every arithmetic step is bit-stable
+    * cross-engine: y is an integer count, x an integer day, so each
+    * slope is one IEEE division and the interpolated medians see
+    * identical multisets in both engines.
+    * Intercept is the standard Theil–Sen median residual
+    * med(y_i − slope·x_i).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val cells = e.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val b = cells.select(col("event_type").as("et2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val slopes = cells
+      .join(broadcast(b),
+        col("event_type") === col("et2") && col("x") < col("x2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y")) / (col("x2") - col("x")).cast("double")).as("slope"))
+    val ms = slopes.groupBy(col("event_type"))
+      .agg(expr("percentile(slope, 0.5)").as("slope"),
+        count(lit(1)).as("n_pairs"))
+    cells.join(broadcast(ms), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        first(col("n_pairs")).as("n_pairs"),
+        round(first(col("slope")), 6).as("slope"),
+        round(expr("percentile(y - slope * x, 0.5)"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Month-over-month + year-over-year revenue (`q_yoy`): aggregate
     * FIRST (one shuffle to ~tens of month rows), then the lag-1 /
     * lag-12 windows run over the tiny aggregate — the unpartitioned

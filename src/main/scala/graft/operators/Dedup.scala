@@ -759,23 +759,38 @@ object Dedup {
 
   def substringSpansOf(docs: DataFrame, window: Int = 10,
                        minTokens: Int = 15): DataFrame = {
-    // Same codegen placement as spanDups: md5 AFTER the posexplode so
-    // the hash runs in a whole-stage-codegen projection, not under the
-    // interpreted Generate.
-    val occ = docs
-      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
-      .select(col("doc_id"),
-        posexplode(TextFunctions.tokenWindows(col("toks"), window)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), md5Bits(col("s"), 1, 15).as("h"))
+    val occ = windowHashes(docs, window)
     // Corpus-duplicated grams: >1 distinct document. Map-side partial
     // aggregation collapses each document's repeats before the shuffle.
     val dupH = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > 1)
       .select(col("h"))
-    // Occurrences of duplicated grams, merged to maximal runs per doc.
+    islandSpans(occ.join(dupH, "h"), window, minTokens)
+  }
+
+  /** (doc_id, pos, h) sliding-window hash occurrences — the shared
+    * front of the substring family. Same codegen placement as
+    * spanDups: md5 AFTER the posexplode so the hash runs in a
+    * whole-stage-codegen projection, not under the interpreted
+    * Generate.
+    */
+  private def windowHashes(docs: DataFrame, window: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenWindows(col("toks"), window)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5Bits(col("s"), 1, 15).as("h"))
+
+  /** Gaps-and-islands merge of duplicated window positions into maximal
+    * spans ≥ minTokens — shared by the batch and incremental probes.
+    * The window is partitioned by doc_id, so its state is bounded by
+    * document length, never corpus size.
+    */
+  private def islandSpans(occ: DataFrame, window: Int,
+                          minTokens: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    occ.join(dupH, "h")
+    occ
       .withColumn("grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
@@ -783,6 +798,65 @@ object Dedup {
       .filter(col("span_tokens") >= minTokens)
       .select(col("doc_id"), col("span_start"), col("span_tokens"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Persist a substring-dedup gram index: the DISTINCT window hashes
+    * of the historical corpus (one long per distinct gram, plus
+    * occurrence count and first-doc attribution). Linear and text-free
+    * — the distinct is a hash-only groupBy (longs shuffle, the string
+    * windows never do), so growing history grows the index linearly
+    * and the raw text is never re-read by later probes.
+    */
+  def writeGramIndex(docs: DataFrame, path: String, window: Int = 10): Unit =
+    windowHashes(docs, window)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .write.mode("overwrite").parquet(s"$path/grams.parquet")
+
+  /** Accumulate a new batch into the gram index. Appends are NOT
+    * deduplicated against existing entries (the probe is a left-semi
+    * join, so duplicate hash rows never duplicate its output); a
+    * periodic compaction can re-aggregate the files if occurrence
+    * counts need to stay exact.
+    */
+  def appendToGramIndex(docs: DataFrame, path: String,
+                        window: Int = 10): Unit =
+    windowHashes(docs, window)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .write.mode("append").parquet(s"$path/grams.parquet")
+
+  /** Probe the gram index with a NEW batch (`dedup_substring_incremental`
+    * runs this end to end): maximal spans of batch documents whose
+    * every window already exists in HISTORY — the incremental form of
+    * exact-substring dedup, and the decontamination primitive for a
+    * rolling ingest (is tomorrow's crawl quoting yesterday's corpus?).
+    * The batch's window hashes LEFT SEMI join the index (the gram hash
+    * is the blocking key AND the shuffle key; history contributes one
+    * long per distinct gram, its text never re-read), then the same
+    * per-doc island merge as the batch operator. Batch-internal
+    * duplication is deliberately NOT flagged — run `substringSpans`
+    * within the batch for that.
+    */
+  def probeGramIndex(fresh: DataFrame, idxGrams: DataFrame,
+                     window: Int = 10, minTokens: Int = 15): DataFrame =
+    islandSpans(
+      windowHashes(fresh, window)
+        .join(idxGrams.select(col("h")), Seq("h"), "left_semi"),
+      window, minTokens)
+
+  /** Gate surface: history (doc_id % 4 ≠ 0) builds the persisted gram
+    * index once; the new batch (doc_id % 4 = 0) probes it. The oracle
+    * recomputes both sides from the raw documents.
+    */
+  def substringIncremental(spark: SparkSession, dir: String,
+      window: Int = 10, minTokens: Int = 15): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_gram_index").toString
+    writeGramIndex(docs.filter(col("doc_id") % 4 =!= 0), idx, window)
+    probeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+      spark.read.parquet(s"$idx/grams.parquet"), window, minTokens)
   }
 
   /** Span scrub (`dedup_substring_apply`) — the apply half of

@@ -389,6 +389,35 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((21L, 0L, 18L, ref), (22L, 0L, 18L, ref)))
   }
 
+  test("gram index probe flags batch-vs-history spans only, and appends " +
+    "become visible") {
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ")
+    val batchOnly = (1 to 20).map(i => s"batch$i").mkString(" ")
+    val history = Seq(
+      (1L, s"alpha beta gamma delta epsilon $shared zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // docs 10/11 share a span ONLY with each other, not with history
+    val batch = Seq(
+      (10L, s"one two three four five six seven $shared $batchOnly"),
+      (11L, s"red orange yellow green blue indigo violet $batchOnly pink"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("gram_idx_spec").toString
+    Dedup.writeGramIndex(history, idx)
+    def probe() = Dedup.probeGramIndex(batch,
+        batch.sparkSession.read.parquet(s"$idx/grams.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only doc 10's history-shared span is flagged; the batch-internal
+    // 20-token overlap is deliberately invisible to the incremental probe
+    assert(probe() == Set((10L, 7L, 20L)))
+    // accumulate doc 10 into the index: doc 11's batchOnly span (7 window
+    // positions starting at token 7 of doc 10's tail...) now has history
+    Dedup.appendToGramIndex(batch.filter(col("doc_id") === 10L), idx)
+    val after = probe()
+    // doc 11's batchOnly span is now history; doc 10 self-matches its
+    // entire text (every one of its windows is in the appended index)
+    assert(after == Set((10L, 0L, 47L), (11L, 7L, 20L)), s"got $after")
+  }
+
   test("substringSpans on sf data: spans respect minTokens and never " +
     "overlap within a doc") {
     val spans = Dedup.substringSpans(spark, sf)

@@ -292,6 +292,44 @@ class TextSpec extends SparkSpec {
     assert(out.take(3).forall(_._4 > 0) && out.drop(3).forall(_._4 < 0))
   }
 
+  test("dsirResampleOf: equal weights collapse to the pure md5-Gumbel " +
+    "draw with zero log-weights") {
+    // Every doc is the target lang, so target and raw models coincide,
+    // every bucket's log-ratio is exactly 0, and the ranking is decided
+    // solely by the deterministic Gumbel key.
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "eta theta iota kappa lambda mu"),
+      (3L, "en", "nu xi omicron pi rho sigma"),
+      (4L, "en", "tau upsilon phi chi psi omega")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextFunctions.dsirResampleOf(corpus, buckets = 64, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1L to 4L))
+    assert(out.forall(_._3 == 0.0), s"equal-model log-weights must be 0: ${out.toSeq}")
+    // replay the documented draw: u = (md5_60(id)+0.5)/2^60, g = -ln(-ln u)
+    val expected = corpus.select(col("doc_id"),
+        (-log(-log((graft.operators.Dedup.md5Bits(col("doc_id").cast("string"), 1, 15)
+          .cast("double") + lit(0.5)) / lit(1.152921504606846976e18)))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, g) => (-g, id) }.map(_._1).toSeq
+    assert(out.map(_._2).toSeq == expected, "rank order must follow the Gumbel keys")
+  }
+
+  test("dsirResample on sf data: proportional sampling keeps more " +
+    "off-target diversity than the greedy head") {
+    val sel = TextFunctions.dsirSelect(spark, sf).collect()
+    val res = TextFunctions.dsirResample(spark, sf).collect()
+    assert(res.length == 100 && res.map(_.getLong(0)).toSeq == (1L to 100L))
+    val enSel = sel.count(_.getString(2) == "en")
+    val enRes = res.count(_.getString(2) == "en")
+    assert(enRes < enSel,
+      s"resample ($enRes en) must be more diverse than select ($enSel en)")
+    assert(enRes > 20, s"but still target-skewed, got $enRes/100")
+    val again = TextFunctions.dsirResample(spark, sf).collect()
+    assert(res.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
+  }
+
   test("dsirSelect on sf data: top-100 is en-dominated and deterministic") {
     val a = TextFunctions.dsirSelect(spark, sf).collect()
     assert(a.length == 100)

@@ -33,6 +33,63 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen reproduces the driver-side median of pairwise slopes " +
+    "and residuals") {
+    def medianInterp(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val got = Analytics.theilSen(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val cells = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("x"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Int, Long)].collect().groupBy(_._1)
+    assert(got.keySet == cells.keySet)
+    for ((t, rows) <- cells) {
+      val pts = rows.map(r => (r._2.toDouble, r._3.toDouble)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+      val slope = medianInterp(slopes)
+      val intercept = medianInterp(pts.map { case (x, y) => y - slope * x })
+      val (nDays, nPairs, gSlope, gIntercept) = got(t)
+      assert(nDays == pts.length && nPairs == slopes.length, s"counts $t")
+      assert(math.abs(gSlope - slope) < 1e-6, s"slope $t: $gSlope vs $slope")
+      assert(math.abs(gIntercept - intercept) < 1e-6, s"intercept $t")
+    }
+  }
+
+  test("theil-sen shrugs off the outlier day that drags OLS") {
+    // same daily cells, one corrupted day: OLS slope moves by orders of
+    // magnitude, the median slope barely at all
+    val base = (0 until 20).map(i => (i, 100L + 2L * i))
+    def slopes(cells: Seq[(Int, Long)]): (Double, Double) = {
+      val pts = cells.map(c => (c._1.toDouble, c._2.toDouble))
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val pw = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+      val s = pw.sorted
+      val ts = if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      (ols, ts)
+    }
+    val (olsClean, tsClean) = slopes(base)
+    val (olsDirty, tsDirty) = slopes(base.updated(19, (19, 100000L)))
+    assert(math.abs(olsClean - 2.0) < 1e-9 && math.abs(tsClean - 2.0) < 1e-9)
+    assert(math.abs(olsDirty - 2.0) > 100, s"OLS must be dragged: $olsDirty")
+    assert(math.abs(tsDirty - 2.0) < 1.0,
+      s"median slope must resist the outlier: $tsDirty")
+  }
+
   test("yoy: mom_delta telescopes back to the revenue series") {
     val rows = Analytics.periodRevenue(spark, sf).collect()
     val rev = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
