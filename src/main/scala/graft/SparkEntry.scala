@@ -315,6 +315,7 @@ object SparkEntry {
     "text_dsir" -> ((s, d) => TextFunctions.dsirSelect(s, d)),
     "text_dsir_resample" -> ((s, d) => TextFunctions.dsirResample(s, d)),
     "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
+    "text_bpe_tokenize" -> ((s, d) => TextFunctions.bpeTokenize(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -404,6 +405,27 @@ object SparkEntry {
        |SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
        |FROM (SELECT unnest(string_split(sym, ' ')) AS tok, cnt FROM w$k)
        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT $topN""".stripMargin
+  }
+
+  /** `text_bpe_tokenize` replay: the same k-round CTE chain, read out
+    * as (word → symbol count) and joined back to the corpus' words —
+    * per-doc BPE token counts, empty docs zeroed via the spine join.
+    */
+  private def duckBpeTokenizeSql(k: Int): String = {
+    val merge = duckBpeSql(k)
+    val ctes = merge.substring(0, merge.lastIndexOf("\nSELECT"))
+    s"""$ctes,
+       |seg AS (SELECT replace(replace(sym, ' ', ''), '</w>', '') AS w,
+       |               len(string_split(sym, ' ')) AS n_sym
+       |        FROM w$k),
+       |dw AS (SELECT doc_id, unnest(${textWords()}) AS w FROM documents),
+       |g AS (SELECT dw.doc_id, count(*) AS n_words,
+       |             sum(seg.n_sym) AS n_bpe_tokens
+       |      FROM dw JOIN seg USING (w) GROUP BY dw.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(g.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(g.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN g USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Media metadata CTE shared by the multimodal oracles: kind cycles
@@ -4186,6 +4208,7 @@ object SparkEntry {
     // list_reduce (the q_ewma fold protocol).
     "text_bpe_merges" -> duckBpeSql(8),
     "text_bpe_encode" -> duckBpeEncodeSql(8, 20),
+    "text_bpe_tokenize" -> duckBpeTokenizeSql(8),
     "text_bigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id, generate_subscripts(${textWords()}, 1) AS pos,

@@ -1254,6 +1254,45 @@ object TextFunctions {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** `text_bpe_tokenize`: tokenize the CORPUS under the trained
+    * k-merge vocabulary — per-document BPE token counts, the number a
+    * sequence-packing / training-budget planner actually consumes
+    * (text_batch_pack bins by whitespace tokens; this is the real
+    * tokenizer's count). No document is re-segmented directly: the
+    * final vocabulary already carries each distinct word's
+    * segmentation, so tokenizing is a broadcast join from the corpus'
+    * exploded words to the (word → symbol count) table — one corpus
+    * scan beyond training, everything else vocab-sized. The `</w>`
+    * end-of-word marker counts as a symbol, exactly as in
+    * `text_bpe_encode`'s distribution. Empty documents survive with
+    * zero counts via the corpus-spine left join.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (_, vocab, release) = bpeTrain(spark, dir, k)
+    // (word, n_sym): vocab-sized — checkpoint it eagerly so the
+    // persisted word-count base releases before the corpus-sized join
+    // plan is returned (the bpeEncode discipline, but the output here
+    // is per-doc, so the SEGMENTATION is what materializes, not the
+    // result).
+    val seg = vocab.select(
+        regexp_replace(regexp_replace(col("sym"), " ", ""), "</w>", "").as("w"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"))
+      .localCheckpoint(true)
+    release()
+    val docs = Tables.load(spark, dir, "documents")
+    val g = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("w"))
+      .join(broadcast(seg), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR data selection (`text_dsir`) — Data Selection with Importance
     * Resampling (Xie et al. 2023): score every raw document by how
     * target-like its hashed n-gram profile is, then keep the top of the

@@ -845,6 +845,43 @@ object Dedup {
         .join(idxGrams.select(col("h")), Seq("h"), "left_semi"),
       window, minTokens)
 
+  /** Streaming twin of the substring scrubber: every microbatch probes
+    * the persisted gram index for spans already in ACCUMULATED HISTORY,
+    * cuts them (`applySpans`), lands the scrubbed documents (keyed
+    * parquet upsert — replayed batches absorb idempotently), and
+    * appends the SURVIVING text's grams into the index, so the next
+    * microbatch dedups against exactly what was kept (scrubbed spans
+    * are not re-indexed — quoting an already-removed passage must
+    * still be caught by the ORIGINAL history entry, which stays).
+    * Same state discipline as dedupStreamAgainstIndex: everything
+    * lives in the parquet artifacts, no streaming state store, and
+    * index appends are at-least-once (duplicate gram rows are
+    * harmless under the probe's left-semi join).
+    */
+  def substringStreamAgainstIndex(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, window: Int = 10,
+      minTokens: Int = 15)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val spans = probeGramIndex(batch,
+            spark.read.parquet(s"$indexPath/grams.parquet"),
+            window, minTokens)
+          val scrubbed = applySpans(batch, spans)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          graft.sources.Sink.dedupUpsert(spark, outPath, scrubbed,
+            keys = Seq("doc_id"), versionCol = "doc_id")
+          appendToGramIndex(
+            scrubbed.select(col("doc_id"), col("scrub").as("text")),
+            indexPath, window)
+          scrubbed.unpersist(): Unit
+        }
+      }
+      .start()
+
   /** Gate surface: history (doc_id % 4 ≠ 0) builds the persisted gram
     * index once; the new batch (doc_id % 4 = 0) probes it. The oracle
     * recomputes both sides from the raw documents.
@@ -879,8 +916,19 @@ object Dedup {
     substringScrubOf(Tables.load(spark, dir, "documents"), window, minTokens)
 
   def substringScrubOf(docs: DataFrame, window: Int = 10,
-                       minTokens: Int = 15): DataFrame = {
-    val spans = substringSpansOf(docs, window, minTokens)
+                       minTokens: Int = 15): DataFrame =
+    applySpans(docs, substringSpansOf(docs, window, minTokens))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("n_removed"),
+        md5Bits(col("scrub"), 1, 15).as("scrub_h"))
+      .orderBy(col("doc_id"))
+
+  /** Cut the given (doc_id, span_start, span_tokens) spans out of their
+    * documents; returns (doc_id, n_tokens, n_kept, n_removed, scrub)
+    * with `scrub` the surviving text — shared by the batch gate (which
+    * hashes it) and the streaming scrubber (which lands it).
+    */
+  private def applySpans(docs: DataFrame, spanDf: DataFrame): DataFrame = {
+    val spans = spanDf
       .select(col("doc_id").as("s_doc"), col("span_start"), col("span_tokens"))
     val toks = docs
       .select(col("doc_id"), TextFunctions.words(lower(col("text"))).as("toks"))
@@ -901,8 +949,7 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        md5Bits(coalesce(col("scrub"), lit("")), 1, 15).as("scrub_h"))
-      .orderBy(col("doc_id"))
+        coalesce(col("scrub"), lit("")).as("scrub"))
   }
 
   /** Asymmetric containment pairs (`dedup_containment`): fraction of

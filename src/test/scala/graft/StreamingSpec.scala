@@ -596,6 +596,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming substring scrub: spans quoting history are cut, " +
+    "surviving text indexes for later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sscrub").toString
+    val span = (1 to 20).map(i => s"known$i").mkString(" ")
+    val hist = Seq((1L, s"intro words here then $span and a tail"))
+      .toDF("doc_id", "text")
+    Dedup.writeGramIndex(hist, s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.substringStreamAgainstIndex(docs, s"$root/idx",
+      s"$root/out", s"$root/ckpt")
+    try {
+      // batch 1: doc 10 quotes the historical span inside novel text
+      val novel = (1 to 20).map(i => s"novel$i").mkString(" ")
+      input.addData((10L, s"$novel $span"))
+      q.processAllAvailable()
+      // batch 2: doc 20 quotes doc 10's SURVIVING text — only the
+      // streamed append can make that span visible
+      input.addData((20L, s"completely different opening words here $novel"))
+      q.processAllAvailable()
+      val byId = spark.read.parquet(s"$root/out")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[String]("scrub"), r.getAs[Long]("n_removed"))).toMap
+      // doc 10 lost the 20 historical tokens, kept its novel 20
+      assert(byId(10L) == (novel, 20L), s"doc 10: ${byId(10L)}")
+      // doc 20 lost the 20 tokens quoting doc 10's survivor
+      assert(byId(20L)._2 == 20L, s"doc 20: ${byId(20L)}")
+      assert(byId(20L)._1 == "completely different opening words here")
+    } finally q.stop()
+  }
+
   test("foreachBatch jdbc sink lands every microbatch row in the database") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_stream").toString

@@ -292,6 +292,34 @@ class TextSpec extends SparkSpec {
     assert(out.take(3).forall(_._4 > 0) && out.drop(3).forall(_._4 < 0))
   }
 
+  test("bpeTokenize: merges shrink the corpus token count, char-level " +
+    "is the k=0 ceiling, totals tie out to the vocab weights") {
+    val k8 = TextFunctions.bpeTokenize(spark, sf, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k0 = TextFunctions.bpeTokenize(spark, sf, k = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(k8.length == nDocs && k0.length == nDocs)
+    // per doc: token count is at least words (every word >= 1 symbol),
+    // never exceeds the unmerged char-level count, and 8 merges
+    // strictly shrink the corpus total
+    val byId0 = k0.map(r => r._1 -> r._3).toMap
+    k8.foreach { case (id, nw, nt) =>
+      assert(nt >= nw, s"doc $id: $nt tokens < $nw words")
+      assert(nt <= byId0(id), s"doc $id: merged count above char-level")
+    }
+    assert(k8.map(_._3).sum < k0.map(_._3).sum, "merges must shrink the corpus")
+    // k=0 closed form: chars + 1 end marker per word
+    val charRef = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        (TextFunctions.nAlnumChars(lower(col("text"))) +
+          TextFunctions.nWords(col("text"))).as("ref"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    k0.foreach { case (id, _, nt) =>
+      assert(nt == charRef(id), s"doc $id: char-level count $nt != ${charRef(id)}")
+    }
+  }
+
   test("dsirResampleOf: equal weights collapse to the pure md5-Gumbel " +
     "draw with zero log-weights") {
     // Every doc is the target lang, so target and raw models coincide,
