@@ -56,7 +56,8 @@ object Bench {
     "q_weighted_median_auto", "q_approx_weighted_quantile",
     "dedup_incremental", "text_bpe_merges", "sim_ivfpq_topk",
     "src_ts_normalize", "src_jdbc_incremental",
-    "dedup_substring", "text_dsir")
+    "dedup_substring", "text_dsir",
+    "dedup_substring_incremental", "q_theil_sen")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);

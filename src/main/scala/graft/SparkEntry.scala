@@ -316,6 +316,8 @@ object SparkEntry {
     "text_dsir_resample" -> ((s, d) => TextFunctions.dsirResample(s, d)),
     "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
     "text_bpe_tokenize" -> ((s, d) => TextFunctions.bpeTokenize(s, d)),
+    "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundtrip(s, d)),
+    "src_orc_roundtrip" -> ((s, d) => Ingest.orcRoundtrip(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "q_heat_grid" -> ((s, d) => Analytics.heatGrid(s, d)),
     "q_rollup_cascade" -> ((s, d) => Analytics.rollupCascade(s, d)),
@@ -964,6 +966,20 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the roundtrip gates aggregate the SOURCE table: any mangling the
+    // interchange format introduces hash-fails against this
+    "src_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       min(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS min_day,
+        |       max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS max_day
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // The Spark side derives DDL column plans from parquet footers via
     // the ANSI dialect; the oracle is DuckDB's OWN catalog over the
     // same files — two engines independently agreeing on the emitted

@@ -757,9 +757,28 @@ object Dedup {
                      minTokens: Int = 15): DataFrame =
     substringSpansOf(Tables.load(spark, dir, "documents"), window, minTokens)
 
+  /** @param persistOcc hash-once mode: persist the (doc, pos, hash)
+    *   occurrence frame DISK_ONLY so the dup-detection groupBy and the
+    *   join probe share one tokenize+hash pass instead of recomputing
+    *   the lineage twice. The 1000x soak measured the recompute at
+    *   ~2x dedup_span's wall for exactly this reason — but the persist
+    *   is ~35 GB at that scale, which on a single host collides with
+    *   the very shuffle spill it avoids (docs/SCALING.md round 13), so
+    *   the default stays recompute; on a cluster with real local disks
+    *   this knob is the first one to turn (measured 1.65x cold at
+    *   100x, 1.19x at 10x where fixed overheads dominate —
+    *   graft.SubstringEdge, identical span multiset both ways). The persisted blocks stay registered for
+    *   the session (CacheManager dedupes re-registration; LRU evicts) —
+    *   same policy as the family's other deliberate caches.
+    */
   def substringSpansOf(docs: DataFrame, window: Int = 10,
-                       minTokens: Int = 15): DataFrame = {
-    val occ = windowHashes(docs, window)
+                       minTokens: Int = 15,
+                       persistOcc: Boolean = false): DataFrame = {
+    val occRaw = windowHashes(docs, window)
+    val occ =
+      if (persistOcc)
+        occRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else occRaw
     // Corpus-duplicated grams: >1 distinct document. Map-side partial
     // aggregation collapses each document's repeats before the shuffle.
     val dupH = occ.groupBy(col("h"))

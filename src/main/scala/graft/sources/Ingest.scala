@@ -400,4 +400,59 @@ object Ingest {
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("prop_k"))
       .orderBy(col("event_id"))
+
+  /** CSV interchange roundtrip (`src_csv_roundtrip`): write a typed
+    * projection out as headered CSV (the lowest-common-denominator
+    * export every downstream team eventually asks for), read it back
+    * under the ORIGINAL schema, and aggregate — the oracle runs the
+    * same aggregate over the source parquet, so any mangling the text
+    * format introduces (type coercion, timestamp formatting, quoting)
+    * hash-fails the gate rather than hiding. Timestamps cross the text
+    * boundary as an explicit UTC pattern: the default writer pattern
+    * and reader inference round-trip too, but pinning the format makes
+    * the contract visible and session-TZ independent. Both the write
+    * and the read are executor-parallel (one file per partition) —
+    * linear at any corpus size.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate"))
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+      .resolve("orders_csv").toString
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    o.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(out)
+    val back = spark.read
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .schema(o.schema).csv(out)
+    back.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("min_day"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_day"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ORC interchange roundtrip (`src_orc_roundtrip`): same contract as
+    * the CSV gate but through the columnar sibling format — types ride
+    * natively (no text boundary), so this pins that the engine's
+    * second columnar format preserves values bit-for-bit under the
+    * same aggregate-vs-source oracle.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+    val out = java.nio.file.Files.createTempDirectory("graft_orc_rt")
+      .resolve("lineitem_orc").toString
+    l.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -214,4 +214,26 @@ class IngestSpec extends SparkSpec {
     assert(!byFile(0).getAs[java.sql.Timestamp]("hi")
       .after(byFile(1).getAs[java.sql.Timestamp]("lo")))
   }
+
+  test("csv roundtrip preserves the aggregate of the source table") {
+    val got = graft.sources.Ingest.csvRoundtrip(spark, sf).collect()
+    val want = graft.sources.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("lo"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("hi"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+      "CSV text boundary must not change a single aggregate cell")
+  }
+
+  test("orc roundtrip preserves the aggregate of the source table") {
+    val got = graft.sources.Ingest.orcRoundtrip(spark, sf).collect()
+    val want = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("q"),
+        round(sum(col("l_extendedprice")), 2).as("s"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
 }
