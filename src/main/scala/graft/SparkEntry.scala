@@ -315,6 +315,7 @@ object SparkEntry {
     "text_dsir" -> ((s, d) => TextFunctions.dsirSelect(s, d)),
     "text_dsir_resample" -> ((s, d) => TextFunctions.dsirResample(s, d)),
     "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
+    "q_winsor" -> ((s, d) => Analytics.winsorizedStats(s, d)),
     "text_bpe_tokenize" -> ((s, d) => TextFunctions.bpeTokenize(s, d)),
     "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundtrip(s, d)),
     "src_orc_roundtrip" -> ((s, d) => Ingest.orcRoundtrip(s, d)),
@@ -3046,6 +3047,21 @@ object SparkEntry {
     },
     // OLS from exact integer moment sums — one double division at the
     // end, so both engines divide identical integers.
+    "q_winsor" ->
+      """WITH e AS (
+        |  SELECT o_orderpriority,
+        |         quantile_cont(o_totalprice, 0.05) AS lo,
+        |         quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n_orders,
+        |       round(avg(greatest(e.lo, least(e.hi, o.o_totalprice))), 4)
+        |         AS winsor_mean,
+        |       round(avg(CASE WHEN o.o_totalprice BETWEEN e.lo AND e.hi
+        |                      THEN o.o_totalprice END), 4) AS trim_mean,
+        |       round(any_value(e.lo), 4) AS p05,
+        |       round(any_value(e.hi), 4) AS p95
+        |FROM orders o JOIN e USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q_theil_sen" ->
       """WITH cells AS (
         |  SELECT event_type,

@@ -1441,6 +1441,32 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized + trimmed statistics (`q_winsor`): the robust-mean
+    * complement of `q_mad`/`q_outlier_iqr` — per group, clamp values
+    * into [p05, p95] (winsorize) or drop values outside it (trim) and
+    * average. Two passes, both combinable: the exact percentile edges
+    * per group (interpolated, the q_median protocol — bit-stable
+    * cross-engine), broadcast back (|groups| rows), then one clamped
+    * aggregate over the fact. avg(when(...)) ignores nulls, so the
+    * trimmed mean needs no second filter pass.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val edges = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+    o.join(broadcast(edges), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("o_totalprice")))), 4)
+          .as("winsor_mean"),
+        round(avg(when(col("o_totalprice").between(col("lo"), col("hi")),
+          col("o_totalprice"))), 4).as("trim_mean"),
+        round(first(col("lo")), 4).as("p05"),
+        round(first(col("hi")), 4).as("p95"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Theil–Sen robust trend (`q_theil_sen`): the median of all pairwise
     * slopes per event_type over the daily activity cells — the
     * outlier-proof twin of `q_trend_regression`'s OLS on the SAME

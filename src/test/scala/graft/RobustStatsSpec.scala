@@ -12,6 +12,40 @@ import graft.operators.{Analytics, Relational, Temporal}
 class RobustStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("winsorized stats: both robust means live inside the clamp " +
+    "window and an injected outlier cannot move them") {
+    val got = Analytics.winsorizedStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (g, (winsor, trim, p05, p95)) =>
+      assert(p05 < p95, s"$g edges")
+      assert(winsor >= p05 && winsor <= p95, s"$g winsor mean outside clamp")
+      assert(trim >= p05 && trim <= p95, s"$g trimmed mean outside window")
+    }
+    // robustness: a driver-side replay with one absurd outlier appended
+    // moves the plain mean but neither robust mean by more than the
+    // outlier's share of the clamp window
+    val vals = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_totalprice")).as[Double].collect().sorted
+    def interp(s: Array[Double], p: Double): Double = {
+      val r = p * (s.length - 1)
+      val i = r.toInt
+      if (i + 1 < s.length) s(i) + (r - i) * (s(i + 1) - s(i)) else s(i)
+    }
+    def winsorOf(s: Array[Double]): Double = {
+      val (lo, hi) = (interp(s, 0.05), interp(s, 0.95))
+      s.map(v => math.max(lo, math.min(hi, v))).sum / s.length
+    }
+    val clean = winsorOf(vals)
+    val dirty = winsorOf((vals :+ 1e12).sorted)
+    assert(math.abs(dirty - clean) / clean < 0.01,
+      s"winsorized mean must resist a 1e12 outlier: $clean -> $dirty")
+    // and the engine's number matches the same replay on clean data
+    assert(math.abs(got("2-HIGH")._1 - clean) < 0.01, s"${got("2-HIGH")._1} vs $clean")
+  }
+
   test("percentile_disc picks the value at position ceil(n*p) of the sorted column") {
     val got = Analytics.percentileDisc(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
