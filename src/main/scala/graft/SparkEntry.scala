@@ -316,6 +316,7 @@ object SparkEntry {
     "text_dsir_resample" -> ((s, d) => TextFunctions.dsirResample(s, d)),
     "q_theil_sen" -> ((s, d) => Analytics.theilSen(s, d)),
     "q_winsor" -> ((s, d) => Analytics.winsorizedStats(s, d)),
+    "q_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(s, d)),
     "text_bpe_tokenize" -> ((s, d) => TextFunctions.bpeTokenize(s, d)),
     "src_csv_roundtrip" -> ((s, d) => Ingest.csvRoundtrip(s, d)),
     "src_orc_roundtrip" -> ((s, d) => Ingest.orcRoundtrip(s, d)),
@@ -1598,6 +1599,25 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', CAST(min(ts) AS TIMESTAMP)) AS DATE) AS cw
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT f.cw,
+        |         CAST(floor(date_diff('day', f.cw,
+        |                    CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) / 7.0) AS BIGINT)
+        |           AS wk_n,
+        |         count(DISTINCT e.user_id) AS n_active,
+        |         round(sum(e.value), 2) AS week_value
+        |  FROM events e JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk_n, n_active,
+        |       week_value,
+        |       round(sum(week_value) OVER (PARTITION BY cw ORDER BY wk_n), 2)
+        |         AS cum_value
+        |FROM g ORDER BY 1, 2""".stripMargin,
     "q_throttle" ->
       """WITH c AS (SELECT event_id, user_id, event_type,
         |                  CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -503,6 +503,37 @@ object Analytics {
       .orderBy(col("cohort_week"), col("wk_n"))
   }
 
+  /** Cohort lifetime value (`q_cohort_ltv`): the monetary twin of
+    * `q_retention_cohort` — same weekly-cohort spine, but the readout
+    * is each cohort's value curve: per (cohort, age) the active users,
+    * that week's value, and the CUMULATIVE value-to-date. Week values
+    * round to cents BEFORE the running sum (the q_yoy discipline), so
+    * the short, window-ordered cumsum adds identical numbers in both
+    * engines. The running window partitions by cohort and is bounded
+    * by calendar length, never data volume.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_wk"))
+    val weekly = e.select(col("user_id"), col("ts"), col("value"))
+      .join(firsts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_wk"),
+        floor(datediff(to_date(col("ts")), col("cohort_wk")) / 7).cast("long").as("wk_n"),
+        col("value"))
+      .groupBy(col("cohort_wk"), col("wk_n"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        round(sum(col("value")), 2).as("week_value"))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("wk_n"))
+    weekly
+      .withColumn("cum_value", round(sum(col("week_value")).over(w), 2))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("wk_n"), col("n_active"), col("week_value"), col("cum_value"))
+      .orderBy(col("cohort_week"), col("wk_n"))
+  }
+
   /** Rate-limit / debounce pass (`q_throttle`): keep an event only if
     * the previous event with the same (user, type) is at least an hour
     * older — the batch twin of streaming dropDuplicatesWithinWatermark

@@ -240,4 +240,26 @@ class TimeSeriesSpec extends SparkSpec {
       assert(!r.getAs[Double]("pmi").isNaN)
     }
   }
+
+  test("cohort LTV: cum_value telescopes over week_value and actives " +
+    "never exceed the retention curve") {
+    val rows = Analytics.cohortLtv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { cohort =>
+      val sorted = cohort.sortBy(_._2)
+      var running = 0.0
+      sorted.foreach { case (_, _, _, wk, cum) =>
+        running = math.round((running + wk) * 100.0) / 100.0
+        assert(math.abs(cum - running) < 0.011, s"telescope broke at $cum vs $running")
+      }
+    }
+    // the same cohort spine: active counts must equal q_retention_cohort's
+    val ret = Analytics.retentionCohort(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (cw, wk, act, _, _) =>
+      assert(ret((cw, wk)) == act, s"active mismatch at ($cw, $wk)")
+    }
+  }
 }
