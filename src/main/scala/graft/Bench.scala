@@ -76,6 +76,23 @@ object Bench {
     // runs time the plan, not classloading.
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
+    // Block hygiene (round-13 forensics): the r13 artifact showed a
+    // monotonic degradation gradient through the run's blocks (main
+    // ×1.4 → soak10x ×2-51 → cluster12 ×4-17) — accumulated in-JVM
+    // cache entries, leaked scratch, and heap growth turned the later
+    // blocks into measurements of the host's state, not the engine.
+    // Three countermeasures: (1) each block starts from a dropped
+    // cache + wiped scratch + GC'd heap; (2) the multi-JVM cluster12
+    // block runs FIRST, before this JVM's heap has grown through 67
+    // queries × 3 passes; (3) scratch-disk free bytes are sampled
+    // into the artifact so disk pressure is diagnosable after the fact.
+    def blockReset(): Unit = {
+      spark.catalog.clearCache()
+      Scratch.wipeAll()
+      System.gc()
+    }
+    val diskFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sampleDisk(): Unit = diskFree += Scratch.freeBytes() / (1 << 20)
     // Three timing passes, interleaved ROUND-ROBIN across queries (pass
     // 1 over every query, then pass 2, then pass 3) rather than
     // back-to-back per query: on a shared host, one contention window
@@ -97,6 +114,49 @@ object Bench {
       try loads += new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Exception => loads += -1.0 }
+    // Multi-JVM mini-gate, FIRST (hygiene countermeasure 2): the
+    // 12-query local-cluster soak (graft.ClusterBench) runs COLD in a
+    // subprocess under local-cluster[4,8,8192] against the 10x corpus
+    // — regressions that only bite across real process boundaries
+    // (the round-7 class: executor-fatal broadcasts that local[n]
+    // reference-sharing masks) land in the per-round artifact, and
+    // running it before the main passes means the 4×8 GiB workers
+    // compete with a small driver JVM, not a 100 GiB-class heap.
+    // SPARK_GRAFT_CLUSTER12=0 skips (dev iteration).
+    sampleDisk()
+    val cluster12: String =
+      if (sys.env.get("SPARK_GRAFT_CLUSTER12").contains("0")) "{}"
+      else try {
+        val dir10 = Soak.materialize(spark, 10, needFacts = true)
+        blockReset() // the materialize itself caches/allocates
+        val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
+          "-Xmx8g", "-Dspark.ui.enabled=false",
+          "-cp", new java.io.File("target/scala-2.13/classes").getAbsolutePath +
+            ":/opt/spark/jars/*",
+          "graft.ClusterBench", dir10)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_HOME", "/opt/spark")
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes())
+        val err = new String(p.getErrorStream.readAllBytes())
+        val rc = p.waitFor()
+        err.linesIterator.filter(_.contains("[cluster12]"))
+          .foreach(System.err.println)
+        out.linesIterator.find(_.startsWith("CLUSTER12 "))
+          .map(_.stripPrefix("CLUSTER12 ").trim)
+          .filter(_ => rc == 0)
+          .getOrElse {
+            System.err.println(s"[bench] cluster12 subprocess rc=$rc")
+            "{}"
+          }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cluster12 failed: ${e.getMessage}")
+        "{}"
+      }
+    blockReset()
+    sampleDisk()
     for (pass <- 1 to 3; name <- picked) {
       if (name == picked.head && pass >= 1) sampleLoad()
       SparkEntry.queries.get(name).foreach { fn =>
@@ -153,6 +213,8 @@ object Bench {
     val soak10x: String =
       if (sys.env.get("SPARK_GRAFT_SOAK10X").contains("0")) "{}"
       else try {
+        blockReset() // cold block: no caches/scratch from the main passes
+        sampleDisk()
         val dir10 = Soak.materialize(spark, 10, needFacts = false)
         Seq("text_quality", "dedup_span", "dedup_ngram_jaccard",
           "dedup_minhash_oph", "dedup_containment").map { n =>
@@ -171,54 +233,33 @@ object Bench {
         System.err.println(s"[bench] soak10x materialize failed: ${e.getMessage}")
         "{}"
       }
-    // Multi-JVM mini-gate as a standing bench block: the 12-query
-    // local-cluster soak (graft.ClusterBench) runs COLD in a
-    // subprocess under local-cluster[4,8,8192] against the 10x corpus
-    // — regressions that only bite across real process boundaries
-    // (the round-7 class: executor-fatal broadcasts that local[n]
-    // reference-sharing masks) land in the per-round artifact.
-    // SPARK_GRAFT_CLUSTER12=0 skips (dev iteration).
-    val cluster12: String =
-      if (sys.env.get("SPARK_GRAFT_CLUSTER12").contains("0")) "{}"
-      else try {
-        val dir10 = Soak.materialize(spark, 10, needFacts = true)
-        val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
-          "-Xmx8g", "-Dspark.ui.enabled=false",
-          "-cp", new java.io.File("target/scala-2.13/classes").getAbsolutePath +
-            ":/opt/spark/jars/*",
-          "graft.ClusterBench", dir10)
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("SPARK_HOME", "/opt/spark")
-        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-        pb.redirectErrorStream(false)
-        val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes())
-        val err = new String(p.getErrorStream.readAllBytes())
-        val rc = p.waitFor()
-        err.linesIterator.filter(_.contains("[cluster12]"))
-          .foreach(System.err.println)
-        out.linesIterator.find(_.startsWith("CLUSTER12 "))
-          .map(_.stripPrefix("CLUSTER12 ").trim)
-          .filter(_ => rc == 0)
-          .getOrElse {
-            System.err.println(s"[bench] cluster12 subprocess rc=$rc")
-            "{}"
-          }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] cluster12 failed: ${e.getMessage}")
-        "{}"
-      }
+    sampleDisk()
     val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
+      .mkString("[", ",", "]")},"disk_free_mb":${diskFree
       .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    // parseSec: pull a numeric total out of a block's {"q":sec,...}
+    // map so the FINAL machine line can carry totals only
+    def blockTotal(json: String): Double =
+      "-?\\d+\\.\\d+".r.findAllIn(json).map(_.toDouble).filter(_ >= 0).sum
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"queries_13":$qs13,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"queries_13":$qs13,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of stdout and parses
+    // the final line — r13's full line outgrew that window and the
+    // round's official artifact carried no headline. The full line
+    // (per-query maps for every block) lives in BENCH_DETAIL.json and
+    // an earlier stdout line; the LAST line is the compact
+    // round-over-round contract: totals for every block plus the
+    // legacy 48-query map (the r4-proven size that has parsed every
+    // round since).
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"soak10x_total":${blockTotal(soak10x)}%.3f,"cluster12_total":${blockTotal(cluster12)}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"host":$host,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try { w.println(machine); w.println(detail) } finally w.close()
+      try { w.println(full); w.println(detail) } finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
     println(detail)
+    println(full)
     println(machine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

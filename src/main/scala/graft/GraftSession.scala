@@ -13,7 +13,16 @@ object GraftSession {
   def builder(
       master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"),
       shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-  ): SparkSession.Builder =
+  ): SparkSession.Builder = {
+    // Embedded Derby (the JDBC gates' stand-in database) writes
+    // derby.log into user.dir by default — route it into the JVM
+    // scratch root so harness runs leave the checkout clean. Must be
+    // set before the Derby engine first boots; harmless if a caller
+    // already chose a location.
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        java.nio.file.Paths.get(Scratch.dir("derby_log"))
+          .resolve("derby.log").toString)
     SparkSession
       .builder()
       .master(master)
@@ -34,19 +43,6 @@ object GraftSession {
       // bytes. AQE still upgrades to broadcast at runtime from ACTUAL
       // shuffle sizes, so genuinely small sides keep the fast path.
       .config("spark.sql.sources.fileCompressionFactor", "4.0")
-      // ObjectHashAggregate (every TypedImperativeAggregate — the
-      // engine's bounded-heap graft_topk, the weighted sketch, typed
-      // folds) falls back to SORT-BASED aggregation once a task's map
-      // holds this many keys — default 128, a tiny bound from the era
-      // of unbounded object buffers. The fallback SORTS THE ENTIRE
-      // remaining input: measured 44 GB of spill on a 262M-row band
-      // join whose aggregate state was 125k bounded heaps (round 13).
-      // The engine's object buffers are all size-capped by
-      // construction, so the map is bounded by keys-per-task × buffer
-      // cap; 256k keys keeps the partial-aggregation path (the whole
-      // point of a mergeable aggregate) at workable memory.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 18).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader refuses; read as epoch-nanos long, Tables.load converts
@@ -75,10 +71,45 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
+  }
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Run `body` (which must EXECUTE its plans, not just build them —
+    * Spark reads this conf at physical planning) with the
+    * ObjectHashAggregate sort-fallback threshold raised 128 → 256k,
+    * restoring the prior value after.
+    *
+    * Why scoped and not session-wide: ObjectHashAggregate falls back
+    * to SORT-BASED aggregation once a task's hash map holds
+    * `fallbackThreshold` keys, and the fallback sorts the ENTIRE
+    * remaining input — measured 44 GB of spill on a 262M-row band
+    * join whose aggregate state was 125k bounded `graft_topk` heaps
+    * (round 13). For aggregates whose buffers are size-capped by
+    * construction the raise is pure win (state = keys-per-task ×
+    * buffer cap). But the conf also governs Spark's builtin
+    * TypedImperativeAggregates with UNBOUNDED buffers — exact
+    * `percentile`, `collect_list`/`collect_set` — where the 128-key
+    * default is the OOM guard: 256k open buffers × an unbounded value
+    * domain is exactly the executor-memory cliff the default
+    * protects against at high group cardinality (round-13 verdict).
+    * So the session keeps Spark's default and only the call sites
+    * whose aggregate state is provably bounded (the witness-capped
+    * minhash index probe) opt into headroom, for exactly the span of
+    * their own execution.
+    */
+  def withObjectAggHeadroom[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, (1 << 18).toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -40,8 +40,7 @@ object IncrEdge {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
       val history = docs.filter(col("doc_id") % 4 =!= 0)
       val batch = docs.filter(col("doc_id") % 4 === 0)
-      val idx = java.nio.file.Files
-        .createTempDirectory(s"graft_incr_edge_x$k").toString
+      val idx = Scratch.dir(s"incr_edge_x$k")
       val buildSec = timed {
         graft.operators.Dedup.writeMinhashIndex(history, idx)
       }
@@ -49,8 +48,12 @@ object IncrEdge {
       val idxSigs = spark.read.parquet(s"$idx/sigs.parquet")
       var pairs = 0L
       val probeSec = timed {
-        pairs = graft.operators.Dedup.probeMinhashIndex(batch,
-          idxBands, idxSigs, threshold = 0.5).count()
+        // scoped headroom, same as the streaming twin: the probe's
+        // bounded witness heaps earn the raised fallback threshold
+        pairs = GraftSession.withObjectAggHeadroom(spark) {
+          graft.operators.Dedup.probeMinhashIndex(batch,
+            idxBands, idxSigs, threshold = 0.5).count()
+        }
       }
       System.err.println(f"[incr] x$k probe done: $pairs pairs ($probeSec%.1f s)")
       // the comparison leg may be UNRUNNABLE — that is a result, not an

@@ -779,9 +779,11 @@ object SparkEntry {
        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin
 
   /** DSIR resampling replay: the duckDsir model chain, then the
-    * deterministic Gumbel-top-k draw — key = logw − ln(−ln u) with
-    * u = (md5₆₀(doc_id) + 0.5)/2⁶⁰, a pure function of doc_id, so both
-    * engines draw the identical sample.
+    * deterministic Gumbel-top-k draw — key = round(logw, 6) − ln(−ln u)
+    * with u = (md5₆₀(doc_id) + 0.5)/2⁶⁰, a pure function of doc_id.
+    * Ranking on the ROUNDED weight (the dsirSelect discipline) keeps
+    * the key bit-stable across engines despite float-sum accumulation
+    * order, so both engines draw the identical sample.
     */
   private val duckDsirResample: String =
     s"""WITH t AS (SELECT doc_id, lang, ${textWords()} AS w FROM documents),
@@ -808,7 +810,7 @@ object SparkEntry {
        |             sum(cd.c * lr.lr) AS logw
        |      FROM cd JOIN lr USING (b) GROUP BY cd.doc_id),
        |g AS (SELECT doc_id, lang, logw,
-       |             logw - ln(-ln(
+       |             round(logw, 6) - ln(-ln(
        |               (CAST(${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 15)} AS DOUBLE)
        |                + CAST(0.5 AS DOUBLE)) /
        |               CAST(1152921504606846976 AS DOUBLE))) AS gkey

@@ -49,8 +49,10 @@ object SubstringEdge {
       val row = graft.operators.Dedup
         .substringSpansOf(docs, persistOcc = persistOcc)
         .agg(count(lit(1)).as("n"),
-          sum(hash(col("doc_id"), col("span_start"), col("span_tokens"))
-            .cast("long")).as("h"))
+          // coalesce: sum() over an empty frame is NULL — a corpus
+          // with zero duplicated spans must report h=0, not NPE
+          coalesce(sum(hash(col("doc_id"), col("span_start"),
+            col("span_tokens")).cast("long")), lit(0L)).as("h"))
         .head()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, row.getLong(0), row.getLong(1))

@@ -1409,7 +1409,14 @@ object TextFunctions {
     val (lw, release) = dsirLogWeights(docs, buckets)
     val u = (md5Bits(col("doc_id").cast("string"), 1, 15).cast("double") +
       lit(0.5)) / lit(1.152921504606846976e18)
-    val key = (col("logw_raw") - log(-log(u))).as("gumbel_key")
+    // Rank on the ROUNDED weight plus the Gumbel term: logw_raw is a
+    // float sum whose accumulation order and libm ln differ across
+    // engines, so a near-boundary row could flip rank or k-membership
+    // between Spark and the DuckDB replay. dsirSelect rounds to 6
+    // decimals before ranking for exactly this reason; the resample
+    // key follows the same discipline (the Gumbel term itself is a
+    // pure function of doc_id, identical in both engines).
+    val key = (round(col("logw_raw"), 6) - log(-log(u))).as("gumbel_key")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("gumbel_key").desc, col("doc_id").asc)
     val out = lw

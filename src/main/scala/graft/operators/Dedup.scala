@@ -327,7 +327,7 @@ object Dedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) graft.GraftSession.withObjectAggHeadroom(spark) {
           val pairs = probeMinhashIndex(batch,
             spark.read.parquet(s"$indexPath/bands.parquet"),
             spark.read.parquet(s"$indexPath/sigs.parquet"),
@@ -353,12 +353,21 @@ object Dedup {
   def dedupIncremental(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_mh_index").toString
+    val idx = graft.Scratch.dir("mh_index")
     writeMinhashIndex(docs.filter(col("doc_id") % 4 =!= 0), idx)
-    probeMinhashIndex(docs.filter(col("doc_id") % 4 === 0),
-      spark.read.parquet(s"$idx/bands.parquet"),
-      spark.read.parquet(s"$idx/sigs.parquet"), threshold)
+    // The probe's aggregate state is |batch| witness-capped heaps —
+    // provably bounded — so it runs under scoped ObjectHashAggregate
+    // headroom (125k keys/task fell back to a 44 GB sort-spill under
+    // the 128-key default at the 100x soak). The conf is read at
+    // physical planning, so the probe lands eagerly inside the scope
+    // and the gate returns the landed rows.
+    graft.GraftSession.withObjectAggHeadroom(spark) {
+      probeMinhashIndex(docs.filter(col("doc_id") % 4 === 0),
+        spark.read.parquet(s"$idx/bands.parquet"),
+        spark.read.parquet(s"$idx/sigs.parquet"), threshold)
+        .write.mode("overwrite").parquet(s"$idx/probe.parquet")
+    }
+    spark.read.parquet(s"$idx/probe.parquet")
       .orderBy(col("new_id"), col("old_id"))
   }
 
@@ -908,8 +917,7 @@ object Dedup {
   def substringIncremental(spark: SparkSession, dir: String,
       window: Int = 10, minTokens: Int = 15): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_gram_index").toString
+    val idx = graft.Scratch.dir("gram_index")
     writeGramIndex(docs.filter(col("doc_id") % 4 =!= 0), idx, window)
     probeGramIndex(docs.filter(col("doc_id") % 4 === 0),
       spark.read.parquet(s"$idx/grams.parquet"), window, minTokens)

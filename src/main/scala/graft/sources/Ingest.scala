@@ -129,7 +129,7 @@ object Ingest {
     */
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(spark, dir, "nation")
-    val root = java.nio.file.Files.createTempDirectory("graft_jdbc_rt")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("jdbc_rt"))
     val dbDir = root.resolve("db")
     // 1. driver-side batched insert into a directory-backed database
     val conn = java.sql.DriverManager.getConnection(
@@ -251,7 +251,7 @@ object Ingest {
     * operator normalizes either, so the gate holds across both.)
     */
   def tsNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val dest = java.nio.file.Files.createTempDirectory("graft_ts_norm")
+    val dest = java.nio.file.Paths.get(graft.Scratch.dir("ts_norm"))
       .resolve("events.parquet").toString
     val norm = normalizeTimestamps(spark, s"$dir/events.parquet", dest,
       tsCols = Seq("ts"), numFiles = 4)
@@ -292,7 +292,7 @@ object Ingest {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
     val cutoff = lit("1998-06-30").cast("timestamp")
-    val root = java.nio.file.Files.createTempDirectory("graft_jdbc_incr")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("jdbc_incr"))
     val dbDir = root.resolve("db")
 
     def withConn[A](url: String)(body: java.sql.Connection => A): A = {
@@ -344,7 +344,15 @@ object Ingest {
     }
 
     // the gate subset is dimension-sized (~1.9k rows at sf0.01), so
-    // the two epoch slices collect like the roundtrip's dimension
+    // the two epoch slices collect like the roundtrip's dimension —
+    // and the contract is ASSERTED (the quantile paths' discipline):
+    // a caller pointing this at a fact-sized table fails loudly
+    // before the driver heap does
+    val maxEpochRows = 1000000L
+    val nSubset = orders.count()
+    require(nSubset <= maxEpochRows,
+      s"jdbcIncremental's epoch slices collect to the driver by " +
+        s"contract (dimension-sized); got $nSubset rows > $maxEpochRows")
     val epoch1 = orders.filter(col("o_orderdate") <= cutoff).collect()
     val epoch2 = orders.filter(col("o_orderdate") > cutoff).collect()
 
@@ -418,7 +426,7 @@ object Ingest {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"), col("o_orderdate"))
-    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt")
+    val out = java.nio.file.Paths.get(graft.Scratch.dir("csv_rt"))
       .resolve("orders_csv").toString
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     o.write.mode("overwrite")
@@ -445,7 +453,7 @@ object Ingest {
     val l = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))
-    val out = java.nio.file.Files.createTempDirectory("graft_orc_rt")
+    val out = java.nio.file.Paths.get(graft.Scratch.dir("orc_rt"))
       .resolve("lineitem_orc").toString
     l.write.mode("overwrite").orc(out)
     spark.read.orc(out)
