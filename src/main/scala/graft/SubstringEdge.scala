@@ -43,7 +43,7 @@ object SubstringEdge {
     // prime the page cache: both variants read warm parquet
     docs.agg(sum(hash(col("doc_id"), col("text")).cast("long"))).collect(): Unit
 
-    def run(persistOcc: Boolean): (Double, Long, Long) = {
+    def run(persistOcc: Option[Boolean]): (Double, Long, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val row = graft.operators.Dedup
@@ -58,13 +58,20 @@ object SubstringEdge {
       (sec, row.getLong(0), row.getLong(1))
     }
 
-    val (rSec, rN, rH) = run(persistOcc = false)
+    val (rSec, rN, rH) = run(persistOcc = Some(false))
     emit(f"""{"metric":"substring_edge","variant":"recompute","dir":"$dir","sec":$rSec%.3f,"n_spans":$rN}""")
-    val (pSec, pN, pH) = run(persistOcc = true)
+    val (pSec, pN, pH) = run(persistOcc = Some(true))
     emit(f"""{"metric":"substring_edge","variant":"persist","dir":"$dir","sec":$pSec%.3f,"n_spans":$pN}""")
     require(rN == pN && rH == pH,
       s"variants disagree: recompute ($rN, $rH) vs persist ($pN, $pH)")
     emit(f"""{"metric":"substring_edge","variant":"speedup","dir":"$dir","x":${rSec / pSec}%.3f}""")
+    // the auto leg: record which side the size-aware router picks
+    // here and that its result is the same span multiset
+    val autoPick = graft.operators.Dedup.persistOccAuto(docs)
+    val (aSec, aN, aH) = run(persistOcc = None)
+    require(aN == rN && aH == rH,
+      s"auto variant disagrees: auto ($aN, $aH) vs recompute ($rN, $rH)")
+    emit(f"""{"metric":"substring_edge","variant":"auto","dir":"$dir","sec":$aSec%.3f,"picked":"${if (autoPick) "persist" else "recompute"}","n_spans":$aN}""")
     spark.stop()
   }
 }

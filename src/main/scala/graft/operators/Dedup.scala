@@ -304,6 +304,67 @@ object Dedup {
     sigs.unpersist(): Unit
   }
 
+  /** Rewrite one index artifact through `f` with staging + atomic
+    * swap (the Sink.compact discipline — a reader of `path` never
+    * observes a half-written table), coalescing the result to
+    * ceil(inputBytes / targetFileBytes) files so compaction also
+    * heals the small-file accretion of per-batch appends. Returns
+    * (files before, files after).
+    */
+  private def rewriteArtifact(spark: SparkSession, path: String,
+      targetFileBytes: Long)(f: DataFrame => DataFrame): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(target)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val nOut = math.max(1, math.ceil(
+      files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val staging = new Path(path + "__compact")
+    f(spark.read.parquet(path)).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+    (files.length, nOut)
+  }
+
+  /** Compact the persisted MinHash index (`writeMinhashIndex` layout).
+    *
+    * Why this exists: `appendToMinhashIndex` is append-only — under
+    * at-least-once delivery a replayed batch appends its rows AGAIN,
+    * and every append lands its own small files. Duplicate rows are
+    * semantically harmless (duplicate candidate votes for the same
+    * witness, same verdict) but operationally not free: the probe's
+    * band equi-join fans out per duplicate band row, the witness heap
+    * burns slots on duplicate old_ids, and a duplicated signature row
+    * DUPLICATES probe output pairs. A rolling ingest appending daily
+    * therefore sees probe cost climb with accumulated duplicates and
+    * file count — this pass resets both, and the probe's results are
+    * IDENTICAL before/after (spec-pinned): signatures dedupe to one
+    * row per doc (append rows for a doc_id are identical by
+    * construction — same text, same hash family), bands to distinct
+    * (doc_id, band_hash), re-clustered on band_hash so a bucket's
+    * rows co-locate in row groups.
+    *
+    * @param dropBelowDocId optional retention age-out: drop index
+    *   entries for docs with doc_id < the watermark (for corpora
+    *   whose doc_id encodes ingest order, this expires history that
+    *   should no longer suppress new documents)
+    * @return per-artifact (files before, files after)
+    */
+  def compactMinhashIndex(spark: SparkSession, path: String,
+      dropBelowDocId: Option[Long] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val keep = dropBelowDocId
+      .map(w => col("doc_id") >= w).getOrElse(lit(true))
+    Map(
+      "sigs" -> rewriteArtifact(spark, s"$path/sigs.parquet",
+        targetFileBytes)(_.filter(keep).dropDuplicates("doc_id")),
+      "bands" -> rewriteArtifact(spark, s"$path/bands.parquet",
+        targetFileBytes)(
+        _.filter(keep).distinct().repartition(col("band_hash"))))
+  }
+
   /** Streaming twin of the incremental loop: every microbatch probes
     * the persisted index for near-dups of ACCUMULATED HISTORY, lands
     * only the survivors (keyed parquet upsert — replayed batches
@@ -318,14 +379,20 @@ object Dedup {
     * by at-least-once delivery. State lives entirely in the two
     * parquet artifacts — no streaming state store, so the probe's
     * memory is the same bounded witness-heap shape as batch.
+    *
+    * Index lifecycle: every `compactEvery` batches the accumulated
+    * appends are compacted ([[compactMinhashIndex]] — dedupe + small-
+    * file heal, probe-identical by spec), so a week-two rolling
+    * ingest's probe cost stays flat instead of climbing with replayed
+    * appends and per-batch files. 0 disables.
     */
   def dedupStreamAgainstIndex(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, threshold: Double = 0.5,
-      maxWitnesses: Int = 64)
+      maxWitnesses: Int = 64, compactEvery: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) graft.GraftSession.withObjectAggHeadroom(spark) {
           val pairs = probeMinhashIndex(batch,
@@ -339,6 +406,8 @@ object Dedup {
             keys = Seq("doc_id"), versionCol = "doc_id")
           appendToMinhashIndex(survivors, indexPath)
           survivors.unpersist(): Unit
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactMinhashIndex(spark, indexPath): Unit
         }
       }
       .start()
@@ -772,20 +841,24 @@ object Dedup {
     *   the lineage twice. The 1000x soak measured the recompute at
     *   ~2x dedup_span's wall for exactly this reason — but the persist
     *   is ~35 GB at that scale, which on a single host collides with
-    *   the very shuffle spill it avoids (docs/SCALING.md round 13), so
-    *   the default stays recompute; on a cluster with real local disks
-    *   this knob is the first one to turn (measured 1.65x cold at
-    *   100x, 1.19x at 10x where fixed overheads dominate —
-    *   graft.SubstringEdge, identical span multiset both ways). The persisted blocks stay registered for
-    *   the session (CacheManager dedupes re-registration; LRU evicts) —
-    *   same policy as the family's other deliberate caches.
+    *   the very shuffle spill it avoids (docs/SCALING.md round 13);
+    *   where it fits, the knob is worth 1.65x cold at 100x, 1.19x at
+    *   10x (graft.SubstringEdge, identical span multiset both ways).
+    *   `None` (the DEFAULT since round 14) routes size-aware via
+    *   [[persistOccAuto]]: persist when the estimated occurrence
+    *   bytes fit comfortably in free scratch, recompute when they
+    *   would collide with the shuffle spill — the
+    *   `q_weighted_median_auto` router discipline applied here.
+    *   `Some(b)` forces a side. The persisted blocks stay registered
+    *   for the session (CacheManager dedupes re-registration; LRU
+    *   evicts) — same policy as the family's other deliberate caches.
     */
   def substringSpansOf(docs: DataFrame, window: Int = 10,
                        minTokens: Int = 15,
-                       persistOcc: Boolean = false): DataFrame = {
+                       persistOcc: Option[Boolean] = None): DataFrame = {
     val occRaw = windowHashes(docs, window)
     val occ =
-      if (persistOcc)
+      if (persistOcc.getOrElse(persistOccAuto(docs)))
         occRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else occRaw
     // Corpus-duplicated grams: >1 distinct document. Map-side partial
@@ -795,6 +868,28 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .select(col("h"))
     islandSpans(occ.join(dupH, "h"), window, minTokens)
+  }
+
+  /** Size-aware default for the hash-once knob: persist the occurrence
+    * lineage only when its estimated serialized size fits in HALF the
+    * free scratch space (headroom for the shuffle spill it shares the
+    * disk with). Both inputs come from already-known stats — no pass
+    * over the data: the corpus' plan-time size estimate (for file
+    * scans, compressed bytes × the session's 4.0 compression factor ≈
+    * uncompressed text bytes) and the scratch filesystem's free bytes.
+    * Calibration from the measured decades (docs/SCALING.md round 13):
+    * ~1 occurrence row per ~7 text bytes, ~24 serialized bytes per
+    * persisted row (35 GB / 1.45 B rows at 1000x) — so estimated
+    * persist bytes ≈ textBytes × 24/7, which deliberately
+    * OVER-estimates (the 1000x measurement implies ~2x less) so the
+    * router errs toward recompute near the boundary. On this host it
+    * picks persist at 10x/100x and recompute at 1000x — exactly the
+    * measured-optimal sides.
+    */
+  private[graft] def persistOccAuto(docs: DataFrame): Boolean = {
+    val textBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estPersistBytes = textBytes * 24 / 7
+    estPersistBytes < BigInt(graft.Scratch.freeBytes()) / 2
   }
 
   /** (doc_id, pos, h) sliding-window hash occurrences — the shared
@@ -854,6 +949,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
       .write.mode("append").parquet(s"$path/grams.parquet")
 
+  /** Compact the persisted gram index: re-aggregate the per-append
+    * partial rows back to ONE row per distinct gram hash (summed
+    * occurrence count, min first-doc attribution — exactly what a
+    * single `writeGramIndex` over the concatenated corpus would have
+    * produced) and heal the per-append small files, re-clustered on
+    * the gram hash. The probe is a left-semi join on `h`, so its
+    * result is IDENTICAL before/after (same distinct-h set; spec-
+    * pinned); what compaction buys is the probe-side scan cost, which
+    * otherwise climbs linearly with appended duplicates. No age-out:
+    * old grams are precisely what a decontamination probe must keep
+    * matching.
+    */
+  def compactGramIndex(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] =
+    Map("grams" -> rewriteArtifact(spark, s"$path/grams.parquet",
+      targetFileBytes)(
+      _.groupBy(col("h"))
+        .agg(sum(col("n_occ")).as("n_occ"),
+          min(col("first_doc")).as("first_doc"))
+        .repartition(col("h"))))
+
   /** Probe the gram index with a NEW batch (`dedup_substring_incremental`
     * runs this end to end): maximal spans of batch documents whose
     * every window already exists in HISTORY — the incremental form of
@@ -884,15 +1000,17 @@ object Dedup {
     * Same state discipline as dedupStreamAgainstIndex: everything
     * lives in the parquet artifacts, no streaming state store, and
     * index appends are at-least-once (duplicate gram rows are
-    * harmless under the probe's left-semi join).
+    * harmless under the probe's left-semi join). Every `compactEvery`
+    * batches the per-append partial rows re-aggregate to one row per
+    * gram ([[compactGramIndex]], probe-identical by spec); 0 disables.
     */
   def substringStreamAgainstIndex(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, window: Int = 10,
-      minTokens: Int = 15)
+      minTokens: Int = 15, compactEvery: Int = 32)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
           val spans = probeGramIndex(batch,
@@ -906,6 +1024,8 @@ object Dedup {
             scrubbed.select(col("doc_id"), col("scrub").as("text")),
             indexPath, window)
           scrubbed.unpersist(): Unit
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactGramIndex(spark, indexPath): Unit
         }
       }
       .start()
