@@ -38,6 +38,11 @@ object MedianEdge {
 
     val dir = Soak.materialize(spark, k, needFacts = false)
     val events = graft.sources.Tables.load(spark, dir, "events")
+    // prime the page cache on the measured columns (LayoutSoak.prime
+    // discipline — parquet count() reads no data pages) so the first
+    // leg doesn't pay the cold IO the second leg skips
+    events.agg(sum(hash(col("user_id"), col("value")).cast("long")))
+      .collect(): Unit
 
     // the q_median / q_mad shape, but grouped by the HIGH-cardinality
     // entity key instead of the 3-value priority column

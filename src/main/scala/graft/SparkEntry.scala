@@ -156,6 +156,7 @@ object SparkEntry {
         |GROUP BY source ORDER BY source""".stripMargin)),
     "sim_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedGate(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
     // §2.6 text analysis
@@ -4749,6 +4750,16 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(5 AS BIGINT) AS k, true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // Trained-PQ verdict oracle (the sim_ivf_kmeans discipline): exact
+    // counts DuckDB-recomputed; the two recall verdicts — clears the
+    // floor, and >= the query-blind sample codebook at equal code
+    // budget — are predicted true, with measured margins recorded in
+    // the Scaladoc (multiple borderline-flips wide at every corpus).
+    "sim_pq_trained" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(5 AS BIGINT) AS k, true AS trained_ok,
+        |       true AS trained_ge_sample
+        |FROM embeddings WHERE vec_id < 64""".stripMargin,
     // Real metadata oracle: DuckDB reads the SAME parquet footer the
     // Spark side surfaces. {SF_DIR} is substituted by Verify at dump
     // time (the only oracle needing a raw path — parquet_metadata()

@@ -292,4 +292,48 @@ class SimilaritySpec extends SparkSpec {
     info(f"ivfpq recall@5 = $recall%.3f (ivf probe upper bound 0.275)")
     assert(recall >= 0.1, f"recall collapsed: $recall%.3f")
   }
+
+  test("trained PQ codebooks beat the sample codebook's recall at the " +
+    "same code budget, and the gate verdicts hold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact L2 ranking — the statistic ADC approximates
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d", sq(col("q_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val rTrained = recallOf(Similarity.pqTrainedTopK(spark, sf))
+    // the QUERY-BLIND sample at the same code budget — pqTopK's own
+    // codebook contains the query vectors (their neighbors encode to
+    // the query's codeword with near-zero ADC distance), an advantage
+    // no real index build has, so it is not the fair baseline here
+    val exploded = Similarity.pqSubvectorsPublic(emb, 4, 16)
+    val blind = exploded
+      .filter(col("vec_id") >= Similarity.NumQueries &&
+        col("vec_id") < Similarity.NumQueries + 16)
+      .select(col("j"), (col("vec_id") - Similarity.NumQueries)
+        .cast("int").as("c"), col("sv").as("cw"))
+    val rBlind = recallOf(Similarity.pqAdcTopKPublic(exploded, blind, 5, 4))
+    info(f"PQ recall@5: trained $rTrained%.3f vs query-blind sample $rBlind%.3f")
+    assert(rTrained >= rBlind,
+      f"training lost recall: $rTrained%.3f < $rBlind%.3f")
+    val gate = Similarity.pqTrainedGate(spark, sf).collect()
+    assert(gate.length == 1)
+    assert(gate(0).getAs[Boolean]("trained_ok"))
+    assert(gate(0).getAs[Boolean]("trained_ge_sample"))
+  }
 }
