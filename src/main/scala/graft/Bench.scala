@@ -110,10 +110,21 @@ object Bench {
     // 1-min loadavg sampled before each pass and at the end, so the
     // artifact itself says how contended the run was
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sampleLoad(): Unit =
+    // cumulative iowait jiffies beside each loadavg sample: the
+    // round-14 IndexSoak runs showed intermittent ~180 s stalls on
+    // otherwise-identical probes (the same magnitude as r13's
+    // unexplained soak10x row) — an IO-stall signature the artifact
+    // should carry so a stalled run is diagnosable from the numbers
+    val iowaits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sampleLoad(): Unit = {
       try loads += new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Exception => loads += -1.0 }
+      try iowaits += new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().trim.split("\\s+")(5).toLong
+      catch { case _: Exception => iowaits += -1L }
+    }
     // Multi-JVM mini-gate, FIRST (hygiene countermeasure 2): the
     // 12-query local-cluster soak (graft.ClusterBench) runs COLD in a
     // subprocess under local-cluster[4,8,8192] against the 10x corpus
@@ -235,6 +246,7 @@ object Bench {
       }
     sampleDisk()
     val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
+      .mkString("[", ",", "]")},"iowait_jiffies":${iowaits
       .mkString("[", ",", "]")},"disk_free_mb":${diskFree
       .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     // parseSec: pull a numeric total out of a block's {"q":sec,...}

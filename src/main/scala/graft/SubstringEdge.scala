@@ -40,6 +40,26 @@ object SubstringEdge {
     def emit(line: String): Unit = { println(line); sink.println(line); sink.flush() }
 
     val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // decide-only mode: emit the size-aware router's pick from plan
+    // stats alone (no operator run) — how the 1000x side of the
+    // routing table is recorded without a 30-minute triple run
+    if (args.lift(1).contains("decide")) {
+      val pick = graft.operators.Dedup.persistOccAuto(docs)
+      emit(f"""{"metric":"substring_edge","variant":"auto_decision","dir":"$dir","picked":"${if (pick) "persist" else "recompute"}","free_mb":${graft.Scratch.freeBytes() / (1 << 20)}}""")
+      sink.close(); spark.stop(); return
+    }
+    // auto-only mode: one cold run through the router's pick — the
+    // cheap way to validate the routed side at a scale where the full
+    // three-variant comparison would take half an hour
+    if (args.lift(1).contains("auto")) {
+      val pick = graft.operators.Dedup.persistOccAuto(docs)
+      val t0 = System.nanoTime()
+      val row = graft.operators.Dedup.substringSpansOf(docs)
+        .agg(count(lit(1)).as("n")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      emit(f"""{"metric":"substring_edge","variant":"auto_only","dir":"$dir","sec":$sec%.3f,"picked":"${if (pick) "persist" else "recompute"}","n_spans":${row.getLong(0)}}""")
+      sink.close(); spark.stop(); return
+    }
     // prime the page cache: both variants read warm parquet
     docs.agg(sum(hash(col("doc_id"), col("text")).cast("long"))).collect(): Unit
 

@@ -873,24 +873,72 @@ object Dedup {
   /** Size-aware default for the hash-once knob: persist the occurrence
     * lineage only when its estimated serialized size fits in HALF the
     * free scratch space (headroom for the shuffle spill it shares the
-    * disk with). Both inputs come from already-known stats — no pass
-    * over the data: the corpus' plan-time size estimate (for file
-    * scans, compressed bytes × the session's 4.0 compression factor ≈
-    * uncompressed text bytes) and the scratch filesystem's free bytes.
-    * Calibration from the measured decades (docs/SCALING.md round 13):
-    * ~1 occurrence row per ~7 text bytes, ~24 serialized bytes per
-    * persisted row (35 GB / 1.45 B rows at 1000x) — so estimated
-    * persist bytes ≈ textBytes × 24/7, which deliberately
-    * OVER-estimates (the 1000x measurement implies ~2x less) so the
-    * router errs toward recompute near the boundary. On this host it
-    * picks persist at 10x/100x and recompute at 1000x — exactly the
-    * measured-optimal sides.
+    * disk with).
+    *
+    * The estimate is row-anchored, not byte-anchored: occurrence rows
+    * ≈ total tokens = exact corpus row count (parquet answers count()
+    * from footers — no data pages) × tokens-per-doc measured on a
+    * small deterministic sample (one ~2k-row scan), at ~24 serialized
+    * bytes per persisted row (measured: 35 GB / 1.45 B rows at the
+    * 1000x soak, docs/SCALING.md round 13 — the formula reproduces
+    * that 35 GB within 1%). A compressed-bytes × compression-factor
+    * estimate was tried first and missed 5x on compressible text
+    * (the 1000x corpus packs 9 GB of text into 536 MB of parquet —
+    * far past the session's generic 4.0 factor), which is exactly the
+    * class of corpus this operator runs on.
+    *
+    * Two live gates, both must pass:
+    *
+    *  1. '''Disk headroom''': est < free scratch / 2 (room for the
+    *     shuffle spill the persist shares the disk with). On the
+    *     round-13 disk state (47 GB free) this alone routed the 1000x
+    *     corpus' 35 GB to recompute.
+    *  2. '''Page-cache residency''': est < MemAvailable / 4. The
+    *     persist only wins when the second consumer's read-back never
+    *     touches the platter — i.e. while the DISK_ONLY blocks are
+    *     still page-cached. Measured both ways at 1000x (round 14,
+    *     77 GB scratch free, so gate 1 passed): the 35 GB persist ran
+    *     788 s where the r13 recompute ran 663 s — the write+read
+    *     round-trip of a frame too big to stay cached costs more than
+    *     re-running the tokenize+hash lineage. At 100x the 3.5 GB
+    *     frame stays resident and persist wins 1.26-1.65x
+    *     (graft.SubstringEdge). The quarter-of-available bound keeps
+    *     the frame cached through the groupBy that runs between the
+    *     two consumers.
+    *
+    * Routing on this host: persist at 10x/100x, recompute at 1000x —
+    * the measured-optimal side at every scale, for the measured
+    * reason, and both inputs move with the machine instead of baking
+    * in one host's disk state.
     */
-  private[graft] def persistOccAuto(docs: DataFrame): Boolean = {
-    val textBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estPersistBytes = textBytes * 24 / 7
-    estPersistBytes < BigInt(graft.Scratch.freeBytes()) / 2
+  private[graft] def persistOccAuto(docs: DataFrame,
+      sampleRows: Int = 2048): Boolean = {
+    val nDocs = docs.count()
+    if (nDocs == 0) return true // trivially fits
+    val avgRow = docs
+      .limit(sampleRows)
+      .select(size(TextFunctions.words(lower(col("text")))).cast("double").as("n"))
+      .agg(avg(col("n"))).head()
+    val avgTokens = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
+    val estPersistBytes = (nDocs.toDouble * avgTokens * 24).toLong
+    estPersistBytes < graft.Scratch.freeBytes() / 2 &&
+      estPersistBytes < memAvailableBytes() / 4
   }
+
+  /** Linux MemAvailable (bytes) — the kernel's own estimate of memory
+    * usable without swapping, which is what page-cache residency of a
+    * fresh persist actually depends on. Falls back to the JVM heap
+    * bound if /proc is unreadable (non-Linux dev machines).
+    */
+  private def memAvailableBytes(): Long =
+    try {
+      val meminfo = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/meminfo")))
+      meminfo.linesIterator
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong * 1024L }
+        .getOrElse(Runtime.getRuntime.maxMemory())
+    } catch { case _: Exception => Runtime.getRuntime.maxMemory() }
 
   /** (doc_id, pos, h) sliding-window hash occurrences — the shared
     * front of the substring family. Same codegen placement as
