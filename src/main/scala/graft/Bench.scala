@@ -116,14 +116,22 @@ object Bench {
     // unexplained soak10x row) — an IO-stall signature the artifact
     // should carry so a stalled run is diagnosable from the numbers
     val iowaits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // CPU-steal jiffies too: the round-14 two-run comparison caught a
+    // 104 s dedup_containment stall with FLAT iowait — the guest was
+    // runnable and the hypervisor didn't schedule it; steal is the
+    // counter that moves when that happens
+    val steals = scala.collection.mutable.ArrayBuffer.empty[Long]
     def sampleLoad(): Unit = {
       try loads += new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Exception => loads += -1.0 }
-      try iowaits += new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/stat"))).linesIterator
-        .next().trim.split("\\s+")(5).toLong
-      catch { case _: Exception => iowaits += -1L }
+      try {
+        val cpu = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))).linesIterator
+          .next().trim.split("\\s+")
+        iowaits += cpu(5).toLong
+        steals += cpu(8).toLong
+      } catch { case _: Exception => iowaits += -1L; steals += -1L }
     }
     // Multi-JVM mini-gate, FIRST (hygiene countermeasure 2): the
     // 12-query local-cluster soak (graft.ClusterBench) runs COLD in a
@@ -221,23 +229,40 @@ object Bench {
     // if only sf0.1 were timed per round. A query failure records -1
     // (visible, never silently dropped). SPARK_GRAFT_SOAK10X=0 skips
     // (dev iteration on unrelated queries).
+    // Two Spark-cold passes per query, per-query MIN (round 14): one
+    // hypervisor descheduling stall mis-measured single-pass rows
+    // 10-30x in back-to-back runs of this block (104 s vs 3.2 s on an
+    // identical query, flat iowait); blockReset() before EACH pass
+    // keeps both passes cold at the Spark layer (no cached frames),
+    // so the min is still a cold measurement — just one the host
+    // can't single-handedly invalidate.
     val soak10x: String =
       if (sys.env.get("SPARK_GRAFT_SOAK10X").contains("0")) "{}"
       else try {
-        blockReset() // cold block: no caches/scratch from the main passes
         sampleDisk()
         val dir10 = Soak.materialize(spark, 10, needFacts = false)
-        Seq("text_quality", "dedup_span", "dedup_ngram_jaccard",
-          "dedup_minhash_oph", "dedup_containment").map { n =>
-          val sec = try {
-            val t0 = System.nanoTime()
-            SparkEntry.queries(n)(spark, dir10)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] soak10x $n failed: ${e.getMessage}")
-            -1.0
+        val soakQs = Seq("text_quality", "dedup_span", "dedup_ngram_jaccard",
+          "dedup_minhash_oph", "dedup_containment")
+        val best = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(Double.MaxValue)
+        for (pass <- 1 to 2) {
+          blockReset()
+          for (n <- soakQs) {
+            val sec = try {
+              val t0 = System.nanoTime()
+              SparkEntry.queries(n)(spark, dir10)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] soak10x $n failed: ${e.getMessage}")
+              -1.0
+            }
+            System.err.println(f"[bench] soak10x pass$pass $n $sec%.3f s")
+            if (sec >= 0 && sec < best(n)) best(n) = sec
           }
+        }
+        soakQs.map { n =>
+          val sec = if (best(n) == Double.MaxValue) -1.0 else best(n)
           f""""$n":$sec%.3f"""
         }.mkString("{", ",", "}")
       } catch { case e: Throwable =>
@@ -247,6 +272,7 @@ object Bench {
     sampleDisk()
     val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
       .mkString("[", ",", "]")},"iowait_jiffies":${iowaits
+      .mkString("[", ",", "]")},"steal_jiffies":${steals
       .mkString("[", ",", "]")},"disk_free_mb":${diskFree
       .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     // parseSec: pull a numeric total out of a block's {"q":sec,...}

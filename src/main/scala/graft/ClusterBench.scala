@@ -68,8 +68,18 @@ object ClusterBench {
     // (measured ~7 s of q1's first pass) — same discipline as Bench.
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
+    // TWO round-robin passes, per-query MIN (round 14): this host is a
+    // VM with measurable CPU steal, and single-pass cold rows showed
+    // 100-180 s descheduling stalls landing on random queries (flat
+    // iowait — the guest was runnable, the host didn't run it). One
+    // stall then mis-measures a row 10-20x. Min-of-2 keeps one clean
+    // sample per row; pass 1 is still the cold multi-JVM leg the block
+    // exists for (the regression class it guards — executor-fatal
+    // broadcasts, classpath CCEs — fails BOTH passes, never just one).
     var failed = false
-    val times = queries12.map { name =>
+    val t = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    for (pass <- 1 to 2; name <- queries12) {
       val sec = try {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
@@ -80,7 +90,11 @@ object ClusterBench {
         failed = true
         -1.0
       }
-      System.err.println(f"[cluster12] $name $sec%.3f s")
+      System.err.println(f"[cluster12] pass$pass $name $sec%.3f s")
+      if (sec >= 0 && sec < t(name)) t(name) = sec
+    }
+    val times = queries12.map { name =>
+      val sec = if (t(name) == Double.MaxValue) -1.0 else t(name)
       f""""$name":$sec%.3f"""
     }
     println(times.mkString("CLUSTER12 {", ",", "}"))
