@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_lsh_sweep" -> ((s, d) => Dedup.lshSweep(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_compact_probe" -> ((s, d) => Dedup.dedupCompactProbe(s, d)),
+    "dedup_compact_grams" -> ((s, d) => Dedup.gramCompactIndex(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_substring_apply" -> ((s, d) => Dedup.substringScrub(s, d)),
     "dedup_substring_incremental" -> ((s, d) => Dedup.substringIncremental(s, d)),
@@ -546,7 +548,7 @@ object SparkEntry {
     * history, verification by signature agreement — the exact
     * estimator the probe applies against the persisted index.
     */
-  private val duckIncrementalDedup: String = {
+  private def duckIndexProbe(oldPred: String): String = {
     import graft.operators.Dedup.{MinhashBands, MinhashK}
     val rowsPerBand = MinhashK / MinhashBands
     val sigCols = (0 until MinhashK)
@@ -568,7 +570,7 @@ object SparkEntry {
        |candn AS (
        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
        |  FROM bands n JOIN bands o ON n.band_hash = o.band_hash
-       |  WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0),
+       |  WHERE n.doc_id % 4 = 0 AND $oldPred),
        |cand AS (
        |  SELECT new_id, old_id FROM (
        |    SELECT new_id, old_id, row_number() OVER (
@@ -582,6 +584,38 @@ object SparkEntry {
        |SELECT new_id, old_id, est_jac FROM est
        |WHERE est_jac >= 0.5 ORDER BY new_id, old_id""".stripMargin
   }
+
+  private val duckIncrementalDedup: String =
+    duckIndexProbe("o.doc_id % 4 <> 0")
+
+  /** `dedup_compact_probe` replay: the probe against history ∪ batch
+    * counted ONCE — what the persisted index holds only if compaction
+    * actually collapsed the replayed appends.
+    */
+  private val duckCompactProbe: String =
+    duckIndexProbe("o.doc_id % 4 IN (1, 2)")
+
+  /** `dedup_compact_grams` replay: every gram over history ∪ batch,
+    * occurrences of the twice-appended batch counted twice, first-doc
+    * as the global min — the exact re-aggregation compaction promises.
+    */
+  private val duckCompactGrams: String =
+    s"""WITH t AS (SELECT doc_id, ${textWords()} AS w FROM documents
+       |           WHERE doc_id % 4 IN (1, 2)),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM t),
+       |e AS (SELECT doc_id, unnest(wl) AS s FROM win),
+       |hh AS (SELECT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM e)
+       |SELECT h,
+       |       CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
+       |            AS BIGINT) AS n_occ,
+       |       min(doc_id) AS first_doc
+       |FROM hh GROUP BY h ORDER BY h""".stripMargin
 
   /** Shared by q_range_join (broadcast non-equi join) and
     * q_range_join_native (custom IntervalJoinExec) — same semantics.
@@ -2112,6 +2146,8 @@ object SparkEntry {
     "dedup_minhash" -> duckMinhash,
     "dedup_lsh_sweep" -> duckLshSweep,
     "dedup_incremental" -> duckIncrementalDedup,
+    "dedup_compact_probe" -> duckCompactProbe,
+    "dedup_compact_grams" -> duckCompactGrams,
     "dedup_substring" -> duckSubstring,
     "dedup_substring_apply" -> duckSubstringApply,
     "dedup_substring_incremental" -> duckSubstringIncremental,

@@ -440,6 +440,56 @@ object Dedup {
       .orderBy(col("new_id"), col("old_id"))
   }
 
+  /** `dedup_compact_probe` gate surface: compaction inside the oracle
+    * loop — history (doc_id % 4 = 1) builds the index, the SAME batch
+    * (% 4 = 2) appends TWICE (an at-least-once replay), the index
+    * compacts, and the new slice (% 4 = 0) probes. The oracle replays
+    * the probe from the raw documents against history ∪ batch counted
+    * ONCE — which is only what the probe sees if compaction actually
+    * collapsed the replayed append (duplicate signature rows would
+    * duplicate output pairs and burn witness slots, hash-failing the
+    * gate). This is the DuckDB-gated twin of
+    * DedupIndexLifecycleSpec's result-identity specs.
+    */
+  def dedupCompactProbe(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = graft.Scratch.dir("mh_index_gate")
+    writeMinhashIndex(docs.filter(col("doc_id") % 4 === 1), idx)
+    appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+    appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 2), idx)
+    compactMinhashIndex(spark, idx)
+    graft.GraftSession.withObjectAggHeadroom(spark) {
+      probeMinhashIndex(docs.filter(col("doc_id") % 4 === 0),
+        spark.read.parquet(s"$idx/bands.parquet"),
+        spark.read.parquet(s"$idx/sigs.parquet"), threshold)
+        .write.mode("overwrite").parquet(s"$idx/probe.parquet")
+    }
+    spark.read.parquet(s"$idx/probe.parquet")
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** `dedup_compact_grams` gate surface: the gram index's exact
+    * re-aggregation contract under replayed appends — history
+    * (% 4 = 1) writes, the same batch (% 4 = 2) appends twice,
+    * compaction re-aggregates, and the gate emits the INDEX ITSELF.
+    * The oracle recomputes every gram over history ∪ batch with the
+    * batch's occurrences counted twice (that is what two appends
+    * recorded) and the first-doc attribution as the global min — so a
+    * lost occurrence count, a surviving duplicate row, or a dropped
+    * gram all hash-fail.
+    */
+  def gramCompactIndex(spark: SparkSession, dir: String,
+      window: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = graft.Scratch.dir("gram_index_gate")
+    writeGramIndex(docs.filter(col("doc_id") % 4 === 1), idx, window)
+    appendToGramIndex(docs.filter(col("doc_id") % 4 === 2), idx, window)
+    appendToGramIndex(docs.filter(col("doc_id") % 4 === 2), idx, window)
+    compactGramIndex(spark, idx)
+    spark.read.parquet(s"$idx/grams.parquet").orderBy(col("h"))
+  }
+
   /** MinHash + LSH banding: band_j = hash of 4 consecutive signature
     * components; docs sharing any (band_idx, band_hash) bucket become
     * candidates; candidates are verified with exact trigram Jaccard.
