@@ -596,6 +596,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup with per-batch compaction: verdicts identical, " +
+    "index collapses to one row per doc/band") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedupc").toString
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq((1L, histText)).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // compactEvery = 1: the lifecycle pass runs after EVERY batch — the
+    // verdict stream must be indistinguishable from the uncompacted
+    // twin above, and the index must hold exactly one row per doc/band
+    val q = Dedup.dedupStreamAgainstIndex(docs, s"$root/idx",
+      s"$root/out", s"$root/ckpt", compactEvery = 1)
+    try {
+      val novel = "one two three four five six seven eight nine ten"
+      input.addData((10L, histText), (11L, novel))
+      q.processAllAvailable()
+      val fresh = "red orange yellow green blue indigo violet umber ochre teal"
+      input.addData((20L, novel), (21L, fresh))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$root/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(landed == Set(11L, 21L), s"got $landed")
+      // index state: history + the two survivors, compacted flat
+      val sigs = spark.read.parquet(s"$root/idx/sigs.parquet")
+      assert(sigs.count() == 3 &&
+        sigs.select("doc_id").distinct().count() == 3)
+      val bands = spark.read.parquet(s"$root/idx/bands.parquet")
+      assert(bands.count() == bands.distinct().count())
+      assert(bands.count() == 3 * graft.operators.Dedup.MinhashBands)
+    } finally q.stop()
+  }
+
   test("streaming substring scrub: spans quoting history are cut, " +
     "surviving text indexes for later batches") {
     implicit val sqlCtx = spark.sqlContext
