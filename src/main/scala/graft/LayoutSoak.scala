@@ -247,6 +247,40 @@ object LayoutSoak {
     dir
   }
 
+  /** Events rewritten Z-ORDERED on (user_id, event time): the Morton
+    * interleave of both filter dimensions min/max-scaled to a shared
+    * 16-bit budget (Sink.zValue), range-partitioned + sorted on the
+    * code with small row groups. Built FROM the normalized layout so
+    * the time column is the pushdown-live micros form — the comparison
+    * is layout-vs-layout, never type-vs-type.
+    */
+  def materializeEventsZorder(
+      spark: SparkSession, k: Int, normDir: String): String = {
+    val dir = s"/tmp/graft_soak/x${k}_events_zorder"
+    val marker = new java.io.File(s"$dir/_LAYOUT_SCHEMA")
+    if (versionFresh(marker) &&
+      new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) return dir
+    rmTree(new java.io.File(dir))
+    System.err.println(s"[layout] materializing $dir ...")
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      LayoutGeneratorVersion.toString.getBytes): Unit
+    val e = spark.read.parquet(s"$normDir/events.parquet")
+    val tMicros = unix_micros(col("ts"))
+    val mm = e.agg(min(col("user_id")), max(col("user_id")),
+      min(tMicros), max(tMicros)).head()
+    def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    val z = graft.sources.Sink.zValue(
+      scale(col("user_id"), mm.getLong(0), mm.getLong(1)),
+      scale(tMicros, mm.getLong(2), mm.getLong(3)), bits = 16)
+    graft.sources.Sink.writeZOrderedBy(e, s"$dir/events.parquet", z,
+      numFiles = 32)
+    System.err.println(s"[layout] $dir ready")
+    dir
+  }
+
   // ---- the measured queries ----------------------------------------
 
   /** Star-ish month join: fact x month dim filtered to the first 3
@@ -299,6 +333,17 @@ object LayoutSoak {
     */
   def eventsWindowScan(e: DataFrame): DataFrame =
     e.filter(col("ts") >= lit("2024-01-15 00:00:00") &&
+        col("ts") < lit("2024-01-15 08:00:00"))
+      .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n"))
+
+  /** The CONJUNCTIVE two-dimension filter (narrow user band AND the
+    * 8-hour window): on the time-clustered layout only the time half
+    * skips; on the Z-ordered layout every row group is narrow in BOTH
+    * dimensions, so min/max stats skip on either predicate.
+    */
+  def events2dScan(e: DataFrame): DataFrame =
+    e.filter(col("user_id") >= 100L && col("user_id") < 200L &&
+        col("ts") >= lit("2024-01-15 00:00:00") &&
         col("ts") < lit("2024-01-15 08:00:00"))
       .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n"))
 
@@ -521,6 +566,24 @@ object LayoutSoak {
       }
       timed("scan_events_norm", k) {
         eventsWindowScan(spark.read.parquet(s"$eventsNorm/events.parquet"))
+      }
+
+      // ---- 5. Z-order (round 14): the 2-D conjunctive filter against
+      // all three layouts — raw (skips nothing), time-clustered (skips
+      // the time half), Z-ordered (skips both) — input_rows is the claim
+      if (needEvents) {
+        val eventsZ = materializeEventsZorder(spark, k, eventsNorm)
+        prime(spark.read.parquet(s"$eventsZ/events.parquet"),
+          Seq("user_id", "ts", "value"))
+        timed("scan_events_2d_raw", k) {
+          events2dScan(spark.read.parquet(s"$base/events.parquet"))
+        }
+        timed("scan_events_2d_norm", k) {
+          events2dScan(spark.read.parquet(s"$eventsNorm/events.parquet"))
+        }
+        timed("scan_events_2d_zorder", k) {
+          events2dScan(spark.read.parquet(s"$eventsZ/events.parquet"))
+        }
       }
     }
     sink.close()

@@ -23,6 +23,7 @@ object SparkEntry {
     // §2.1 ingestion & sources
     "src_schema_mapped_read" -> ((s, d) => Ingest.schemaMappedRead(s, d)),
     "src_ts_normalize" -> ((s, d) => Ingest.tsNormalize(s, d)),
+    "src_zorder_roundtrip" -> ((s, d) => Ingest.zorderRoundtrip(s, d)),
     "src_jdbc_incremental" -> ((s, d) => Ingest.jdbcIncremental(s, d)),
     "src_catalog_columns" ->
       ((s, d) => graft.sources.SchemaAlign.catalogColumns(s, d, graft.sources.Tables.all)),
@@ -1279,6 +1280,14 @@ object SparkEntry {
         |       min(event_id) AS min_event_id,
         |       max(event_id) AS max_event_id,
         |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Z-order is a pure LAYOUT change: the oracle aggregates the RAW
+    // source, so any value the rewrite mangled hash-fails.
+    "src_zorder_roundtrip" ->
+      """SELECT user_id % 16 AS bucket, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_median_narrow" ->
       """SELECT l_returnflag, round(median(l_extendedprice), 4) AS med

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -260,6 +260,43 @@ object Ingest {
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"),
         round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** `src_zorder_roundtrip` gate surface: the two-column clustered
+    * layout in the oracle loop. Events rewrite through
+    * [[Sink.writeZOrderedBy]] on the Morton interleave of
+    * (user_id, event time), both min/max-scaled to a shared 16-bit
+    * budget (4 scalars to the driver by contract), then the read-back
+    * aggregates per user bucket — the oracle runs the same aggregate
+    * over the RAW source, so the gate pins that Z-ordering is a pure
+    * LAYOUT change (row order + file assignment), never a value
+    * change. The rows-read payoff is measured separately by the
+    * LayoutSoak `scan_events_2d_*` legs: a conjunctive
+    * (user range AND time window) filter skips on BOTH dimensions
+    * only under this layout.
+    */
+  def zorderRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = java.nio.file.Paths.get(graft.Scratch.dir("zorder_rt"))
+      .resolve("events_z.parquet").toString
+    val tMicros = unix_micros(col("ts"))
+    val mm = e.agg(min(col("user_id")), max(col("user_id")),
+      min(tMicros), max(tMicros)).head()
+    def scale(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    val z = Sink.zValue(
+      scale(col("user_id"), mm.getLong(0), mm.getLong(1)),
+      scale(tMicros, mm.getLong(2), mm.getLong(3)), bits = 16)
+    Sink.writeZOrderedBy(e, out, z, numFiles = 8)
+    spark.read.parquet(out)
+      .groupBy((col("user_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
       .orderBy(col("bucket"))
   }
 

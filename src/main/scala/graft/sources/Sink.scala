@@ -69,11 +69,24 @@ object Sink {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int = 16, bits: Int = 16): Unit =
-    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+    writeZOrderedBy(df, path, zValue(col(colA), col(colB), bits), numFiles)
+
+  /** Z-order clustering on a caller-built Morton expression — for
+    * callers whose filter columns need normalizing first (min/max or
+    * rank scaling to the shared bit budget) without persisting the
+    * scaled helper columns into the layout. Small row groups for the
+    * same reason as [[writeSorted]]: the skip granularity IS the row
+    * group.
+    */
+  def writeZOrderedBy(df: DataFrame, path: String, z: Column,
+      numFiles: Int = 16, rowGroupBytes: Long = 1L << 20): Unit =
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
 
   /** Incremental partition reload: overwrite ONLY the hive partitions
     * present in `df` (dynamic partitionOverwriteMode), leaving every
