@@ -105,6 +105,13 @@ object PqEdge {
         val verdicts = Similarity.pqTrainedGate(spark, dir).collect()(0)
         emit(f"""{"metric":"pq_edge","dir":"$dir","n_vecs":$n,"variant":"gate64","slots":${exact32.size},"trained_hits":$tHits,"blind_hits":$sHits,"trained_ok":${verdicts.getAs[Boolean]("trained_ok")},"trained_ge_sample":${verdicts.getAs[Boolean]("trained_ge_sample")}}""")
       }
+      // ivfpq leg (round 15): trained coarse quantizer held constant,
+      // trained vs query-blind PQ codebook inside the composed index —
+      // the measured margins sim_ivfpq_trained's verdicts rest on
+      locally {
+        val st = Similarity.ivfpqTrainedStats(spark, dir).collect()(0)
+        emit(f"""{"metric":"pq_edge","dir":"$dir","n_vecs":$n,"variant":"ivfpq_gate64","n_queries":${st.getAs[Long]("n_queries")},"trained_hits":${st.getAs[Long]("t_hits")},"blind_hits":${st.getAs[Long]("s_hits")}}""")
+      }
     }
     sink.close()
     spark.stop()

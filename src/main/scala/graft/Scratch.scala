@@ -20,10 +20,13 @@ package graft
   *
   * Callers that return LAZY plans over scratch artifacts (the gate
   * surfaces do — e.g. the incremental probe reads the index it just
-  * wrote) are safe under (1) because each gate fully materializes its
-  * result before the harness invokes the next one, and a re-invocation
-  * of the SAME gate only wipes its own tag after the prior plan is
-  * spent.
+  * wrote) get a LOUD failure mode under (1), by construction: each
+  * `dir(tag)` call hands out a fresh generation-numbered path and
+  * deletes the previous generation, so a stale plan still pointing at
+  * gen N-1 throws FileNotFoundException at execution instead of
+  * silently reading whatever gen N wrote to a shared fixed path
+  * (ScratchSpec pins both properties). Disk still holds exactly one
+  * generation per tag — the reuse-not-leak discipline is unchanged.
   */
 object Scratch {
 
@@ -33,14 +36,24 @@ object Scratch {
     r
   }
 
-  /** Fixed scratch directory for `tag`: wiped if it already exists
-    * (the reuse-not-leak discipline), then recreated empty. Returns
-    * the absolute path as a string — every call site feeds it to
-    * file-URI consumers (parquet writers, Derby URLs).
+  private val gens = scala.collection.mutable.Map.empty[String, Long]
+
+  /** Scratch directory for `tag`: a NEW generation-numbered path on
+    * every call, with the previous generation deleted (the
+    * reuse-not-leak discipline — a bench pass-3 invocation holds one
+    * copy of each gate's scratch, not three). Returning a fresh path
+    * per call is the lazy-plan lifetime guard: a caller that held an
+    * unmaterialized frame over the previous generation fails loudly
+    * (missing files) instead of silently reading the re-invocation's
+    * replacement data. Returns the absolute path as a string — every
+    * call site feeds it to file-URI consumers (parquet writers, Derby
+    * URLs).
     */
   def dir(tag: String): String = synchronized {
-    val d = root.resolve(tag)
-    deleteRecursively(d)
+    val gen = gens.getOrElse(tag, 0L) + 1L
+    gens(tag) = gen
+    if (gen > 1L) deleteRecursively(root.resolve(s"$tag-gen${gen - 1}"))
+    val d = root.resolve(s"$tag-gen$gen")
     java.nio.file.Files.createDirectories(d)
     d.toString
   }

@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedGate(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfpqTrainedGate(s, d)),
     "sim_sql_topk" -> ((s, d) => graft.sql.GraftSql.sqlTopK(s, d)),
     // §2.6 text analysis
     "text_tokens" -> ((s, d) => TextFunctions.tokenStats(s, d)),
@@ -337,7 +338,9 @@ object SparkEntry {
     "text_doc_embedding" -> ((s, d) => TextFunctions.docEmbedding(s, d)),
     "q_overlap_join" -> ((s, d) => Temporal.overlapJoin(s, d)),
     "q_constraint_audit" -> ((s, d) => Relational.constraintAudit(s, d)),
-    "text_contamination_pairs" -> ((s, d) => TextFunctions.contaminationPairs(s, d))
+    "text_contamination_pairs" -> ((s, d) => TextFunctions.contaminationPairs(s, d)),
+    "pipe_llm_corpus" -> ((s, d) => graft.operators.Pipeline.llmCorpus(s, d)),
+    "text_url_canon" -> ((s, d) => TextFunctions.urlCanon(s, d))
   )
 
   private val cutoffValues =
@@ -919,6 +922,162 @@ object SparkEntry {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.doc_id
        |ORDER BY dd.doc_id""".stripMargin
+
+  /** `pipe_llm_corpus` replay: the seven pipeline stages chained as
+    * CTEs, each stage's SQL the SAME formulation its standalone oracle
+    * is gated on, but reading the previous stage's survivor CTE
+    * instead of raw `documents` — so what this gate adds (and what no
+    * per-stage gate covers) is exactly the inter-stage contracts:
+    * which frame feeds which stage, which text column (original vs
+    * scrubbed) each detector reads, and which token counts drive the
+    * budget and the packing.
+    */
+  private val duckLlmPipeline: String = {
+    import graft.operators.Dedup.{MinhashBands, MinhashK}
+    val rowsPerBand = MinhashK / MinhashBands
+    val sigCols = (0 until MinhashK)
+      .map(i => s"min(h1 + $i * h2) AS sig_$i").mkString(", ")
+    val bandExprs = (0 until MinhashBands).map { b =>
+      val comps = (0 until rowsPerBand)
+        .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)").mkString(", ")
+      s"md5(concat_ws('_', '$b', $comps))"
+    }.mkString(", ")
+    val weightCase = graft.functions.TextFunctions.mixtureWeights
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    def grams8(src: String) =
+      s"""unnest(CASE WHEN len($src) >= 8
+         |         THEN list_transform(range(len($src) - 7),
+         |                i -> array_to_string($src[i+1:i+8], ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, source, text, ${textWords()} AS w FROM documents),
+       |gf AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, len(w) AS n_words,
+       |           CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+       |                AS DOUBLE) /
+       |             greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS mean_wl,
+       |           len(list_intersect(list_distinct(w),
+       |               ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) AS n_stop,
+       |           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+       |                AS DOUBLE) /
+       |             greatest(CAST(len(w) AS DOUBLE), CAST(1 AS DOUBLE)) AS alpha_r
+       |    FROM base)
+       |  WHERE n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
+       |    AND n_stop >= 2 AND alpha_r >= 0.8),
+       |s1 AS (SELECT b.* FROM base b JOIN gf USING (doc_id)),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM (
+       |         SELECT doc_id,
+       |                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |         FROM s1) GROUP BY fp),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ek USING (doc_id)),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(len(w) - 2),
+       |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |         ELSE CAST([] AS VARCHAR[]) END) AS shingle
+       |  FROM s2),
+       |hh AS (SELECT doc_id, ${duckMd5Bits("shingle", 1, 7)} AS h1,
+       |              ${duckMd5Bits("shingle", 8, 7)} AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band_hash FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |shv AS (SELECT DISTINCT doc_id,
+       |               ${duckMd5Bits("shingle", 1, 15)} AS h FROM sh),
+       |card AS (SELECT doc_id, count(*) AS n_sh FROM shv GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM shv a JOIN shv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b,
+       |               CAST(n_inter AS DOUBLE) /
+       |               CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS j
+       |        FROM inter JOIN card ca ON ca.doc_id = id_a
+       |                   JOIN card cb ON cb.doc_id = id_b),
+       |pairs AS (SELECT jac.id_a, jac.id_b FROM jac
+       |          JOIN cand ON jac.id_a = cand.id_a AND jac.id_b = cand.id_b
+       |          WHERE j >= 0.7),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM edges
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (SELECT s AS doc_id, least(min(d), s) AS cluster_id
+       |         FROM reach GROUP BY s),
+       |s3 AS (SELECT s2.* FROM s2 LEFT JOIN comp USING (doc_id)
+       |       WHERE coalesce(comp.cluster_id, s2.doc_id) = s2.doc_id),
+       |win AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 10
+       |              THEN list_transform(range(len(w) - 9),
+       |                     i -> array_to_string(w[i+1:i+10], ' '))
+       |              ELSE CAST([] AS VARCHAR[]) END AS wl
+       |  FROM s3),
+       |e AS (SELECT doc_id, generate_subscripts(wl, 1) - 1 AS pos,
+       |             unnest(wl) AS s FROM win),
+       |hh2 AS (SELECT doc_id, pos, ${duckMd5Bits("s", 1, 15)} AS h FROM e),
+       |dup AS (SELECT h FROM hh2 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+       |occ AS (SELECT hh2.doc_id, hh2.pos FROM hh2 JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id
+       |                                        ORDER BY pos) AS grp
+       |        FROM occ),
+       |sp AS (SELECT doc_id, min(pos) AS span_start,
+       |              max(pos) - min(pos) + 10 AS span_tokens
+       |       FROM isl GROUP BY doc_id, grp
+       |       HAVING max(pos) - min(pos) + 10 >= 15),
+       |tp AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+       |              unnest(w) AS tok FROM s3),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         WHERE NOT EXISTS (
+       |           SELECT 1 FROM sp s WHERE s.doc_id = tp.doc_id
+       |             AND tp.pos >= s.span_start
+       |             AND tp.pos < s.span_start + s.span_tokens)),
+       |g AS (SELECT doc_id, count(*) AS n_kept,
+       |             string_agg(tok, ' ' ORDER BY pos) AS scrub
+       |      FROM kept GROUP BY doc_id),
+       |s4 AS (SELECT s3.doc_id, s3.source,
+       |              CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_tok,
+       |              coalesce(g.scrub, '') AS scrub
+       |       FROM s3 LEFT JOIN g USING (doc_id)),
+       |evg AS (SELECT DISTINCT ${duckMd5Bits("s", 1, 15)} AS h FROM (
+       |          SELECT ${grams8("w")} AS s
+       |          FROM base WHERE doc_id % 97 = 0)),
+       |tr AS (SELECT doc_id, source, n_tok, scrub,
+       |              regexp_extract_all(lower(scrub), '[a-z0-9]+') AS tw
+       |       FROM s4 WHERE doc_id % 97 <> 0),
+       |trg AS (SELECT DISTINCT doc_id, ${duckMd5Bits("s", 1, 15)} AS h FROM (
+       |          SELECT doc_id, ${grams8("tw")} AS s FROM tr)),
+       |cf AS (SELECT trg.doc_id, count(*) AS n_grams,
+       |              sum(CASE WHEN evg.h IS NULL THEN 0 ELSE 1 END) AS n_hit
+       |       FROM trg LEFT JOIN evg ON trg.h = evg.h GROUP BY 1),
+       |s5 AS (SELECT tr.doc_id, tr.source, tr.n_tok, tr.scrub
+       |       FROM tr LEFT JOIN cf USING (doc_id)
+       |       WHERE cf.doc_id IS NULL OR
+       |             CAST(cf.n_hit AS DOUBLE) < 0.05 * CAST(cf.n_grams AS DOUBLE)),
+       |per_src AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s
+       |            FROM s5 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS tok_total FROM per_src),
+       |r2 AS (SELECT source,
+       |              CAST(least(1000,
+       |                (((tok_total * 40 // 100) *
+       |                  (CASE source $weightCase ELSE 0 END)) // 1000)
+       |                * 1000 // tok_s) AS BIGINT) AS accept_permille
+       |       FROM per_src CROSS JOIN tot),
+       |s6 AS (SELECT s5.* FROM s5 JOIN r2 USING (source)
+       |       WHERE ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 1000
+       |             < accept_permille),
+       |c AS (SELECT doc_id, source, n_tok, scrub,
+       |             sum(n_tok) OVER (ORDER BY doc_id
+       |                              ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM s6)
+       |SELECT doc_id, source, n_tok,
+       |       ${duckMd5Bits("scrub", 1, 15)} AS scrub_h,
+       |       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 
   /** SimHash replay: 60-bit word hashes → signed bit sums → signature
     * (token-less docs get signature 0 via the LEFT JOIN, like the Spark
@@ -4745,6 +4904,64 @@ object SparkEntry {
          |FROM tr JOIN ev ON tr.h = ev.h
          |GROUP BY 1, 2 HAVING count(DISTINCT tr.h) >= 3
          |ORDER BY train_doc, eval_doc""".stripMargin,
+    "pipe_llm_corpus" -> duckLlmPipeline,
+    // URL canonicalization: the same deterministic synthesis from
+    // (doc_id, source), the same RE2-safe regex chain, the same
+    // min-id url dedup and per-domain rank — replayed end to end.
+    "text_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'docs.' ELSE 'cdn.' END) ||
+        |    source || '.com' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/docs/' || CAST(doc_id // 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed'
+        |          WHEN doc_id % 7 = 1
+        |            THEN '?ref=' || CAST(doc_id // 40 AS VARCHAR) ||
+        |                 '&utm_campaign=w'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '#s' ELSE '' END) AS raw
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         regexp_replace(raw, '#.*$', '') AS nf,
+        |         regexp_replace(regexp_replace(raw, '#.*$', ''),
+        |                        '^[A-Za-z]+://', '') AS rest
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        |         regexp_replace(regexp_replace(
+        |           lower(regexp_extract(rest, '^([^/?#]+)', 1)),
+        |           '^www\.', ''), ':443$', '') AS host,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(rest, '^[^/?#]+', ''),
+        |           'utm_[a-z]+=[^&#]*&?', ''), '[?&]$', ''),
+        |           '/\?', '?'), '/$', '') AS tail
+        |  FROM p),
+        |b AS (
+        |  SELECT doc_id, scheme || '://' || host || tail AS url_canon,
+        |         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, url_canon, domain,
+        |         min(doc_id) OVER (PARTITION BY url_canon) AS url_dup_of
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |                                 ORDER BY doc_id) AS BIGINT)
+        |           AS domain_rk
+        |  FROM w WHERE url_dup_of = doc_id)
+        |SELECT w.doc_id, w.url_canon, w.domain, w.url_dup_of,
+        |       CAST(coalesce(r.domain_rk, 0) AS BIGINT) AS domain_rk,
+        |       CAST(CASE WHEN r.domain_rk IS NOT NULL AND r.domain_rk <= 10
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM w LEFT JOIN r ON w.doc_id = r.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     // ---- bounded-error gates for the approximate operators (r10) ----
     // Each approximate query's registered surface emits the EXACT
     // counterpart columns (recomputed here) plus a verdict column the
@@ -4801,6 +5018,11 @@ object SparkEntry {
     // budget — are predicted true, with measured margins recorded in
     // the Scaladoc (multiple borderline-flips wide at every corpus).
     "sim_pq_trained" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(5 AS BIGINT) AS k, true AS trained_ok,
+        |       true AS trained_ge_sample
+        |FROM embeddings WHERE vec_id < 64""".stripMargin,
+    "sim_ivfpq_trained" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(5 AS BIGINT) AS k, true AS trained_ok,
         |       true AS trained_ge_sample

@@ -1430,4 +1430,71 @@ object TextFunctions {
     release()
     ck
   }
+
+  /** URL/domain canonicalization (`text_url_canon`): the pass a crawl
+    * pipeline runs BEFORE any content dedup — normalize each document's
+    * URL (case-fold scheme+host, drop `www.`, drop the default `:443`
+    * port, strip `utm_*` tracking params, drop fragments and trailing
+    * slashes), dedup by canonical URL (min-doc_id survivor), extract
+    * the registered domain, and rank survivors per domain so a
+    * per-domain cap bounds any single host's share of the corpus.
+    *
+    * The corpus has no URL column, so one is SYNTHESIZED
+    * deterministically from (doc_id, source) with every normalization
+    * hazard planted: mixed-case scheme/WWW, default port, tracking
+    * params, fragments, trailing slashes — and a path keyed on
+    * `doc_id DIV 40` so raw-distinct URLs (ids i and i+20 share
+    * source, subdomain parity, and path but differ in www/port/case)
+    * COLLAPSE to one canonical URL: canonicalization-induced dup
+    * detection is exactly what the gate verifies, and DuckDB replays
+    * the same synthesis + the same RE2-safe regex chain bit-for-bit.
+    *
+    * Scale shape: pure projection (codegen'd regexps) + one window per
+    * grouping — the url group is raw-dup-sized, the per-domain rank
+    * partition is bounded by a domain's doc count (a mega-domain would
+    * ride the bounded-heap graft_topk instead of a full rank; the cap
+    * only needs the first `cap` ranks).
+    */
+  def urlCanon(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val id = col("doc_id")
+    val grp = expr("doc_id DIV 40").cast("string")
+    val raw = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(id % 2 === 0, lit("docs.")).otherwise(lit("cdn.")),
+      col("source"), lit(".com"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), grp,
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 7 === 0, lit("?utm_source=feed"))
+        .when(id % 7 === 1, concat(lit("?ref="), grp, lit("&utm_campaign=w")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, lit("#s")).otherwise(lit("")))
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, "^([^/?#]+)", 1)), "^www\\.", ""), ":443$", "")
+    val tail = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest, "^[^/?#]+", ""),
+      "utm_[a-z]+=[^&#]*&?", ""), "[?&]$", ""), "/\\?", "?"), "/$", "")
+    val base = d.select(col("doc_id"),
+      concat(scheme, lit("://"), host, tail).as("url_canon"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+    val dupOf = min(col("doc_id"))
+      .over(Window.partitionBy(col("url_canon")))
+    val withDup = base.withColumn("url_dup_of", dupOf)
+    val wDom = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    val ranked = withDup.filter(col("url_dup_of") === col("doc_id"))
+      .withColumn("domain_rk", row_number().over(wDom).cast("long"))
+      .select(col("doc_id"), col("domain_rk"))
+    withDup.join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("url_dup_of"),
+        coalesce(col("domain_rk"), lit(0L)).as("domain_rk"),
+        when(col("domain_rk").isNotNull && col("domain_rk") <= cap, 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

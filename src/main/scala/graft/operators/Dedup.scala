@@ -60,7 +60,13 @@ object Dedup {
     * aggregation. keep_id = min(doc_id) is the survivor-selection rule.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    exactOf(Tables.load(spark, dir, "documents"))
+
+  /** Frame-parameterized twin of [[exact]] — the composed pipeline
+    * gate runs it over stage survivors instead of the raw corpus.
+    */
+  def exactOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         md5(TextFunctions.normText(col("text")).cast("binary")).as("fp"))
       .groupBy(col("fp"))
@@ -497,8 +503,11 @@ object Dedup {
     * verify join touches only bucketed pairs.
     */
   def minhashPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+      threshold: Double = 0.7): DataFrame =
+    minhashPairsOf(Tables.load(spark, dir, "documents"), threshold)
+
+  /** Frame-parameterized twin of [[minhashPairs]] (pipeline stages). */
+  def minhashPairsOf(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
     // One RAW shingle pass, hashed ONCE to its md5 digest — the cached
     // (doc, digest) table feeds both the signature build (two 28-bit
     // substrings) and the verify-set hash (60-bit substring), so the
@@ -773,9 +782,13 @@ object Dedup {
     * the edge table is the (already linear) LSH pair output.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
-      maxIter: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    val pairs = minhashPairs(spark, dir).select(col("id_a"), col("id_b"))
+      maxIter: Int = 20): DataFrame =
+    nearDupClustersOf(Tables.load(spark, dir, "documents"), maxIter)
+
+  /** Frame-parameterized twin of [[nearDupClusters]] (pipeline stages). */
+  def nearDupClustersOf(corpus: DataFrame, maxIter: Int = 20): DataFrame = {
+    val docs = corpus.select(col("doc_id"))
+    val pairs = minhashPairsOf(corpus).select(col("id_a"), col("id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").cache()
@@ -1101,10 +1114,20 @@ object Dedup {
     * harmless under the probe's left-semi join). Every `compactEvery`
     * batches the per-append partial rows re-aggregate to one row per
     * gram ([[compactGramIndex]], probe-identical by spec); 0 disables.
+    *
+    * Family-specific default (round 15): the quiet-window IndexSoak
+    * re-measure showed the gram probe FLAT across 10 replayed appends
+    * (0.82–1.04 s at 88 small files vs 1.13 s base — a hash-only LEFT
+    * SEMI probe has no witness heap and doesn't care about small
+    * files), where the minhash probe climbs with accumulated dup
+    * candidates (3.49→4.37 s, reset to 3.39 s by compaction). Gram
+    * compaction is therefore a STORAGE pass (88 files → 1, counts
+    * re-aggregated exactly), not a latency rescue — it runs 4× less
+    * often than the minhash family's.
     */
   def substringStreamAgainstIndex(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, window: Int = 10,
-      minTokens: Int = 15, compactEvery: Int = 32)
+      minTokens: Int = 15, compactEvery: Int = 128)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1172,7 +1195,7 @@ object Dedup {
     * with `scrub` the surviving text — shared by the batch gate (which
     * hashes it) and the streaming scrubber (which lands it).
     */
-  private def applySpans(docs: DataFrame, spanDf: DataFrame): DataFrame = {
+  private[graft] def applySpans(docs: DataFrame, spanDf: DataFrame): DataFrame = {
     val spans = spanDf
       .select(col("doc_id").as("s_doc"), col("span_start"), col("span_tokens"))
     val toks = docs

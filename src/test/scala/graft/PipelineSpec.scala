@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipeline}
+import graft.functions.TextFunctions
+
+/** Fast invariants over the composed LLM-corpus pipeline — the hash
+  * contract itself lives in the DuckDB oracle (`pipe_llm_corpus`);
+  * these pin the properties a reader reasons with: stage containment,
+  * eval exclusion, dedup canonicality, and the packing replay.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out = Pipeline.llmCorpus(spark, sf).cache()
+
+  test("pipeline ships a non-empty, duplicate-free corpus") {
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty)
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("survivors passed the Gopher filter and exclude the eval slice") {
+    val gopherKeep = TextFunctions.gopherRules(spark, sf)
+      .filter(col("keep") === 1L).select("doc_id").as[Long].collect().toSet
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.forall(gopherKeep.contains))
+    assert(ids.forall(_ % 97 != 0))
+  }
+
+  test("survivors are exact-dedup canonical within the gopher slice") {
+    // stage-2 contract: every shipped doc is the min-doc_id owner of
+    // its normalized-text fingerprint AMONG gopher survivors
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val gopherKeep = TextFunctions.gopherRules(spark, sf)
+      .filter(col("keep") === 1L).select("doc_id")
+    val s1 = docs.join(gopherKeep, Seq("doc_id"), "left_semi")
+    val keep = Dedup.exactOf(s1).select(col("keep_id")).as[Long].collect().toSet
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.forall(keep.contains))
+  }
+
+  test("batch packing replays as the doc_id-ordered running-sum formula") {
+    val rows = out.select("doc_id", "n_tok", "batch_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (_, nTok, batchId) =>
+      assert(batchId == cum / 512L, s"cum=$cum n_tok=$nTok got=$batchId")
+      cum += nTok
+    }
+    // monotone batch ids, starting at 0 when anything shipped
+    assert(rows.isEmpty || rows.head._3 == 0L)
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+}
