@@ -59,10 +59,18 @@ object Bench {
     "dedup_substring", "text_dsir",
     "dedup_substring_incremental", "q_theil_sen")
 
+  /** Round-15 block (`value_15`/`queries_15`): the composed LLM-corpus
+    * pipeline (seven chained stages — the heaviest single plan in the
+    * gate) and the trained IVF×PQ gate (two k-means fits + shared
+    * candidate ADC ranking), regression-tracked from birth.
+    */
+  val headline15: Seq[String] = Seq(
+    "pipe_llm_corpus", "sim_ivfpq_trained")
+
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
     // the driver invokes with no args and times the full headline.
-    val all = headline ++ headlineNew ++ headline13
+    val all = headline ++ headlineNew ++ headline13 ++ headline15
     val picked = args.headOption
       .map(_.split(",").toSeq.filter(all.contains)).getOrElse(all)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,7 +111,7 @@ object Bench {
     // passes are steady-state. A run that throws contributes NO timing —
     // a fast failure must not make the benchmark look faster; failed
     // queries are reported and fail the process.
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val times = scala.collection.mutable.Map.empty[String, Vector[(Double, Int)]]
       .withDefaultValue(Vector.empty)
     // host-load bookkeeping (r12 lesson: a noisy median was diagnosable
     // only because a second quiet-host run happened to be recorded) —
@@ -133,6 +141,28 @@ object Bench {
         steals += cpu(8).toLong
       } catch { case _: Exception => iowaits += -1L; steals += -1L }
     }
+    // Steal gate (round-15, VERDICT r14 item 1): round 14 *measured*
+    // steal but didn't *act* on it — the official headline was whichever
+    // run happened last (58.7 s at ~10k stolen jiffies/window vs 45.2 s
+    // at 0.6k in the same binary). Now every timing window is gated: a
+    // pass whose cumulative-steal delta exceeds ~25 jiffies/sec of
+    // window (≈2k over a 90 s pass — the verdict's threshold; quiet
+    // runs measure <10/s, contaminated ones >100/s) is marked noisy,
+    // the block retries (bounded), and per-query minima prefer
+    // quiet-window samples. The artifact carries a per-block
+    // quiet flag so the headline is valid by construction.
+    val stealRate = sys.env.get("SPARK_GRAFT_STEAL_RATE")
+      .map(_.toDouble).getOrElse(25.0)
+    def stealNow(): Long = try {
+      val cpu = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().trim.split("\\s+")
+      cpu(8).toLong
+    } catch { case _: Exception => -1L }
+    // A window is quiet when its steal delta stays under rate*sec, with
+    // a 500-jiffy floor so sub-20 s windows aren't gated on noise blips.
+    def quietWindow(stealDelta: Long, sec: Double): Boolean =
+      stealDelta >= 0 && stealDelta <= math.max(500.0, stealRate * sec)
     // Multi-JVM mini-gate, FIRST (hygiene countermeasure 2): the
     // 12-query local-cluster soak (graft.ClusterBench) runs COLD in a
     // subprocess under local-cluster[4,8,8192] against the 10x corpus
@@ -143,52 +173,100 @@ object Bench {
     // compete with a small driver JVM, not a 100 GiB-class heap.
     // SPARK_GRAFT_CLUSTER12=0 skips (dev iteration).
     sampleDisk()
+    var cluster12Quiet = false
     val cluster12: String =
-      if (sys.env.get("SPARK_GRAFT_CLUSTER12").contains("0")) "{}"
+      if (sys.env.get("SPARK_GRAFT_CLUSTER12").contains("0")) { cluster12Quiet = true; "{}" }
       else try {
         val dir10 = Soak.materialize(spark, 10, needFacts = true)
         blockReset() // the materialize itself caches/allocates
-        val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
-          "-Xmx8g", "-Dspark.ui.enabled=false",
-          "-cp", new java.io.File("target/scala-2.13/classes").getAbsolutePath +
-            ":/opt/spark/jars/*",
-          "graft.ClusterBench", dir10)
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("SPARK_HOME", "/opt/spark")
-        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
-        pb.redirectErrorStream(false)
-        val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes())
-        val err = new String(p.getErrorStream.readAllBytes())
-        val rc = p.waitFor()
-        err.linesIterator.filter(_.contains("[cluster12]"))
-          .foreach(System.err.println)
-        out.linesIterator.find(_.startsWith("CLUSTER12 "))
-          .map(_.stripPrefix("CLUSTER12 ").trim)
-          .filter(_ => rc == 0)
-          .getOrElse {
-            System.err.println(s"[bench] cluster12 subprocess rc=$rc")
-            "{}"
-          }
+        def runOnce(): (String, Boolean) = {
+          val s0 = stealNow(); val t0 = System.nanoTime()
+          val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
+            "-Xmx8g", "-Dspark.ui.enabled=false",
+            "-cp", new java.io.File("target/scala-2.13/classes").getAbsolutePath +
+              ":/opt/spark/jars/*",
+            "graft.ClusterBench", dir10)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.environment().put("SPARK_HOME", "/opt/spark")
+          pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+          pb.redirectErrorStream(false)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes())
+          val err = new String(p.getErrorStream.readAllBytes())
+          val rc = p.waitFor()
+          err.linesIterator.filter(_.contains("[cluster12]"))
+            .foreach(System.err.println)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val quiet = quietWindow(stealNow() - s0, sec)
+          System.err.println(f"[bench] cluster12 window $sec%.1f s quiet=$quiet")
+          val json = out.linesIterator.find(_.startsWith("CLUSTER12 "))
+            .map(_.stripPrefix("CLUSTER12 ").trim)
+            .filter(_ => rc == 0)
+            .getOrElse {
+              System.err.println(s"[bench] cluster12 subprocess rc=$rc")
+              "{}"
+            }
+          (json, quiet)
+        }
+        // steal-gated with ONE retry: the block is minutes long, so a
+        // noisy first window gets a single second chance, and the
+        // artifact records which window produced the number.
+        var (json, quiet) = runOnce()
+        if (!quiet) {
+          blockReset()
+          val (json2, quiet2) = runOnce()
+          if (quiet2 || json == "{}") { json = json2; quiet = quiet2 }
+        }
+        cluster12Quiet = quiet
+        json
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cluster12 failed: ${e.getMessage}")
         "{}"
       }
     blockReset()
     sampleDisk()
-    for (pass <- 1 to 3; name <- picked) {
-      if (name == picked.head && pass >= 1) sampleLoad()
-      SparkEntry.queries.get(name).foreach { fn =>
+    // Round-robin passes, steal-gated: minimum 3 passes; while fewer
+    // than 2 of them landed in quiet steal windows, keep adding passes
+    // (max 6 — bounded retries, never an unbounded wait for a quiet
+    // host). Per-query minima prefer quiet-window samples so the
+    // headline is a quiet measurement by construction; value_median
+    // stays over ALL samples so the run's noise level remains visible.
+    val passQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val passSteal = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var passN = 0
+    while (passN < 6 && (passN < 3 || passQuiet.count(identity) < 2)) {
+      passN += 1
+      sampleLoad()
+      val s0 = stealNow(); val p0 = System.nanoTime()
+      for (name <- picked) SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+          times(name) = times(name) :+ ((System.nanoTime() - t0) / 1e9, passN)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
+      val passSec = (System.nanoTime() - p0) / 1e9
+      val sd = stealNow() - s0
+      passSteal += sd
+      passQuiet += quietWindow(sd, passSec)
+      System.err.println(
+        f"[bench] pass $passN $passSec%.1f s steal=$sd quiet=${passQuiet.last}")
     }
-    sampleLoad() // sample 4: right after the three timing passes
+    sampleLoad() // final sample: right after the timing passes
+    val mainQuiet = passQuiet.count(identity) >= 2
+    def samples(n: String): Vector[Double] = times(n).map(_._1)
+    // Per-query headline value: min over quiet-window samples when any
+    // exist, else min over everything (and the block's quiet flag says
+    // so). A noisy pass can only make a query look SLOWER, so taking
+    // the quiet min never understates cost.
+    def best(n: String): Double = {
+      val quietSamples = times(n).collect {
+        case (t, p) if passQuiet(p - 1) => t
+      }
+      if (quietSamples.nonEmpty) quietSamples.min else samples(n).min
+    }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -201,20 +279,24 @@ object Bench {
     // legacy 48 stay the round-over-round comparable "value"/"queries";
     // the round-12 widening reports beside them as value_new/queries_new
     val (okLegacy, okRest) = ok.partition(headline.contains)
-    val (okNew, ok13) = okRest.partition(headlineNew.contains)
-    val qs = okLegacy.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+    val (okNew, okRest2) = okRest.partition(headlineNew.contains)
+    val (ok13, ok15) = okRest2.partition(headline13.contains)
+    val qs = okLegacy.map(n => "\"" + n + "\":" + f"${best(n)}%.3f")
       .mkString("{", ",", "}")
-    val qsNew = okNew.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+    val qsNew = okNew.map(n => "\"" + n + "\":" + f"${best(n)}%.3f")
       .mkString("{", ",", "}")
-    val qs13 = ok13.map(n => "\"" + n + "\":" + f"${times(n).min}%.3f")
+    val qs13 = ok13.map(n => "\"" + n + "\":" + f"${best(n)}%.3f")
       .mkString("{", ",", "}")
-    val qsMedian = ok.map(n => "\"" + n + "\":" + f"${median(times(n))}%.3f")
+    val qs15 = ok15.map(n => "\"" + n + "\":" + f"${best(n)}%.3f")
+      .mkString("{", ",", "}")
+    val qsMedian = ok.map(n => "\"" + n + "\":" + f"${median(samples(n))}%.3f")
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = okLegacy.map(times(_).min).sum
-    val totalMedian = okLegacy.map(n => median(times(n))).sum
-    val totalNew = okNew.map(times(_).min).sum
-    val total13 = ok13.map(times(_).min).sum
+    val total = okLegacy.map(best).sum
+    val totalMedian = okLegacy.map(n => median(samples(n))).sum
+    val totalNew = okNew.map(best).sum
+    val total13 = ok13.map(best).sum
+    val total15 = ok15.map(best).sum
     // "queries"/"value" stay the per-query MIN (round-over-round
     // comparable with r3/r4); "value_median" exposes the noise level of
     // the run. The r5 artifact came back "parsed": null because the
@@ -236,18 +318,28 @@ object Bench {
     // keeps both passes cold at the Spark layer (no cached frames),
     // so the min is still a cold measurement — just one the host
     // can't single-handedly invalidate.
+    var soakQuiet = false
     val soak10x: String =
-      if (sys.env.get("SPARK_GRAFT_SOAK10X").contains("0")) "{}"
+      if (sys.env.get("SPARK_GRAFT_SOAK10X").contains("0")) { soakQuiet = true; "{}" }
       else try {
         sampleDisk()
         val dir10 = Soak.materialize(spark, 10, needFacts = false)
         val soakQs = Seq("text_quality", "dedup_span", "dedup_ngram_jaccard",
           "dedup_minhash_oph", "dedup_containment")
-        val best = scala.collection.mutable.Map.empty[String, Double]
+        // Steal-gated like the main block: two cold passes minimum,
+        // extra passes (max 4) while fewer than 2 were quiet; per-query
+        // min prefers quiet-window samples.
+        val bestQuiet = scala.collection.mutable.Map.empty[String, Double]
           .withDefaultValue(Double.MaxValue)
-        for (pass <- 1 to 2) {
+        val bestAll = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(Double.MaxValue)
+        var sPass = 0
+        var sQuietN = 0
+        while (sPass < 4 && (sPass < 2 || sQuietN < 2)) {
+          sPass += 1
           blockReset()
-          for (n <- soakQs) {
+          val s0 = stealNow(); val p0 = System.nanoTime()
+          val passSecs = soakQs.map { n =>
             val sec = try {
               val t0 = System.nanoTime()
               SparkEntry.queries(n)(spark, dir10)
@@ -257,12 +349,23 @@ object Bench {
               System.err.println(s"[bench] soak10x $n failed: ${e.getMessage}")
               -1.0
             }
-            System.err.println(f"[bench] soak10x pass$pass $n $sec%.3f s")
-            if (sec >= 0 && sec < best(n)) best(n) = sec
+            System.err.println(f"[bench] soak10x pass$sPass $n $sec%.3f s")
+            n -> sec
+          }
+          val quiet = quietWindow(stealNow() - s0, (System.nanoTime() - p0) / 1e9)
+          if (quiet) sQuietN += 1
+          System.err.println(s"[bench] soak10x pass$sPass quiet=$quiet")
+          for ((n, sec) <- passSecs if sec >= 0) {
+            if (sec < bestAll(n)) bestAll(n) = sec
+            if (quiet && sec < bestQuiet(n)) bestQuiet(n) = sec
           }
         }
+        soakQuiet = sQuietN >= 1
         soakQs.map { n =>
-          val sec = if (best(n) == Double.MaxValue) -1.0 else best(n)
+          val sec =
+            if (bestQuiet(n) != Double.MaxValue) bestQuiet(n)
+            else if (bestAll(n) != Double.MaxValue) bestAll(n)
+            else -1.0
           f""""$n":$sec%.3f"""
         }.mkString("{", ",", "}")
       } catch { case e: Throwable =>
@@ -270,17 +373,20 @@ object Bench {
         "{}"
       }
     sampleDisk()
+    val quietJson = s"""{"main":$mainQuiet,"soak10x":$soakQuiet,"cluster12":$cluster12Quiet}"""
     val host = s"""{"loadavg":${loads.map(l => f"$l%.2f")
       .mkString("[", ",", "]")},"iowait_jiffies":${iowaits
       .mkString("[", ",", "]")},"steal_jiffies":${steals
-      .mkString("[", ",", "]")},"disk_free_mb":${diskFree
+      .mkString("[", ",", "]")},"pass_steal":${passSteal
+      .mkString("[", ",", "]")},"pass_quiet":${passQuiet
+      .mkString("[", ",", "]")},"steal_rate_gate":$stealRate,"disk_free_mb":${diskFree
       .mkString("[", ",", "]")},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     // parseSec: pull a numeric total out of a block's {"q":sec,...}
     // map so the FINAL machine line can carry totals only
     def blockTotal(json: String): Double =
       "-?\\d+\\.\\d+".r.findAllIn(json).map(_.toDouble).filter(_ >= 0).sum
     val detail = f"""{"metric":"detail","queries_median":$qsMedian,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"unit":"sec","queries":$qs,"queries_new":$qsNew,"queries_13":$qs13,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"value_15":$total15%.3f,"unit":"sec","quiet":$quietJson,"queries":$qs,"queries_new":$qsNew,"queries_13":$qs13,"queries_15":$qs15,"failed":$failedJson,"soak10x":$soak10x,"cluster12":$cluster12,"host":$host,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final line — r13's full line outgrew that window and the
     // round's official artifact carried no headline. The full line
@@ -289,7 +395,7 @@ object Bench {
     // round-over-round contract: totals for every block plus the
     // legacy 48-query map (the r4-proven size that has parsed every
     // round since).
-    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"soak10x_total":${blockTotal(soak10x)}%.3f,"cluster12_total":${blockTotal(cluster12)}%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"host":$host,"sf":"$sfDir"}"""
+    val machine = f"""{"metric":"total","value":$total%.3f,"value_median":$totalMedian%.3f,"value_new":$totalNew%.3f,"value_13":$total13%.3f,"value_15":$total15%.3f,"soak10x_total":${blockTotal(soak10x)}%.3f,"cluster12_total":${blockTotal(cluster12)}%.3f,"unit":"sec","quiet":$quietJson,"queries":$qs,"failed":$failedJson,"host":$host,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try { w.println(full); w.println(detail) } finally w.close()

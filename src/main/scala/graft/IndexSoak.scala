@@ -38,10 +38,37 @@ object IndexSoak {
     val batch = docs.filter(col("doc_id") % 4 === 2)
     val probeDocs = docs.filter(col("doc_id") % 4 === 0)
 
-    def timed(body: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = body
-      ((System.nanoTime() - t0) / 1e9, n)
+    // Steal-gated min-of-2 per step (round 15): the round-14 gram rows
+    // swung 0.84→7.88 s between adjacent appends purely with the host's
+    // steal counter, making the family's compaction story unreadable.
+    // Each step now runs the probe at least twice, retries while the
+    // window was steal-noisy (max 4 attempts), takes the min of quiet
+    // attempts (min overall if none were quiet), and records the
+    // per-attempt steal deltas so the row is self-diagnosing.
+    def stealNow(): Long = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+        .next().trim.split("\\s+")(8).toLong
+    } catch { case _: Exception => -1L }
+    def timed(body: => Long): (Double, Long, Boolean, Long) = {
+      var best = Double.MaxValue
+      var bestQuiet = Double.MaxValue
+      var n = 0L
+      var anyQuiet = false
+      var worstSteal = 0L
+      var attempt = 0
+      while (attempt < 4 && (attempt < 2 || !anyQuiet)) {
+        attempt += 1
+        val s0 = stealNow(); val t0 = System.nanoTime()
+        n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        val sd = stealNow() - s0
+        worstSteal = math.max(worstSteal, sd)
+        val quiet = sd >= 0 && sd <= math.max(500.0, 25.0 * sec)
+        if (quiet) { anyQuiet = true; bestQuiet = math.min(bestQuiet, sec) }
+        best = math.min(best, sec)
+      }
+      (if (anyQuiet) bestQuiet else best, n, anyQuiet, worstSteal)
     }
     def files(path: String): Int =
       Option(new java.io.File(path).listFiles()).toSeq.flatten
@@ -56,8 +83,8 @@ object IndexSoak {
         spark.read.parquet(s"$mhIdx/sigs.parquet"), threshold = 0.5).count()
     }
     def mhEmit(step: String): Unit = {
-      val (sec, n) = timed(mhProbe())
-      emit(f"""{"metric":"index_soak","family":"mh","scale":$k,"step":"$step","probe_sec":$sec%.3f,"pairs":$n,"band_files":${files(s"$mhIdx/bands.parquet")}}""")
+      val (sec, n, quiet, steal) = timed(mhProbe())
+      emit(f"""{"metric":"index_soak","family":"mh","scale":$k,"step":"$step","probe_sec":$sec%.3f,"pairs":$n,"band_files":${files(s"$mhIdx/bands.parquet")},"quiet":$quiet,"steal":$steal}""")
     }
     mhEmit("base")
     for (i <- 1 to appends) {
@@ -74,8 +101,8 @@ object IndexSoak {
       graft.operators.Dedup.probeGramIndex(probeDocs,
         spark.read.parquet(s"$grIdx/grams.parquet")).count()
     def grEmit(step: String): Unit = {
-      val (sec, n) = timed(grProbe())
-      emit(f"""{"metric":"index_soak","family":"gram","scale":$k,"step":"$step","probe_sec":$sec%.3f,"spans":$n,"gram_files":${files(s"$grIdx/grams.parquet")}}""")
+      val (sec, n, quiet, steal) = timed(grProbe())
+      emit(f"""{"metric":"index_soak","family":"gram","scale":$k,"step":"$step","probe_sec":$sec%.3f,"spans":$n,"gram_files":${files(s"$grIdx/grams.parquet")},"quiet":$quiet,"steal":$steal}""")
     }
     grEmit("base")
     for (i <- 1 to appends) {
