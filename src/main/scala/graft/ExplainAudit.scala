@@ -77,7 +77,13 @@ object ExplainAudit {
     // probe / compacted index read; the rewrite runs eagerly and is
     // audited by IndexSoak)
     "sim_pq_trained", "dedup_compact_probe", "dedup_compact_grams",
-    "src_zorder_roundtrip")
+    "src_zorder_roundtrip",
+    // round 15: the composed LLM-corpus pipeline (the engine's largest
+    // single plan — seven chained stages, one DAG), the trained IVF×PQ
+    // verdict (both k-means fits run eagerly at build time; the plan is
+    // the shared-candidate ADC ranking + hit totals), and the URL
+    // canonicalization pass (codegen'd regex chain + two windows)
+    "pipe_llm_corpus", "sim_ivfpq_trained", "text_url_canon")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
