@@ -83,7 +83,8 @@ object ExplainAudit {
     // verdict (both k-means fits run eagerly at build time; the plan is
     // the shared-candidate ADC ranking + hit totals), and the URL
     // canonicalization pass (codegen'd regex chain + two windows)
-    "pipe_llm_corpus", "sim_ivfpq_trained", "text_url_canon")
+    "pipe_llm_corpus", "sim_ivfpq_trained", "text_url_canon",
+    "pipe_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

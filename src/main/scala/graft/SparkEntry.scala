@@ -340,6 +340,7 @@ object SparkEntry {
     "q_constraint_audit" -> ((s, d) => Relational.constraintAudit(s, d)),
     "text_contamination_pairs" -> ((s, d) => TextFunctions.contaminationPairs(s, d)),
     "pipe_llm_corpus" -> ((s, d) => graft.operators.Pipeline.llmCorpus(s, d)),
+    "pipe_report" -> ((s, d) => graft.operators.Pipeline.llmReport(s, d)),
     "text_url_canon" -> ((s, d) => TextFunctions.urlCanon(s, d))
   )
 
@@ -932,7 +933,7 @@ object SparkEntry {
     * scrubbed) each detector reads, and which token counts drive the
     * budget and the packing.
     */
-  private val duckLlmPipeline: String = {
+  private val duckLlmStageCtes: String = {
     import graft.operators.Dedup.{MinhashBands, MinhashK}
     val rowsPerBand = MinhashK / MinhashBands
     val sigCols = (0 until MinhashK)
@@ -949,8 +950,7 @@ object SparkEntry {
          |         THEN list_transform(range(len($src) - 7),
          |                i -> array_to_string($src[i+1:i+8], ' '))
          |         ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
-    s"""WITH RECURSIVE
-       |base AS (SELECT doc_id, source, text, ${textWords()} AS w FROM documents),
+    s"""base AS (SELECT doc_id, source, text, ${textWords()} AS w FROM documents),
        |gf AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, len(w) AS n_words,
@@ -1068,7 +1068,12 @@ object SparkEntry {
        |       FROM per_src CROSS JOIN tot),
        |s6 AS (SELECT s5.* FROM s5 JOIN r2 USING (source)
        |       WHERE ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 1000
-       |             < accept_permille),
+       |             < accept_permille)""".stripMargin
+  }
+
+  private val duckLlmPipeline: String =
+    s"""WITH RECURSIVE
+       |$duckLlmStageCtes,
        |c AS (SELECT doc_id, source, n_tok, scrub,
        |             sum(n_tok) OVER (ORDER BY doc_id
        |                              ROWS UNBOUNDED PRECEDING) AS cum
@@ -1077,7 +1082,37 @@ object SparkEntry {
        |       ${duckMd5Bits("scrub", 1, 15)} AS scrub_h,
        |       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS batch_id
        |FROM c ORDER BY doc_id""".stripMargin
-  }
+
+  /** `pipe_report` replay: the same stage CTEs read out as one
+    * aggregate row per stage — raw word counts through detection,
+    * scrubbed counts from the scrub stage on.
+    */
+  private val duckLlmReport: String =
+    s"""WITH RECURSIVE
+       |$duckLlmStageCtes
+       |SELECT stage_no, stage, n_docs, n_tokens FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_tokens FROM base
+       |  UNION ALL SELECT CAST(1 AS BIGINT), 'gopher',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'cluster_dedup',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s3
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'substring_scrub',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s4
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontaminate',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s5
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'mixture_sample',
+       |         CAST(count(*) AS BIGINT),
+       |         CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s6
+       |) ORDER BY stage_no""".stripMargin
 
   /** SimHash replay: 60-bit word hashes → signed bit sums → signature
     * (token-less docs get signature 0 via the LEFT JOIN, like the Spark
@@ -4905,6 +4940,7 @@ object SparkEntry {
          |GROUP BY 1, 2 HAVING count(DISTINCT tr.h) >= 3
          |ORDER BY train_doc, eval_doc""".stripMargin,
     "pipe_llm_corpus" -> duckLlmPipeline,
+    "pipe_report" -> duckLlmReport,
     // URL canonicalization: the same deterministic synthesis from
     // (doc_id, source), the same RE2-safe regex chain, the same
     // min-id url dedup and per-domain rank — replayed end to end.

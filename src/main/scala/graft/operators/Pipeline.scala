@@ -51,8 +51,14 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  def llmCorpus(spark: SparkSession, dir: String,
-      capacity: Long = 512L): DataFrame = {
+  /** The stage survivor frames, shared by the corpus gate and the
+    * attrition report. s1–s3 are full-width document frames; s4–s6
+    * carry (doc_id, source, n_tok, scrub) with n_tok the SCRUBBED
+    * token count.
+    */
+  private def stageFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.load(spark, dir, "documents")
 
     // Stage 1 — Gopher structural quality filter.
@@ -122,6 +128,12 @@ object Pipeline {
     val s6 = s5.join(broadcast(rates), Seq("source"))
       .filter(bucket < col("accept_permille"))
 
+    (docs, s1, s2, s3, s4, s5, s6)
+  }
+
+  def llmCorpus(spark: SparkSession, dir: String,
+      capacity: Long = 512L): DataFrame = {
+    val (_, _, _, _, _, _, s6) = stageFrames(spark, dir)
     // Stage 7 — batch packing: scalable two-phase prefix sum over
     // doc_id order (doc_id is unique — Prefix.runningSum's contract).
     Prefix.runningSum(
@@ -132,5 +144,38 @@ object Pipeline {
         floor((col("cum") - col("n_tok")).cast("double") / capacity)
           .cast("long").as("batch_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-stage attrition report (`pipe_report`): where the corpus went
+    * — one row per pipeline stage with surviving docs and tokens (raw
+    * word counts through the detection stages, SCRUBBED counts from
+    * the scrub stage on, where tokens can shrink without docs
+    * disappearing). This is the dashboard a data team reads before
+    * shipping a mixture; the composed-gate twin of `dedup_report`.
+    * Each stage frame aggregates to ONE row (map-side combinable), so
+    * the report costs the pipeline's own scan shapes plus seven
+    * one-row aggregates.
+    */
+  def llmReport(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, s1, s2, s3, s4, s5, s6) = stageFrames(spark, dir)
+    def aggRaw(df: DataFrame, no: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextFunctions.nWords(lower(col("text")))), lit(0L))
+            .as("n_tokens"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    def aggScrub(df: DataFrame, no: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    aggRaw(docs, 0, "raw")
+      .unionAll(aggRaw(s1, 1, "gopher"))
+      .unionAll(aggRaw(s2, 2, "exact_dedup"))
+      .unionAll(aggRaw(s3, 3, "cluster_dedup"))
+      .unionAll(aggScrub(s4, 4, "substring_scrub"))
+      .unionAll(aggScrub(s5, 5, "decontaminate"))
+      .unionAll(aggScrub(s6, 6, "mixture_sample"))
+      .orderBy(col("stage_no"))
   }
 }

@@ -40,6 +40,21 @@ class PipelineSpec extends SparkSpec {
     assert(ids.forall(keep.contains))
   }
 
+  test("attrition report: monotone, 7 stages, final row equals the shipped corpus") {
+    val rep = Pipeline.llmReport(spark, sf)
+      .select("stage_no", "stage", "n_docs", "n_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rep.map(_._1).toSeq == (0L to 6L))
+    // docs and tokens never grow through the pipeline (scrub shrinks
+    // tokens without dropping docs; filters drop docs)
+    assert(rep.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(rep.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    // the mixture_sample row IS the shipped corpus
+    val shipped = out.agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L)))
+      .as[(Long, Long)].collect()(0)
+    assert((rep.last._3, rep.last._4) == shipped)
+  }
+
   test("batch packing replays as the doc_id-ordered running-sum formula") {
     val rows = out.select("doc_id", "n_tok", "batch_id")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
