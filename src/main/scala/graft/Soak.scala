@@ -79,7 +79,13 @@ object Soak {
     // event-sequence + graph + basket self-joins
     "q_sessionize", "q_market_basket", "q_pagerank",
     // banded embedding pairs + benchmark-contamination gram join
-    "sim_rp_lsh", "text_contamination")
+    "sim_rp_lsh", "text_contamination",
+    // round 15: the composed seven-stage corpus pipeline + its
+    // attrition report (every stage already soaks piecemeal above;
+    // the composition's own curve is the end-to-end claim) and the
+    // URL canonicalization pass (expected flat — pure projection +
+    // bounded windows)
+    "pipe_llm_corpus", "pipe_report", "text_url_canon")
 
   private val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val root = "/tmp/graft_soak"
@@ -117,7 +123,7 @@ object Soak {
     * only when a requested query actually needs them.
     */
   private def corpusOnly(q: String): Boolean =
-    Seq("dedup_", "text_", "sim_", "mm_").exists(q.startsWith)
+    Seq("dedup_", "text_", "sim_", "mm_", "pipe_").exists(q.startsWith)
 
   /** Queries that read ONLY the embeddings table — an embeddings-only
     * soak (e.g. sim_rp_lsh at 2048x to activate the tier-4 banding at
@@ -259,17 +265,32 @@ object Soak {
       // re-runs, inflating the 10x->100x factor into a spurious
       // super-linear flag for the dedup family.
       val passes = if (k >= 1000) 1 else 2
+      // Per-row steal annotation (the round-15 discipline — see
+      // Bench/IndexSoak): no retries here (growth factors compare
+      // cold-to-cold, so synthetic extra passes would change the
+      // semantics), but every row records whether its window was
+      // quiet so a contaminated curve is diagnosable from the row.
+      def stealNow(): Long = try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))).linesIterator
+          .next().trim.split("\\s+")(8).toLong
+      } catch { case _: Exception => -1L }
       for (name <- picked) {
         SparkEntry.queries.get(name).foreach { fn =>
           try {
+            val s0 = stealNow()
+            val t0All = System.nanoTime()
             val times = (1 to passes).map { _ =>
               val t0 = System.nanoTime()
               fn(spark, dir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
+            val sd = stealNow() - s0
+            val wallAll = (System.nanoTime() - t0All) / 1e9
+            val quiet = sd >= 0 && sd <= math.max(500.0, 25.0 * wallAll)
             val sec = times.min
             total += sec
-            emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f,"sec_cold":${times.head}%.3f}""")
+            emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f,"sec_cold":${times.head}%.3f,"quiet":$quiet,"steal":$sd}""")
           } catch { case e: Throwable =>
             emit(s"""{"metric":"soak","scale":$k,"query":"$name","error":"${
               Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -152,9 +152,15 @@ object Pipeline {
     * the scrub stage on, where tokens can shrink without docs
     * disappearing). This is the dashboard a data team reads before
     * shipping a mixture; the composed-gate twin of `dedup_report`.
-    * Each stage frame aggregates to ONE row (map-side combinable), so
-    * the report costs the pipeline's own scan shapes plus seven
-    * one-row aggregates.
+    *
+    * Cost honesty: each stage aggregates to ONE row (map-side
+    * combinable), but Catalyst does not share subplans across union
+    * branches, so each branch recomputes its stage prefix — measured
+    * at the 10x soak the whole report costs about one pipeline run
+    * (40.2 s vs 38.4 s; the late stages dominate and appear once per
+    * chain anyway). A production run that wants the report for free
+    * materializes the stage frames it is already shipping and
+    * aggregates those.
     */
   def llmReport(spark: SparkSession, dir: String): DataFrame = {
     val (docs, s1, s2, s3, s4, s5, s6) = stageFrames(spark, dir)

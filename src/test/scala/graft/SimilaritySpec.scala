@@ -336,4 +336,26 @@ class SimilaritySpec extends SparkSpec {
     assert(gate(0).getAs[Boolean]("trained_ok"))
     assert(gate(0).getAs[Boolean]("trained_ge_sample"))
   }
+
+  test("trained IVF×PQ: identical candidate sets, trained codebook wins, " +
+    "verdicts hold with margin") {
+    import org.apache.spark.sql.functions._
+    // the raw stats behind the gate: hits over 64 queries × k=5
+    val st = Similarity.ivfpqTrainedStats(spark, sf).collect()
+    assert(st.length == 1)
+    val (nq, tHits, sHits) = (st(0).getAs[Long]("n_queries"),
+      st(0).getAs[Long]("t_hits"), st(0).getAs[Long]("s_hits"))
+    assert(nq == 64L)
+    info(s"ivfpq trained=$tHits vs blind-sample=$sHits hits over ${nq * 5} slots")
+    // the coarse side is shared, so the comparison isolates the PQ
+    // codebook: training must not lose, and the floor must clear with
+    // headroom (measured 57 vs 28 at sf0.001 — many flips wide)
+    assert(tHits >= sHits)
+    assert(tHits.toDouble >= 2 * 0.03 * nq * 5,
+      s"floor margin collapsed: $tHits hits")
+    val gate = Similarity.ivfpqTrainedGate(spark, sf).collect()
+    assert(gate.length == 1)
+    assert(gate(0).getAs[Boolean]("trained_ok"))
+    assert(gate(0).getAs[Boolean]("trained_ge_sample"))
+  }
 }

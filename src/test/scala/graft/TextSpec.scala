@@ -366,4 +366,30 @@ class TextSpec extends SparkSpec {
     val b = TextFunctions.dsirSelect(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "must be deterministic")
   }
+
+  test("urlCanon: every hazard normalized away, collapse is non-vacuous, caps hold") {
+    val rows = TextFunctions.urlCanon(spark, sf).collect()
+    assert(rows.length == 500)
+    val urls = rows.map(_.getString(1))
+    // the normalization contract, checked on every canonical URL
+    assert(urls.forall(_.startsWith("https://")))
+    assert(urls.forall(u => !u.contains("WWW.") && !u.contains("www.")))
+    assert(urls.forall(u => !u.contains(":443")))
+    assert(urls.forall(u => !u.contains("utm_")))
+    assert(urls.forall(u => !u.contains("#")))
+    assert(urls.forall(u => !u.endsWith("/") && !u.contains("/?")))
+    // canonicalization-induced dup detection actually fires: raw URLs
+    // are all distinct by construction, yet canonical forms collide
+    assert(rows.exists(r => r.getLong(3) != r.getLong(0)),
+      "no canonical collapse — the dup synthesis is vacuous")
+    // registered domains are per-source; caps bound every domain at 10
+    val domains = rows.map(_.getString(2))
+    assert(domains.forall(_.matches("src\\d+\\.com")))
+    val keptPerDomain = rows.filter(_.getLong(5) == 1L)
+      .groupBy(_.getString(2)).map(_._2.length)
+    assert(keptPerDomain.nonEmpty && keptPerDomain.forall(_ <= 10))
+    // keep implies url-canonical (a duplicate can never be kept)
+    assert(rows.filter(_.getLong(5) == 1L)
+      .forall(r => r.getLong(3) == r.getLong(0)))
+  }
 }
