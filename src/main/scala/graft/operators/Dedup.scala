@@ -1116,14 +1116,17 @@ object Dedup {
     * gram ([[compactGramIndex]], probe-identical by spec); 0 disables.
     *
     * Family-specific default (round 15): the quiet-window IndexSoak
-    * re-measure showed the gram probe FLAT across 10 replayed appends
-    * (0.82–1.04 s at 88 small files vs 1.13 s base — a hash-only LEFT
-    * SEMI probe has no witness heap and doesn't care about small
-    * files), where the minhash probe climbs with accumulated dup
-    * candidates (3.49→4.37 s, reset to 3.39 s by compaction). Gram
-    * compaction is therefore a STORAGE pass (88 files → 1, counts
-    * re-aggregated exactly), not a latency rescue — it runs 4× less
-    * often than the minhash family's.
+    * re-measures showed the gram probe flat through ~100 small files
+    * and only mildly climbing after (2.2× at 328 files over a 40-
+    * append run — a hash-only LEFT SEMI probe has no witness heap and
+    * no per-duplicate fan-out; the residual climb is listing/footer
+    * overhead), where the minhash probe's curve is steeper AND turns
+    * into witness-heap recall loss past ~35 replayed appends. Gram
+    * compaction is therefore a STORAGE pass (328 files → 2, counts
+    * re-aggregated exactly) whose latency value is a bounded ~3×
+    * worst case on a ~1 s probe at this default — it runs 4× less
+    * often than the minhash family's; dial down to 32 for
+    * latency-sensitive deployments. (docs/SCALING.md round 15.)
     */
   def substringStreamAgainstIndex(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, window: Int = 10,
