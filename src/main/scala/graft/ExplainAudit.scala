@@ -84,7 +84,11 @@ object ExplainAudit {
     // the shared-candidate ADC ranking + hit totals), and the URL
     // canonicalization pass (codegen'd regex chain + two windows)
     "pipe_llm_corpus", "sim_ivfpq_trained", "text_url_canon",
-    "pipe_report")
+    "pipe_report",
+    // round 16: the materialized-stage report (the returned plan is
+    // the seven single-row aggregates over LANDED frames — the stage
+    // landing runs eagerly and is measured by PipeSoak)
+    "pipe_report_mat")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -341,6 +341,8 @@ object SparkEntry {
     "text_contamination_pairs" -> ((s, d) => TextFunctions.contaminationPairs(s, d)),
     "pipe_llm_corpus" -> ((s, d) => graft.operators.Pipeline.llmCorpus(s, d)),
     "pipe_report" -> ((s, d) => graft.operators.Pipeline.llmReport(s, d)),
+    "pipe_report_mat" ->
+      ((s, d) => graft.operators.Pipeline.llmReportMaterialized(s, d)),
     "text_url_canon" -> ((s, d) => TextFunctions.urlCanon(s, d))
   )
 
@@ -1061,10 +1063,10 @@ object SparkEntry {
        |            FROM s5 GROUP BY 1),
        |tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS tok_total FROM per_src),
        |r2 AS (SELECT source,
-       |              CAST(least(1000,
+       |              CAST(CASE WHEN tok_s = 0 THEN 0 ELSE least(1000,
        |                (((tok_total * 40 // 100) *
        |                  (CASE source $weightCase ELSE 0 END)) // 1000)
-       |                * 1000 // tok_s) AS BIGINT) AS accept_permille
+       |                * 1000 // tok_s) END AS BIGINT) AS accept_permille
        |       FROM per_src CROSS JOIN tot),
        |s6 AS (SELECT s5.* FROM s5 JOIN r2 USING (source)
        |       WHERE ${duckMd5Bits("CAST(doc_id AS VARCHAR)", 1, 7)} % 1000
@@ -3977,8 +3979,9 @@ object SparkEntry {
          |           AS budget_s
          |  FROM per_src CROSS JOIN tot),
          |r2 AS (SELECT source, tok_s, budget_s,
-         |              CAST(least(1000, budget_s * 1000 // tok_s) AS BIGINT)
-         |                AS accept_permille
+         |              CAST(CASE WHEN tok_s = 0 THEN 0
+         |                   ELSE least(1000, budget_s * 1000 // tok_s) END
+         |                   AS BIGINT) AS accept_permille
          |       FROM rates),
          |kept AS (
          |  SELECT d.source, count(*) AS n_docs_kept,
@@ -4941,6 +4944,9 @@ object SparkEntry {
          |ORDER BY train_doc, eval_doc""".stripMargin,
     "pipe_llm_corpus" -> duckLlmPipeline,
     "pipe_report" -> duckLlmReport,
+    // the materialized-stage-frames mode is gated on the SAME replay
+    // as the recompute mode — the modes are row-identical by contract
+    "pipe_report_mat" -> duckLlmReport,
     // URL canonicalization: the same deterministic synthesis from
     // (doc_id, source), the same RE2-safe regex chain, the same
     // min-id url dedup and per-domain rank — replayed end to end.

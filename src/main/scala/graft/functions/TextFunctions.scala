@@ -243,8 +243,14 @@ object TextFunctions {
     * tokenize pass, all rules inside whole-stage codegen, no shuffle
     * until the output sort.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.load(spark, dir, "documents"))
+
+  /** Frame-based twin of [[gopherRules]] — the shape the composed
+    * pipeline (stage 1 over the raw corpus) and the streaming corpus
+    * twin (per-microbatch structural filter) consume.
+    */
+  def gopherRulesOf(d: DataFrame): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
     val base = d.select(col("doc_id"),
       words(lower(col("text"))).as("toks"),
@@ -597,8 +603,13 @@ object TextFunctions {
       .crossJoin(broadcast(total))
       .withColumn("budget_s",
         expr(s"(tok_total * $budgetPct DIV 100) * w_permille DIV 1000"))
+      // tok_s = 0 guarded explicitly (ADVICE r15): Spark's DIV by zero
+      // yields NULL and least(1000, NULL) = 1000 (accept all) while
+      // DuckDB's // raises — a source whose surviving token sum is 0
+      // accepts nothing on both sides instead of diverging.
       .withColumn("accept_permille",
-        least(lit(1000L), expr("budget_s * 1000 DIV tok_s")))
+        when(col("tok_s") === 0L, lit(0L)).otherwise(
+          least(lit(1000L), expr("budget_s * 1000 DIV tok_s"))))
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7),
         16, 10).cast("long"), lit(1000L))
@@ -709,8 +720,23 @@ object TextFunctions {
     * overlap test is an equi-join on longs: eval grams shuffle once,
     * training grams once, nothing pairwise — at 100 TB the eval side
     * is a fraction of the corpus and the join stays linear.
+    *
+    * Join route is SIZE-AWARE (round 16, VERDICT r15 item 3): the
+    * broadcast of the eval-gram set was unconditional, but that set is
+    * corpus-proportional (1/97 of the corpus's distinct grams) — at
+    * some scale it stops fitting an executor. A pass-0 rollup (the
+    * Quantiles.auto discipline) counts the distinct eval grams once —
+    * one cheap action over the held-out slice — and routes: ≤
+    * `evalBroadcastMax` grams (default 8M longs ≈ 64 MB serialized —
+    * comfortably executor-resident) broadcasts so the training grams
+    * never shuffle; above it the hint is dropped and both sides
+    * shuffle on `h` (linear, no executor-memory cliff). Identical
+    * output either way (spec-pinned via a forced `evalBroadcastMax=0`
+    * run); the eval branch is computed twice (once for the count, once
+    * in the plan) — 2× of the corpus's cheapest 1/97 slice.
     */
-  def contamination(spark: SparkSession, dir: String, window: Int = 8): DataFrame = {
+  def contamination(spark: SparkSession, dir: String, window: Int = 8,
+      evalBroadcastMax: Long = 8000000L): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     val isEval = col("doc_id") % 97 === 0
     // Per-document distinct grams computed INSIDE the row
@@ -727,11 +753,15 @@ object TextFunctions {
         explode(array_distinct(hashedTokenWindows(col("toks"), window))).as("h"))
     val evalGrams = grams(d.filter(isEval)).select(col("h")).distinct()
       .withColumn("hit", lit(1L))
-    // Eval-gram set is a fraction of the corpus → broadcast, so the
-    // training grams never shuffle for the join; the per-doc groupBy
-    // collapses map-side (an exploded doc's rows share a partition).
+    // Route on the measured eval-gram count (see scaladoc): under the
+    // threshold the broadcast keeps the training grams from shuffling
+    // for the join and the per-doc groupBy collapses map-side (an
+    // exploded doc's rows share a partition); over it, shuffle both.
+    val evalSide =
+      if (evalGrams.count() <= evalBroadcastMax) broadcast(evalGrams)
+      else evalGrams
     val perDoc = grams(d.filter(!isEval))
-      .join(broadcast(evalGrams), Seq("h"), "left")
+      .join(evalSide, Seq("h"), "left")
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -752,12 +782,14 @@ object TextFunctions {
     * actionable form of `text_contamination`'s per-doc fraction
     * (knowing a benchmark leaked is what lets you pull it). Same
     * 8-token 60-bit window hashes; the (train, eval) pair emerges
-    * from the gram equi-join (train grams ⋈ broadcast eval grams —
-    * never pairwise docs) and survives at ≥ minShared distinct
-    * shared windows. Linear in corpus gram volume.
+    * from the gram equi-join (train grams ⋈ eval grams — never
+    * pairwise docs) and survives at ≥ minShared distinct shared
+    * windows. Linear in corpus gram volume. Same size-aware broadcast
+    * route as [[contamination]] — and this side carries (eval_doc, h)
+    * pairs from a 1/10 slice, so the broadcast ceiling matters sooner.
     */
   def contaminationPairs(spark: SparkSession, dir: String, window: Int = 8,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3, evalBroadcastMax: Long = 8000000L): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     // a tenth of the corpus held out (the % 97 slice of
     // text_contamination happens to share no 8-gram with this
@@ -769,8 +801,11 @@ object TextFunctions {
         explode(array_distinct(hashedTokenWindows(col("toks"), window))).as("h"))
     val evalGrams = grams(d.filter(isEval))
       .select(col("doc_id").as("eval_doc"), col("h")).distinct()
+    val evalSide =
+      if (evalGrams.count() <= evalBroadcastMax) broadcast(evalGrams)
+      else evalGrams
     grams(d.filter(!isEval))
-      .join(broadcast(evalGrams), Seq("h"))
+      .join(evalSide, Seq("h"))
       .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
       .agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -1449,11 +1484,19 @@ object TextFunctions {
     * detection is exactly what the gate verifies, and DuckDB replays
     * the same synthesis + the same RE2-safe regex chain bit-for-bit.
     *
-    * Scale shape: pure projection (codegen'd regexps) + one window per
-    * grouping — the url group is raw-dup-sized, the per-domain rank
-    * partition is bounded by a domain's doc count (a mega-domain would
-    * ride the bounded-heap graft_topk instead of a full rank; the cap
-    * only needs the first `cap` ranks).
+    * Scale shape: pure projection (codegen'd regexps) + one window for
+    * the url-dup grouping — that partition is raw-dup-sized (bounded by
+    * a URL's duplicate count). The per-domain rank does NOT window over
+    * the domain partition: the output contract carries every survivor's
+    * FULL rank (not just the capped head), so the graft_topk escape the
+    * round-15 scaladoc promised would change the contract — instead the
+    * rank rides the two-phase scalable prefix sum (Prefix.runningSum of
+    * 1L per survivor, partitioned by domain, ordered by doc_id): a
+    * mega-domain's survivors range-partition across the cluster and
+    * each task sorts only its own slice, with per-(partition, domain)
+    * totals broadcast back as offsets. Integral sum of 1s ⇒ the rank is
+    * bit-identical to row_number, so the DuckDB oracle keeps replaying
+    * the plain window formulation (round 16, VERDICT r15 item 4).
     */
   def urlCanon(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
@@ -1485,9 +1528,10 @@ object TextFunctions {
     val dupOf = min(col("doc_id"))
       .over(Window.partitionBy(col("url_canon")))
     val withDup = base.withColumn("url_dup_of", dupOf)
-    val wDom = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
-    val ranked = withDup.filter(col("url_dup_of") === col("doc_id"))
-      .withColumn("domain_rk", row_number().over(wDom).cast("long"))
+    val ranked = graft.operators.Prefix.runningSum(
+        withDup.filter(col("url_dup_of") === col("doc_id"))
+          .select(col("doc_id"), col("domain")),
+        lit(1L), "domain_rk", Seq(col("doc_id")), Seq("domain"))
       .select(col("doc_id"), col("domain_rk"))
     withDup.join(ranked, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url_canon"), col("domain"),

@@ -48,6 +48,51 @@ class DedupIndexLifecycleSpec extends SparkSpec {
     assert(bands.count() == nDocs * 8)
   }
 
+  test("witness displacement: replayed appends evict true pairs from the " +
+    "capped heap; compaction restores every displaced pair") {
+    // The round-15 40-append soak found the witness heap DISPLACING
+    // true pairs past ~35 uncompacted appends at the 64-slot default
+    // (972,504 → 949,827 pairs — recall loss, not just output bloat;
+    // docs/SCALING.md round 15). compactEvery=32 fires first in the
+    // streaming loop, but nothing PROVED the displaced pairs come
+    // back. This case drives the same arithmetic scaled to spec data:
+    // the heap holds 8·maxWitnesses smallest old ids WITH
+    // band-duplicate slots, so R replayed appends give every batch
+    // old id up to 8·(R+1) copies — crowding distinct survivors
+    // toward 8·maxWitnesses / (8·(R+1)). maxWitnesses=2 (16 slots) ×
+    // 16 total copies reproduces the 64-slot × ~35-append regime: any
+    // batch candidate that lands even ONE band now floods the whole
+    // heap, evicting every larger true witness.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val history = docs.filter(col("doc_id") % 4 === 1)
+    val batch = docs.filter(col("doc_id") % 4 === 2)
+    val fresh = docs.filter(col("doc_id") % 4 === 0)
+    val idx = Scratch.dir("mh_idx_displace_spec")
+    Dedup.writeMinhashIndex(history, idx)
+    Dedup.appendToMinhashIndex(batch, idx)
+    def probe(): Set[(Long, Long)] = Dedup.probeMinhashIndex(fresh,
+        spark.read.parquet(s"$idx/bands.parquet"),
+        spark.read.parquet(s"$idx/sigs.parquet"), threshold = 0.5,
+        maxWitnesses = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = probe()
+    assert(baseline.nonEmpty)
+    // at-least-once replay, compaction OFF: 15 more appends of the
+    // same batch — 16 copies of every batch doc's band rows
+    for (_ <- 1 to 15) Dedup.appendToMinhashIndex(batch, idx)
+    val displaced = probe()
+    // the displacement regime is REAL here: pairs are lost, and only
+    // lost (duplicate copies can evict witnesses, never add them)
+    assert(displaced.subsetOf(baseline))
+    assert(displaced.size < baseline.size,
+      s"expected recall loss under 16x-replayed appends, got " +
+        s"${displaced.size} of ${baseline.size} pairs")
+    Dedup.compactMinhashIndex(spark, idx)
+    val recovered = probe()
+    assert(recovered == baseline,
+      "compaction must restore every displaced pair exactly")
+  }
+
   test("compactMinhashIndex age-out: entries below the doc_id watermark " +
     "stop suppressing new documents") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")

@@ -67,4 +67,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.isEmpty || rows.head._3 == 0L)
     assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
+
+  test("decontamination route-equivalence: the forced shuffle route " +
+    "(evalBroadcastMax=0) ships the identical corpus") {
+    // evalBroadcastMax=0 forces the over-threshold branch — the exact
+    // plan a corpus too large to broadcast its eval grams would get —
+    // and must be row-identical to the broadcast route the gate runs.
+    val forced = Pipeline.llmCorpus(spark, sf, evalBroadcastMax = 0L)
+      .collect().toSeq
+    assert(forced == out.collect().toSeq)
+  }
+
+  test("materialized-stage report is row-identical to the recompute " +
+    "report, and the landed frames replay each stage exactly") {
+    val rec = Pipeline.llmReport(spark, sf).collect().toSeq
+    val stages = Pipeline.materializeStageFrames(spark, sf)
+    val mat = Pipeline.llmReportFrom(spark, sf, stages).collect().toSeq
+    assert(mat == rec)
+    // the landed final frame IS the shipped survivor set (s6 = the
+    // corpus before packing)
+    val s6Ids = spark.read.parquet(s"$stages/s6.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s6Ids == out.select("doc_id").as[Long].collect().toSet)
+  }
 }

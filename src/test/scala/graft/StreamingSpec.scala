@@ -664,6 +664,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming composed corpus: gopher reject, near-dup drop, and " +
+    "quote scrub chain end-to-end across two batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_scorpus").toString
+    // gopher-passing synthetic text: 64 medium-length alnum words
+    // including two distinct stopwords (word count, mean length,
+    // stopword, and alpha-ratio rules all pass)
+    def passing(tag: String): String =
+      (1 to 60).map(i => s"$tag$i").mkString(" ") + " the quick of work"
+    val textH = passing("hist")
+    val textA = passing("alpha")
+    // doc 21: novel body + a 20-token verbatim quote of textA. The
+    // quote slice matters: the affine h1+i·h2 signature family is
+    // all-or-nothing per pair (one globally-minimal shingle hash can
+    // win every component), and the alpha10-29 slice happens to hold
+    // textA's minimal shingle — quoting it makes est_jac ≈ 1 at true
+    // J ≈ 0.17. The alpha30-49 slice doesn't even band-match, so the
+    // doc exercises exactly the intended path: past the near-dup
+    // probe, into the quote scrubber.
+    val quote = (30 to 49).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 45).map(i => s"bravo$i").mkString(" ") +
+      " the of " + quote
+    Dedup.writeMinhashIndex(Seq((1L, textH)).toDF("doc_id", "text"),
+      s"$root/mh")
+    Dedup.writeGramIndex(Seq((1L, textH)).toDF("doc_id", "text"),
+      s"$root/gram")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Pipeline.corpusStream(docs, s"$root/mh",
+      s"$root/gram", s"$root/out", s"$root/ckpt")
+    try {
+      // batch 1: a gopher reject (never lands, never indexes) + a
+      // clean survivor
+      input.addData((10L, "too short to pass the gopher rules"),
+        (11L, textA))
+      q.processAllAvailable()
+      // batch 2: a twin of the batch-1 SURVIVOR (near-dup drop proves
+      // the minhash append) + a doc quoting 20 of its tokens (span cut
+      // proves the gram append)
+      input.addData((20L, textA), (21L, textB))
+      q.processAllAvailable()
+      val byId = spark.read.parquet(s"$root/out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("scrub"), r.getAs[Long]("n_removed"))).toMap
+      assert(byId.keySet == Set(11L, 21L), s"landed ${byId.keySet}")
+      // survivor 11 passed untouched; 21 lost exactly the quote
+      assert(byId(11L) == (textA, 0L), s"doc 11: ${byId(11L)}")
+      assert(byId(21L) ==
+        ((1 to 45).map(i => s"bravo$i").mkString(" ") + " the of", 20L),
+        s"doc 21: ${byId(21L)}")
+      // index state: history + the two landed survivors, nothing else
+      // (the gopher reject and the near-dup never reached an index)
+      val sigIds = spark.read.parquet(s"$root/mh/sigs.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds == Set(1L, 11L, 21L), s"mh index holds $sigIds")
+    } finally q.stop()
+  }
+
   test("foreachBatch jdbc sink lands every microbatch row in the database") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_stream").toString

@@ -93,6 +93,28 @@ class TextSpec extends SparkSpec {
     assert(c.filter(col("contam_frac") < 0 || col("contam_frac") > 1).count() == 0)
   }
 
+  test("contamination size-aware route: forced shuffle equals broadcast " +
+    "and actually drops the eval-gram broadcast") {
+    // evalBroadcastMax=0 forces the over-threshold branch — the plan a
+    // corpus whose eval-gram set outgrows an executor would get.
+    val bc = TextFunctions.contamination(spark, sf)
+    val sh = TextFunctions.contamination(spark, sf, evalBroadcastMax = 0L)
+    assert(sh.collect().toSeq == bc.collect().toSeq)
+    // the route is real: the broadcast HINT is present on the default
+    // route and absent on the forced one (at sf0.001 the static
+    // planner may still pick a broadcast join by size estimate — the
+    // route's contract is that it never FORCES one past the threshold,
+    // which is what the executor-memory cliff at scale is about)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(bc) && !hinted(sh),
+      "forced route must not carry the eval-gram broadcast hint")
+    // provenance twin takes the same route switch
+    val pBc = TextFunctions.contaminationPairs(spark, sf)
+    val pSh = TextFunctions.contaminationPairs(spark, sf, evalBroadcastMax = 0L)
+    assert(pSh.collect().toSeq == pBc.collect().toSeq)
+  }
+
   test("rarity is positive, covers all docs, and zero-fills token-less docs") {
     val r = TextFunctions.rarity(spark, sf)
     val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
