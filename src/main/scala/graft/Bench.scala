@@ -62,10 +62,12 @@ object Bench {
   /** Round-15 block (`value_15`/`queries_15`): the composed LLM-corpus
     * pipeline (seven chained stages — the heaviest single plan in the
     * gate) and the trained IVF×PQ gate (two k-means fits + shared
-    * candidate ADC ranking), regression-tracked from birth.
+    * candidate ADC ranking), regression-tracked from birth. Round 16
+    * adds the materialized-stage-frames report (land s1–s6, aggregate
+    * the landed frames — the production report shape).
     */
   val headline15: Seq[String] = Seq(
-    "pipe_llm_corpus", "sim_ivfpq_trained")
+    "pipe_llm_corpus", "sim_ivfpq_trained", "pipe_report_mat")
 
   def main(args: Array[String]): Unit = {
     // Optional arg: comma-separated query subset (dev-only A/B timing);
@@ -151,18 +153,13 @@ object Bench {
     // the block retries (bounded), and per-query minima prefer
     // quiet-window samples. The artifact carries a per-block
     // quiet flag so the headline is valid by construction.
-    val stealRate = sys.env.get("SPARK_GRAFT_STEAL_RATE")
-      .map(_.toDouble).getOrElse(25.0)
-    def stealNow(): Long = try {
-      val cpu = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/stat"))).linesIterator
-        .next().trim.split("\\s+")
-      cpu(8).toLong
-    } catch { case _: Exception => -1L }
-    // A window is quiet when its steal delta stays under rate*sec, with
-    // a 500-jiffy floor so sub-20 s windows aren't gated on noise blips.
-    def quietWindow(stealDelta: Long, sec: Double): Boolean =
-      stealDelta >= 0 && stealDelta <= math.max(500.0, stealRate * sec)
+    // Round 16: sampling + gating live in graft.StealGate (shared with
+    // IndexSoak/Soak so SPARK_GRAFT_STEAL_RATE overrides all three
+    // surfaces), and a failed /proc/stat read now gates as NOISY
+    // instead of quiet — StealGate.delta maps a -1 sample to an
+    // unknown (-1) delta, which quietWindow rejects (ADVICE r15).
+    import StealGate.{stealNow, quietWindow}
+    val stealRate = StealGate.rate
     // Multi-JVM mini-gate, FIRST (hygiene countermeasure 2): the
     // 12-query local-cluster soak (graft.ClusterBench) runs COLD in a
     // subprocess under local-cluster[4,8,8192] against the 10x corpus
@@ -179,6 +176,14 @@ object Bench {
       else try {
         val dir10 = Soak.materialize(spark, 10, needFacts = true)
         blockReset() // the materialize itself caches/allocates
+        // The subprocess self-gates since round 16 (VERDICT r15 item
+        // 1): ClusterBench runs ≥2 round-robin passes with per-pass
+        // steal deltas, prefers quiet-pass minima, and reports its
+        // verdict on a CLUSTER12META line — pass windows are ~30-60 s,
+        // so a quiet sample is catchable where the whole multi-minute
+        // subprocess window (startup + N passes) rarely was. The
+        // parent-side whole-window gate survives only as the fallback
+        // for a subprocess too old/broken to emit the meta line.
         def runOnce(): (String, Boolean) = {
           val s0 = stealNow(); val t0 = System.nanoTime()
           val cmd = Seq("java") ++ ClusterBench.jvmOpens ++ Seq(
@@ -197,8 +202,13 @@ object Bench {
           err.linesIterator.filter(_.contains("[cluster12]"))
             .foreach(System.err.println)
           val sec = (System.nanoTime() - t0) / 1e9
-          val quiet = quietWindow(stealNow() - s0, sec)
-          System.err.println(f"[bench] cluster12 window $sec%.1f s quiet=$quiet")
+          val windowQuiet = quietWindow(StealGate.delta(s0, stealNow()), sec)
+          val metaQuiet = out.linesIterator
+            .find(_.startsWith("CLUSTER12META "))
+            .map(_.contains("\"quiet\":true"))
+          val quiet = metaQuiet.getOrElse(windowQuiet)
+          System.err.println(f"[bench] cluster12 window $sec%.1f s " +
+            f"quiet=$quiet (meta=${metaQuiet.isDefined})")
           val json = out.linesIterator.find(_.startsWith("CLUSTER12 "))
             .map(_.stripPrefix("CLUSTER12 ").trim)
             .filter(_ => rc == 0)
@@ -208,9 +218,10 @@ object Bench {
             }
           (json, quiet)
         }
-        // steal-gated with ONE retry: the block is minutes long, so a
-        // noisy first window gets a single second chance, and the
-        // artifact records which window produced the number.
+        // Subprocess-level retry stays as the outer bound: the inner
+        // per-pass gate usually extracts 2 quiet passes itself, so a
+        // not-quiet verdict here means a genuinely hostile window —
+        // one full re-run is the bounded second chance.
         var (json, quiet) = runOnce()
         if (!quiet) {
           blockReset()
@@ -248,7 +259,7 @@ object Bench {
         }
       }
       val passSec = (System.nanoTime() - p0) / 1e9
-      val sd = stealNow() - s0
+      val sd = StealGate.delta(s0, stealNow())
       passSteal += sd
       passQuiet += quietWindow(sd, passSec)
       System.err.println(
@@ -352,7 +363,8 @@ object Bench {
             System.err.println(f"[bench] soak10x pass$sPass $n $sec%.3f s")
             n -> sec
           }
-          val quiet = quietWindow(stealNow() - s0, (System.nanoTime() - p0) / 1e9)
+          val quiet = quietWindow(StealGate.delta(s0, stealNow()),
+            (System.nanoTime() - p0) / 1e9)
           if (quiet) sQuietN += 1
           System.err.println(s"[bench] soak10x pass$sPass quiet=$quiet")
           for ((n, sec) <- passSecs if sec >= 0) {
@@ -360,7 +372,10 @@ object Bench {
             if (quiet && sec < bestQuiet(n)) bestQuiet(n) = sec
           }
         }
-        soakQuiet = sQuietN >= 1
+        // >= 2 quiet passes, matching the loop's own target and the
+        // main block's flag, so the three per-block quiet flags carry
+        // the same guarantee (ADVICE r15: soakQuiet was set at 1).
+        soakQuiet = sQuietN >= 2
         soakQs.map { n =>
           val sec =
             if (bestQuiet(n) != Double.MaxValue) bestQuiet(n)

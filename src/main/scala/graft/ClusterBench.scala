@@ -16,9 +16,10 @@ package graft
   * broadcast masked by local[n] reference-sharing) — shows up in the
   * per-round artifact instead of waiting for an ad-hoc soak.
   *
-  * Usage: graft.ClusterBench <dataDir>. Emits per-query lines and one
-  * machine-readable line `CLUSTER12 {"q":sec,...}`; exits non-zero if
-  * any query fails.
+  * Usage: graft.ClusterBench <dataDir>. Emits per-query lines, a
+  * steal-gate meta line `CLUSTER12META {"quiet":...,"pass_steal":[...],
+  * "pass_quiet":[...]}`, and one machine-readable line
+  * `CLUSTER12 {"q":sec,...}`; exits non-zero if any query fails.
   */
 object ClusterBench {
 
@@ -68,35 +69,64 @@ object ClusterBench {
     // (measured ~7 s of q1's first pass) — same discipline as Bench.
     SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
-    // TWO round-robin passes, per-query MIN (round 14): this host is a
-    // VM with measurable CPU steal, and single-pass cold rows showed
-    // 100-180 s descheduling stalls landing on random queries (flat
-    // iowait — the guest was runnable, the host didn't run it). One
-    // stall then mis-measures a row 10-20x. Min-of-2 keeps one clean
-    // sample per row; pass 1 is still the cold multi-JVM leg the block
-    // exists for (the regression class it guards — executor-fatal
-    // broadcasts, classpath CCEs — fails BOTH passes, never just one).
+    // Round-robin passes, PER-PASS steal-gated (round 16, VERDICT r15
+    // item 1): round 14's min-of-2 handled the 100-180 s descheduling
+    // stalls (one stall mis-measures a row 10-20x; min-of-2 keeps one
+    // clean sample), but gating only the WHOLE subprocess window from
+    // the parent made cluster12 the one bench number that couldn't
+    // prove its own validity — the minutes-long window accumulates
+    // ambient steal past the gate even on a normal host day. Now the
+    // gate runs INSIDE, at pass granularity (the main-block
+    // discipline): minimum 2 passes, extend to 4 while fewer than 2
+    // landed in quiet windows, per-query minima prefer quiet samples,
+    // and the CLUSTER12META line carries the per-pass steal evidence.
+    // Pass 1 is still the cold multi-JVM leg the block exists for (the
+    // regression class it guards — executor-fatal broadcasts,
+    // classpath CCEs — fails EVERY pass, never just one).
     var failed = false
-    val t = scala.collection.mutable.Map.empty[String, Double]
-      .withDefaultValue(Double.MaxValue)
-    for (pass <- 1 to 2; name <- queries12) {
-      val sec = try {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[cluster12] $name failed: ${e.getMessage}")
-        failed = true
-        -1.0
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[(Double, Int)]].withDefaultValue(Vector.empty)
+    val passQuiet = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val passSteal = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pass = 0
+    while (pass < 4 && (pass < 2 || passQuiet.count(identity) < 2)) {
+      pass += 1
+      val s0 = StealGate.stealNow(); val p0 = System.nanoTime()
+      for (name <- queries12) {
+        val sec = try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[cluster12] $name failed: ${e.getMessage}")
+          failed = true
+          -1.0
+        }
+        System.err.println(f"[cluster12] pass$pass $name $sec%.3f s")
+        if (sec >= 0) samples(name) = samples(name) :+ (sec, pass)
       }
-      System.err.println(f"[cluster12] pass$pass $name $sec%.3f s")
-      if (sec >= 0 && sec < t(name)) t(name) = sec
+      val passSec = (System.nanoTime() - p0) / 1e9
+      val sd = StealGate.delta(s0, StealGate.stealNow())
+      passSteal += sd
+      passQuiet += StealGate.quietWindow(sd, passSec)
+      System.err.println(
+        f"[cluster12] pass$pass $passSec%.1f s steal=$sd quiet=${passQuiet.last}")
     }
+    val quiet = passQuiet.count(identity) >= 2
     val times = queries12.map { name =>
-      val sec = if (t(name) == Double.MaxValue) -1.0 else t(name)
+      val quietSamples = samples(name).collect {
+        case (sec, p) if passQuiet(p - 1) => sec
+      }
+      val sec =
+        if (quietSamples.nonEmpty) quietSamples.min
+        else if (samples(name).nonEmpty) samples(name).map(_._1).min
+        else -1.0
       f""""$name":$sec%.3f"""
     }
+    println(s"""CLUSTER12META {"quiet":$quiet,"pass_steal":${passSteal
+      .mkString("[", ",", "]")},"pass_quiet":${passQuiet
+      .mkString("[", ",", "]")}}""")
     println(times.mkString("CLUSTER12 {", ",", "}"))
     spark.stop()
     if (failed) sys.exit(1)

@@ -45,11 +45,9 @@ object IndexSoak {
     // window was steal-noisy (max 4 attempts), takes the min of quiet
     // attempts (min overall if none were quiet), and records the
     // per-attempt steal deltas so the row is self-diagnosing.
-    def stealNow(): Long = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/stat"))).linesIterator
-        .next().trim.split("\\s+")(8).toLong
-    } catch { case _: Exception => -1L }
+    // Sampling + threshold live in graft.StealGate since round 16, so
+    // SPARK_GRAFT_STEAL_RATE overrides this surface too (ADVICE r15:
+    // the 25 j/s gate was hardcoded here).
     def timed(body: => Long): (Double, Long, Boolean, Long) = {
       var best = Double.MaxValue
       var bestQuiet = Double.MaxValue
@@ -59,12 +57,9 @@ object IndexSoak {
       var attempt = 0
       while (attempt < 4 && (attempt < 2 || !anyQuiet)) {
         attempt += 1
-        val s0 = stealNow(); val t0 = System.nanoTime()
-        n = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        val sd = stealNow() - s0
+        val (nn, sec, sd, quiet) = StealGate.timedWindow(body)
+        n = nn
         worstSteal = math.max(worstSteal, sd)
-        val quiet = sd >= 0 && sd <= math.max(500.0, 25.0 * sec)
         if (quiet) { anyQuiet = true; bestQuiet = math.min(bestQuiet, sec) }
         best = math.min(best, sec)
       }

@@ -270,24 +270,21 @@ object Soak {
       // cold-to-cold, so synthetic extra passes would change the
       // semantics), but every row records whether its window was
       // quiet so a contaminated curve is diagnosable from the row.
-      def stealNow(): Long = try {
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/stat"))).linesIterator
-          .next().trim.split("\\s+")(8).toLong
-      } catch { case _: Exception => -1L }
+      // Sampling + threshold live in graft.StealGate since round 16
+      // (ADVICE r15: the 25 j/s gate was hardcoded here).
       for (name <- picked) {
         SparkEntry.queries.get(name).foreach { fn =>
           try {
-            val s0 = stealNow()
+            val s0 = StealGate.stealNow()
             val t0All = System.nanoTime()
             val times = (1 to passes).map { _ =>
               val t0 = System.nanoTime()
               fn(spark, dir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
-            val sd = stealNow() - s0
+            val sd = StealGate.delta(s0, StealGate.stealNow())
             val wallAll = (System.nanoTime() - t0All) / 1e9
-            val quiet = sd >= 0 && sd <= math.max(500.0, 25.0 * wallAll)
+            val quiet = StealGate.quietWindow(sd, wallAll)
             val sec = times.min
             total += sec
             emit(f"""{"metric":"soak","scale":$k,"query":"$name","sec":$sec%.3f,"sec_cold":${times.head}%.3f,"quiet":$quiet,"steal":$sd}""")
