@@ -406,12 +406,20 @@ object Dedup {
             spark.read.parquet(s"$indexPath/sigs.parquet"),
             threshold, maxWitnesses)
           val dupIds = pairs.select(col("new_id").as("doc_id")).distinct()
-          val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          // Stabilize, not persist (round 16): the index append fires
+          // CacheManager.recacheByPath on the index path, which evicts
+          // any cached plan reading it and recomputes against the
+          // appended files — the doc's own signature then self-pairs
+          // and empties a persisted survivor frame. This single-append
+          // loop only dodged that by artifact order (candidates come
+          // from bands.parquet, written after sigs.parquet); lineage
+          // truncation makes the frame a value and removes the
+          // order dependence (Pipeline.corpusStream scaladoc).
+          val survivors = Stabilize(
+            batch.join(dupIds, Seq("doc_id"), "left_anti"))
           graft.sources.Sink.dedupUpsert(spark, outPath, survivors,
             keys = Seq("doc_id"), versionCol = "doc_id")
           appendToMinhashIndex(survivors, indexPath)
-          survivors.unpersist(): Unit
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
             compactMinhashIndex(spark, indexPath): Unit
         }
@@ -1140,14 +1148,17 @@ object Dedup {
           val spans = probeGramIndex(batch,
             spark.read.parquet(s"$indexPath/grams.parquet"),
             window, minTokens)
-          val scrubbed = applySpans(batch, spans)
-            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          // Stabilize, not persist — see dedupStreamAgainstIndex: the
+          // gram append's recacheByPath would otherwise evict this
+          // frame and recompute it against an index that now holds the
+          // batch's own grams (every window self-duplicated → the doc
+          // scrubbed to nothing on any later read of the frame).
+          val scrubbed = Stabilize(applySpans(batch, spans))
           graft.sources.Sink.dedupUpsert(spark, outPath, scrubbed,
             keys = Seq("doc_id"), versionCol = "doc_id")
           appendToGramIndex(
             scrubbed.select(col("doc_id"), col("scrub").as("text")),
             indexPath, window)
-          scrubbed.unpersist(): Unit
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
             compactGramIndex(spark, indexPath): Unit
         }
