@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Spread
 import graft.sources.Tables
 
 /** Text-analysis functions for a training-data pipeline, built entirely
@@ -1357,7 +1358,8 @@ object TextFunctions {
     */
   def dsirSelect(spark: SparkSession, dir: String, buckets: Int = 256,
       topN: Int = 100): DataFrame =
-    dsirSelectOf(Tables.load(spark, dir, "documents"), buckets, topN)
+    dsirSelectOf(Spread(Tables.load(spark, dir, "documents"),
+      col("doc_id")), buckets, topN)
 
   /** DataFrame form: `docs` needs (doc_id, lang, text); target = the
     * `lang = 'en'` rows.
@@ -1436,7 +1438,8 @@ object TextFunctions {
     */
   def dsirResample(spark: SparkSession, dir: String, buckets: Int = 256,
       k: Int = 100): DataFrame =
-    dsirResampleOf(Tables.load(spark, dir, "documents"), buckets, k)
+    dsirResampleOf(Spread(Tables.load(spark, dir, "documents"),
+      col("doc_id")), buckets, k)
 
   def dsirResampleOf(docs: DataFrame, buckets: Int = 256,
       k: Int = 100): DataFrame = {

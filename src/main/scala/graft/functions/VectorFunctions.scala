@@ -91,6 +91,88 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two float/double-array columns —
+  * the PQ/ADC hot path's twin of [[CosineSimilarity]] (round 16,
+  * guide §4): the HOF formulation `aggregate(zip_with(a, b,
+  * (x,y) => (x-y)²), 0.0, _+_)` runs INTERPRETED (lambda dispatch per
+  * element per row; profiled 2.4 s single-task on the trained-IVFPQ
+  * exact arm at sf0.1), while this expression lives inside
+  * whole-stage codegen. Bit-identical float semantics: terms
+  * accumulate left-to-right in element order from a 0.0 seed, each
+  * term (x−y)·(x−y) in double — exactly the HOF's fold. Null
+  * semantics mirror the HOF too: a null element poisons the fold
+  * (acc + null = null), and unequal lengths zip a null pad → null.
+  */
+case class SqL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sql2"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (fa, fb) = (isFloat(left), isFloat(right))
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(arr: String, idx: String, float: Boolean): String =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${get(a, i, isFloat(left))} - ${get(b, i, isFloat(right))};
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -99,6 +181,20 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper over the native squared-L2 expression. */
+  def sqL2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqL2Distance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Builtin-composed squared L2 (zip_with + aggregate): kept as the
+    * cross-check twin for [[SqL2Distance]], mirroring
+    * [[cosineComposed]].
+    */
+  def sqL2Composed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
 
   /** Builtin-composed equivalent (zip_with + aggregate): the (a) option
     * of the preference ladder; kept as a cross-check for the native

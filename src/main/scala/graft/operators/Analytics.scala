@@ -1991,13 +1991,19 @@ object Analytics {
       .groupBy(col("is_ref"), col("cents")).agg(count(lit(1)).as("c"))
       .transform(Stabilize.apply)
     val refHist = hist2.filter(col("is_ref")).select(col("cents"), col("c"))
-    val curHist = hist2.filter(!col("is_ref")).select(col("cents"), col("c"))
     // reference decile edges from the value histogram cumsum — the
     // two-phase prefix sum (cents is a near-unique continuous domain,
     // so a bare Window.orderBy would be a single-task cumsum), then
     // ONE conditional aggregate picks all nine edges in a single pass.
+    // ONE population-totals frame (nr, nc) serves the edge rule (its n
+    // IS nr) and the final shares — the old shape ran three separate
+    // one-row aggregates over the ref/cur splits (round 16, guide §2.3:
+    // aggregate once, reuse the broadcast).
+    val totals = hist2.groupBy().agg(
+      sum(when(col("is_ref"), col("c"))).as("nr"),
+      sum(when(!col("is_ref"), col("c"))).as("nc"))
     val hist = Prefix.runningSum(refHist, col("c"), "cum", Seq(col("cents")))
-      .crossJoin(broadcast(refHist.agg(sum(col("c")).as("n"))))
+      .crossJoin(broadcast(totals.select(col("nr").as("n"))))
     val edgeExprs = (1 to 9).map { d =>
       min(when(col("cum") >= ceil(col("n").cast("double") * lit(d / 10.0))
         .cast("long"), col("cents"))).as(s"e$d")
@@ -2005,19 +2011,23 @@ object Analytics {
     val edgeRow = hist.agg(edgeExprs.head, edgeExprs.tail: _*)
     val es = edgeRow.select(array((1 to 9).map(d =>
       struct(lit(d).as("d"), col(s"e$d").as("edge"))): _*).as("es"))
-    def bucketed(h: DataFrame, name: String) = h
+    // ONE bucketing pass over the two-population histogram with
+    // conditional sums — the old shape bucketed ref and cur in two
+    // separate groupBy exchanges and FULL-OUTER-joined them back;
+    // conditional aggregation produces the identical bucket rows
+    // (a bucket present in either population appears, the missing
+    // side's sum is null → filled 0) in one exchange and no join.
+    val pq = hist2
       .crossJoin(broadcast(es))
       .withColumn("bucket",
         aggregate(col("es"), lit(0L),
           (acc, e) => when(col("cents") >= e.getField("edge"), e.getField("d")
             .cast("long")).otherwise(acc)))
-      .groupBy(col("bucket")).agg(sum(col("c")).as(name))
-    val p = bucketed(refHist, "n_ref")
-    val q = bucketed(curHist, "n_cur")
-    p.join(q, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
-      .crossJoin(broadcast(refHist.agg(sum(col("c")).as("nr"))))
-      .crossJoin(broadcast(curHist.agg(sum(col("c")).as("nc"))))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("is_ref"), col("c"))).as("n_ref"),
+        sum(when(!col("is_ref"), col("c"))).as("n_cur"))
+    pq.na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round((col("n_ref").cast("double") / col("nr") -
           col("n_cur").cast("double") / col("nc")) *

@@ -110,7 +110,9 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.4,
       maxDf: Option[Int] = Some(MaxShingleDf)): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // Spread: the shingle+md5 kernel is the cost (profiled 1.46 s on
+    // ONE task at sf0.1 — single-row-group scan); no-op at scale.
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     // Set semantics per doc need no data movement: array_distinct on
     // the in-row shingle array replaces the corpus-wide distinct
     // shuffle, so the FIRST shuffle in the whole plan is the pairwise
@@ -435,7 +437,7 @@ object Dedup {
     */
   def dedupIncremental(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     val idx = graft.Scratch.dir("mh_index")
     writeMinhashIndex(docs.filter(col("doc_id") % 4 =!= 0), idx)
     // The probe's aggregate state is |batch| witness-capped heaps —
@@ -467,7 +469,7 @@ object Dedup {
     */
   def dedupCompactProbe(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     val idx = graft.Scratch.dir("mh_index_gate")
     writeMinhashIndex(docs.filter(col("doc_id") % 4 === 1), idx)
     appendToMinhashIndex(docs.filter(col("doc_id") % 4 === 2), idx)
@@ -495,7 +497,7 @@ object Dedup {
     */
   def gramCompactIndex(spark: SparkSession, dir: String,
       window: Int = 10): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     val idx = graft.Scratch.dir("gram_index_gate")
     writeGramIndex(docs.filter(col("doc_id") % 4 === 1), idx, window)
     appendToGramIndex(docs.filter(col("doc_id") % 4 === 2), idx, window)
@@ -861,7 +863,7 @@ object Dedup {
     * oracle replayable; at corpus scale widen to the full digest.
     */
   def spanDups(spark: SparkSession, dir: String, window: Int = 10): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     // md5 AFTER the posexplode: an expensive expression under a
     // Generate runs interpreted; in the following projection it stays
     // in whole-stage codegen (same fix as text_contamination).
@@ -1171,7 +1173,7 @@ object Dedup {
     */
   def substringIncremental(spark: SparkSession, dir: String,
       window: Int = 10, minTokens: Int = 15): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
     val idx = graft.Scratch.dir("gram_index")
     writeGramIndex(docs.filter(col("doc_id") % 4 =!= 0), idx, window)
     probeGramIndex(docs.filter(col("doc_id") % 4 === 0),

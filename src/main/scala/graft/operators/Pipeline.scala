@@ -155,12 +155,23 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame,
          DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.load(spark, dir, "documents")
-    val s1 = s1Of(docs)
-    val s2 = s2Of(s1)
-    val s3 = s3Of(s2)
-    val s4 = s4Of(s3)
-    val s5 = s5Of(docs, s4, evalBroadcastMax)
-    val s6 = s6Of(spark, s5)
+    // Every stage frame is Stabilized (round 16, guide §5): each stage
+    // has at least two consumers — the next stage references its input
+    // 2-3 times (detector + semi-join back), and the report reads all
+    // seven — so a lazy chain re-executes stage k's prefix once per
+    // downstream reference and the EARLY stages re-run exponentially
+    // in depth (profiled at sf0.1: the same gopher map stage executed
+    // 6x, 112 jobs and 44 s of task time for a 21 s wall). With each
+    // stage a value (localCheckpoint; reliable-dir escape on
+    // clusters), every stage executes exactly once — the in-session
+    // twin of the landed-parquet production shape
+    // ([[materializeStageFrames]]), same rows by construction.
+    val s1 = Stabilize(s1Of(docs))
+    val s2 = Stabilize(s2Of(s1))
+    val s3 = Stabilize(s3Of(s2))
+    val s4 = Stabilize(s4Of(s3))
+    val s5 = Stabilize(s5Of(docs, s4, evalBroadcastMax))
+    val s6 = Stabilize(s6Of(spark, s5))
     (docs, s1, s2, s3, s4, s5, s6)
   }
 
@@ -187,16 +198,16 @@ object Pipeline {
     * disappearing). This is the dashboard a data team reads before
     * shipping a mixture; the composed-gate twin of `dedup_report`.
     *
-    * Cost honesty: each stage aggregates to ONE row (map-side
-    * combinable), but Catalyst does not share subplans across union
-    * branches, so each branch recomputes its stage prefix — measured
-    * at the 10x soak the whole report costs about one pipeline run
-    * (40.2 s vs 38.4 s; the late stages dominate and appear once per
-    * chain anyway). The production shape that makes the report ~free —
-    * materialize the stage frames the run is already shipping and
-    * aggregate those — is [[materializeStageFrames]] +
-    * [[llmReportFrom]] (gated as `pipe_report_mat`, measured by
-    * graft.PipeSoak).
+    * Cost: each stage aggregates to ONE row (map-side combinable), and
+    * since round 16 [[stageFrames]] Stabilizes every stage, so each
+    * union branch aggregates a materialized frame instead of
+    * recomputing its stage prefix (Catalyst does not share subplans
+    * across union branches — before the stabilization the whole report
+    * cost about one extra pipeline run, 40.2 s vs 38.4 s at the 10x
+    * soak). The durable-artifact twin — land the stage frames the run
+    * is already shipping and aggregate those — is
+    * [[materializeStageFrames]] + [[llmReportFrom]] (gated as
+    * `pipe_report_mat`, measured by graft.PipeSoak).
     */
   def llmReport(spark: SparkSession, dir: String): DataFrame = {
     val (docs, s1, s2, s3, s4, s5, s6) = stageFrames(spark, dir)

@@ -217,10 +217,16 @@ object Similarity {
     exploded.filter(col("vec_id") < nCode)
       .select(col("j"), col("vec_id").cast("int").as("c"), col("sv").as("cw"))
 
+  /** Squared L2 — the native codegen expression (round 16, guide §4):
+    * the previous `aggregate(zip_with(...))` formulation ran
+    * interpreted per element per candidate row (profiled 2.4 s on one
+    * single-task exact-ranking stage at sf0.1); the native twin is
+    * bit-identical (same left-to-right double fold from 0.0, same
+    * null poisoning — VectorSpec pins equivalence) and stays inside
+    * whole-stage codegen.
+    */
   private def sqL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.sqL2(a, b)
 
   /** The shared PQ tail: encode the corpus against `codebook` (argmin
     * per vector-subspace), build per-query ADC tables (m·nCode rows
@@ -438,7 +444,12 @@ object Similarity {
   def pqTrainedTopK(spark: SparkSession, dir: String, k: Int = TopK,
       m: Int = 4, subDim: Int = 16, nCode: Int = 16): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val exploded = pqSubvectors(emb, m, subDim)
+    // Stabilized: the subvector explosion feeds the m k-means fits
+    // (each a multi-pass consumer) plus the ADC encode/query arms — a
+    // lazy plan re-explodes the corpus once per consumer. Partitioning
+    // is preserved (localCheckpoint materializes the same partitions),
+    // so the seeded fits see identical data layout → identical centers.
+    val exploded = Stabilize(pqSubvectors(emb, m, subDim))
     pqAdcTopK(exploded, pqTrainedCodebook(exploded, m, nCode), k, m, None)
   }
 
@@ -480,7 +491,8 @@ object Similarity {
       .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"))
-    val exploded = pqSubvectors(emb, m, subDim)
+    // Stabilized for the same multi-consumer reason as pqTrainedTopK.
+    val exploded = Stabilize(pqSubvectors(emb, m, subDim))
     val trained = pqAdcTopK(exploded,
       pqTrainedCodebook(exploded, m, nCode), k, m, None, nQueries)
     val blindSample = exploded
@@ -579,7 +591,8 @@ object Similarity {
     val cand = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    val exploded = pqSubvectors(emb, m, subDim)
+    // Stabilized for the same multi-consumer reason as pqTrainedTopK.
+    val exploded = Stabilize(pqSubvectors(emb, m, subDim))
     val trainedTop = pqAdcTopK(exploded,
       pqTrainedCodebook(exploded, m, nCode), k, m, Some(cand), nQueries)
     val blindSample = exploded
@@ -855,7 +868,7 @@ object Similarity {
   def rrfFusion(spark: SparkSession, dir: String,
       rrfK: Int = 60, topK: Int = 10): DataFrame = {
     import graft.functions.TextFunctions.words
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Spread(Tables.load(spark, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), array_distinct(words(lower(col("text")))).as("toks"))
     val qd = docs.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("q_id"), col("toks").as("q_toks"))

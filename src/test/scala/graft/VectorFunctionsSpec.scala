@@ -167,6 +167,29 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native sqL2 is bit-identical to the composed fold, with its null semantics") {
+    // equal-length, no nulls: BIT-identical (same left-to-right fold)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
+    val pairs = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(5))
+    val mismatches = pairs.filter(
+      VectorFunctions.sqL2(col("embedding"), col("e2")) =!=
+        VectorFunctions.sqL2Composed(col("embedding"), col("e2"))).count()
+    assert(mismatches == 0L, "native sqL2 diverged from the HOF fold")
+    // known value on floats
+    val v = Seq((Array(1.0f, 2.0f), Array(3.0f, 0.0f))).toDF("a", "b")
+      .select(VectorFunctions.sqL2(col("a"), col("b"))).as[Double].head()
+    assert(v == 8.0)
+    // unequal lengths → null (the HOF's zip-pad-null poisoning)
+    val uneq = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(uneq.select(VectorFunctions.sqL2(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(uneq.select(VectorFunctions.sqL2Composed(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // null element → null, matching the fold
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(withNull.select(VectorFunctions.sqL2(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(withNull.select(VectorFunctions.sqL2Composed(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
   test("agreement on real embeddings") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
     val diff = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(5))
